@@ -1,0 +1,514 @@
+"""Vectorized geometry kernels (pure numpy).
+
+These re-implement, from the public computational-geometry literature, the
+GEOS/shapely kernels the reference relies on (`area`, `length`, `bounds`,
+`centroid`, `intersects`, `intersection`, `difference`, point-in-polygon;
+see the inventory in /root/repo/SURVEY.md §2.9). Everything is batch-first:
+one call processes a whole Arrow batch worth of geometries.
+
+Point-in-polygon is a crossing-number test with an explicit on-boundary
+check ("winding-number refinement" per the north rule: candidate pairs come
+from a bbox/STRtree prefilter, the exact test runs only on candidates).
+
+Polygon boolean ops: intersection of an arbitrary subject with a CONVEX
+clip polygon uses Sutherland–Hodgman; difference/union against convex
+operands use the standard convex-complement decomposition (clip the subject
+successively against each outside half-plane), which yields disjoint pieces
+whose union is the exact difference. Concave right-hand operands are out of
+scope for round 1 and raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import PointArray, PolygonArray
+
+# ---------------------------------------------------------------------------
+# Bounds / area / length / centroid
+# ---------------------------------------------------------------------------
+
+
+def _per_geom_coord_ranges(pg: PolygonArray) -> tuple[np.ndarray, np.ndarray]:
+    """(start, stop) coordinate index range covering all rings of each row."""
+    first_poly = pg.geom_offsets[:-1]
+    last_poly = pg.geom_offsets[1:]
+    first_ring = pg.poly_offsets[first_poly]
+    last_ring = pg.poly_offsets[last_poly]
+    return pg.ring_offsets[first_ring], pg.ring_offsets[last_ring]
+
+
+def polygon_bounds(pg: PolygonArray) -> np.ndarray:
+    """(n, 4) array of (minx, miny, maxx, maxy) per row."""
+    starts, stops = _per_geom_coord_ranges(pg)
+    n = len(pg)
+    out = np.empty((n, 4), dtype=np.float64)
+    counts = stops - starts
+    if counts.min(initial=1) <= 0:
+        for i in range(n):
+            if counts[i] <= 0:
+                out[i] = np.nan
+            else:
+                c = pg.coords[starts[i] : stops[i]]
+                out[i] = [c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()]
+        return out
+    x, y = pg.coords[:, 0], pg.coords[:, 1]
+    out[:, 0] = np.minimum.reduceat(x, starts)
+    out[:, 1] = np.minimum.reduceat(y, starts)
+    out[:, 2] = np.maximum.reduceat(x, starts)
+    out[:, 3] = np.maximum.reduceat(y, starts)
+    return out
+
+
+def ring_signed_areas(pg: PolygonArray) -> np.ndarray:
+    """Signed shoelace area of every ring (R,). CCW positive."""
+    x, y = pg.coords[:, 0], pg.coords[:, 1]
+    # cross terms for every consecutive vertex pair (within-ring pairs only)
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    # sum per ring: ring r covers cross[ring_offsets[r] : ring_offsets[r+1]-1]
+    r0 = pg.ring_offsets[:-1]
+    r1 = pg.ring_offsets[1:]
+    n_r = len(r0)
+    out = np.zeros(n_r, dtype=np.float64)
+    # cumulative-sum trick: per-ring sum = cum[r1-1] - cum[r0]
+    if len(cross):
+        cum = np.concatenate(([0.0], np.cumsum(cross)))
+        out = 0.5 * (cum[np.maximum(r1 - 1, r0)] - cum[r0])
+    return out
+
+
+def polygon_areas(pg: PolygonArray) -> np.ndarray:
+    """Unsigned area per ROW: |exterior| − |holes| summed over member polys.
+
+    Assumes valid ring orientation-independent input: area of a polygon is
+    |area(exterior)| − Σ|area(hole)|.
+    """
+    ring_a = ring_signed_areas(pg)
+    n_polys = pg.n_polys()
+    # first ring of each polygon is the exterior
+    poly_area = np.zeros(n_polys, dtype=np.float64)
+    for q in range(n_polys):
+        r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+        a = abs(ring_a[r0])
+        for r in range(r0 + 1, r1):
+            a -= abs(ring_a[r])
+        poly_area[q] = a
+    # sum member polygons per row
+    out = np.zeros(len(pg), dtype=np.float64)
+    np.add.at(out, np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets)), poly_area)
+    return out
+
+
+def polygon_perimeters(pg: PolygonArray) -> np.ndarray:
+    """Total ring length per row (exterior + holes)."""
+    d = np.diff(pg.coords, axis=0)
+    seg = np.hypot(d[:, 0], d[:, 1])
+    cum = np.concatenate(([0.0], np.cumsum(seg)))
+    r0, r1 = pg.ring_offsets[:-1], pg.ring_offsets[1:]
+    ring_len = cum[np.maximum(r1 - 1, r0)] - cum[r0]
+    # map rings -> rows
+    n_rings_per_poly = np.diff(pg.poly_offsets)
+    poly_of_ring = np.repeat(np.arange(pg.n_polys()), n_rings_per_poly)
+    row_of_poly = np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets))
+    out = np.zeros(len(pg), dtype=np.float64)
+    np.add.at(out, row_of_poly[poly_of_ring], ring_len)
+    return out
+
+
+def polygon_centroids(pg: PolygonArray) -> np.ndarray:
+    """(n,2) area-weighted centroid per row (holes subtract).
+
+    Per ring: signed area a_r and the shoelace centroid integrals; each
+    ring contributes (+|a|, C) if exterior, (−|a|, C) if hole; the row
+    centroid is the signed-area-weighted mean of ring centroids.
+    """
+    x, y = pg.coords[:, 0], pg.coords[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cx_t = (x[:-1] + x[1:]) * cross
+    cy_t = (y[:-1] + y[1:]) * cross
+    cum_a = np.concatenate(([0.0], np.cumsum(cross)))
+    cum_x = np.concatenate(([0.0], np.cumsum(cx_t)))
+    cum_y = np.concatenate(([0.0], np.cumsum(cy_t)))
+    r0, r1 = pg.ring_offsets[:-1], pg.ring_offsets[1:]
+    hi = np.maximum(r1 - 1, r0)
+    ring_a = 0.5 * (cum_a[hi] - cum_a[r0])  # signed
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ring_cx = (cum_x[hi] - cum_x[r0]) / (6.0 * ring_a)
+        ring_cy = (cum_y[hi] - cum_y[r0]) / (6.0 * ring_a)
+    n_rings_per_poly = np.diff(pg.poly_offsets)
+    poly_of_ring = np.repeat(np.arange(pg.n_polys()), n_rings_per_poly)
+    row_of_poly = np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets))
+    row_of_ring = row_of_poly[poly_of_ring]
+    is_ext = np.zeros(len(ring_a), dtype=bool)
+    is_ext[pg.poly_offsets[:-1]] = True
+    w = np.where(is_ext, 1.0, -1.0) * np.abs(ring_a)  # + exterior, − hole
+    A = np.zeros(len(pg))
+    CX = np.zeros(len(pg))
+    CY = np.zeros(len(pg))
+    np.add.at(A, row_of_ring, w)
+    np.add.at(CX, row_of_ring, w * np.nan_to_num(ring_cx))
+    np.add.at(CY, row_of_ring, w * np.nan_to_num(ring_cy))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.stack([CX / A, CY / A], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (crossing number + boundary-inclusive refinement)
+# ---------------------------------------------------------------------------
+
+
+def points_in_polygon_pairs(
+    px: np.ndarray,
+    py: np.ndarray,
+    pg: PolygonArray,
+    pt_idx: np.ndarray,
+    poly_row_idx: np.ndarray,
+) -> np.ndarray:
+    """Boundary-inclusive PIP for candidate (point, polygon-row) pairs.
+
+    px/py index the full point set; ``pt_idx[i]``/``poly_row_idx[i]`` name
+    the i-th candidate pair. Returns bool mask over pairs. Fully
+    vectorized: pairs are expanded to (pair, edge) rows via np.repeat.
+    """
+    n_pairs = len(pt_idx)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=bool)
+
+    # rings per pair: all rings of all member polys of the polygon row
+    starts, stops = _per_geom_coord_ranges(pg)  # per row, coord ranges
+    # edge list per ring: vertices v..v+1 within ring; build global edge arrays once
+    r0, r1 = pg.ring_offsets[:-1], pg.ring_offsets[1:]
+    # edges of ring r: indices r0[r] .. r1[r]-2 (each edge i -> i, i+1)
+    n_edges_per_ring = np.maximum(r1 - r0 - 1, 0)
+    edge_first = np.repeat(r0, n_edges_per_ring) + (
+        np.arange(int(n_edges_per_ring.sum()))
+        - np.repeat(np.concatenate(([0], np.cumsum(n_edges_per_ring)[:-1])), n_edges_per_ring)
+    )
+    # map edges -> row
+    n_rings_per_poly = np.diff(pg.poly_offsets)
+    poly_of_ring = np.repeat(np.arange(pg.n_polys()), n_rings_per_poly)
+    row_of_poly = np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets))
+    row_of_ring = row_of_poly[poly_of_ring]
+    row_of_edge = np.repeat(row_of_ring, n_edges_per_ring)
+
+    # edges grouped by row: count edges per row, order is already row-major
+    edges_per_row = np.zeros(len(pg), dtype=np.int64)
+    np.add.at(edges_per_row, row_of_edge, 1)
+    edge_row_start = np.concatenate(([0], np.cumsum(edges_per_row)))
+
+    # expand pairs × edges
+    pair_edge_counts = edges_per_row[poly_row_idx]
+    total = int(pair_edge_counts.sum())
+    pair_of_item = np.repeat(np.arange(n_pairs), pair_edge_counts)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(pair_edge_counts)[:-1])), pair_edge_counts
+    )
+    edge_idx = edge_row_start[poly_row_idx][pair_of_item] + within
+    e0 = edge_first[edge_idx]
+
+    x1 = pg.coords[e0, 0]
+    y1 = pg.coords[e0, 1]
+    x2 = pg.coords[e0 + 1, 0]
+    y2 = pg.coords[e0 + 1, 1]
+    X = px[pt_idx][pair_of_item]
+    Y = py[pt_idx][pair_of_item]
+
+    # crossing-number: edge straddles the horizontal ray at Y going right
+    cond = (y1 > Y) != (y2 > Y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)
+    crosses = cond & (X < xint)
+    n_cross = np.zeros(n_pairs, dtype=np.int64)
+    np.add.at(n_cross, pair_of_item, crosses.astype(np.int64))
+    inside = (n_cross % 2) == 1
+
+    # boundary refinement: point exactly on an edge counts as inside
+    minx = np.minimum(x1, x2)
+    maxx = np.maximum(x1, x2)
+    miny = np.minimum(y1, y2)
+    maxy = np.maximum(y1, y2)
+    cross_prod = (x2 - x1) * (Y - y1) - (y2 - y1) * (X - x1)
+    on_edge = (
+        (cross_prod == 0)
+        & (X >= minx)
+        & (X <= maxx)
+        & (Y >= miny)
+        & (Y <= maxy)
+    )
+    on_bd = np.zeros(n_pairs, dtype=bool)
+    np.logical_or.at(on_bd, pair_of_item, on_edge)
+    return inside | on_bd
+
+
+def points_in_one_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Boundary-inclusive PIP of many points against ONE polygon (rings list)."""
+    inside = np.zeros(len(px), dtype=bool)
+    on_bd = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        for s in range(0, len(x1), 4096):
+            xa, ya = x1[s : s + 4096], y1[s : s + 4096]
+            xb, yb = x2[s : s + 4096], y2[s : s + 4096]
+            cond = (ya[None, :] > py[:, None]) != (yb[None, :] > py[:, None])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = xa[None, :] + (py[:, None] - ya[None, :]) * (xb - xa)[None, :] / (
+                    yb - ya
+                )[None, :]
+            inside ^= (cond & (px[:, None] < xint)).sum(axis=1) % 2 == 1
+            cp = (xb - xa)[None, :] * (py[:, None] - ya[None, :]) - (yb - ya)[None, :] * (
+                px[:, None] - xa[None, :]
+            )
+            onb = (
+                (cp == 0)
+                & (px[:, None] >= np.minimum(xa, xb)[None, :])
+                & (px[:, None] <= np.maximum(xa, xb)[None, :])
+                & (py[:, None] >= np.minimum(ya, yb)[None, :])
+                & (py[:, None] <= np.maximum(ya, yb)[None, :])
+            )
+            on_bd |= onb.any(axis=1)
+    return inside | on_bd
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection & polygon-polygon intersects
+# ---------------------------------------------------------------------------
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect(a1, a2, b1, b2) -> np.ndarray:
+    """Vectorized proper-or-touching segment intersection test.
+
+    a1,a2,b1,b2: (m,2) arrays of endpoints. Touching counts.
+    """
+    d1 = _orient(b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1], a1[:, 0], a1[:, 1])
+    d2 = _orient(b1[:, 0], b1[:, 1], b2[:, 0], b2[:, 1], a2[:, 0], a2[:, 1])
+    d3 = _orient(a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1], b1[:, 0], b1[:, 1])
+    d4 = _orient(a1[:, 0], a1[:, 1], a2[:, 0], a2[:, 1], b2[:, 0], b2[:, 1])
+    general = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(px, py, q1, q2, d):
+        return (
+            (d == 0)
+            & (px >= np.minimum(q1[:, 0], q2[:, 0]))
+            & (px <= np.maximum(q1[:, 0], q2[:, 0]))
+            & (py >= np.minimum(q1[:, 1], q2[:, 1]))
+            & (py <= np.maximum(q1[:, 1], q2[:, 1]))
+        )
+
+    touch = (
+        on_seg(a1[:, 0], a1[:, 1], b1, b2, d1)
+        | on_seg(a2[:, 0], a2[:, 1], b1, b2, d2)
+        | on_seg(b1[:, 0], b1[:, 1], a1, a2, d3)
+        | on_seg(b2[:, 0], b2[:, 1], a1, a2, d4)
+    )
+    return general | touch
+
+
+def _exterior_ring(pg: PolygonArray, row: int) -> np.ndarray:
+    q = pg.geom_offsets[row]
+    r = pg.poly_offsets[q]
+    return pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+
+
+def _all_rings(pg: PolygonArray, row: int) -> list[np.ndarray]:
+    out = []
+    for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+        for r in range(pg.poly_offsets[q], pg.poly_offsets[q + 1]):
+            out.append(pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]])
+    return out
+
+
+def polygons_intersect_pairs(
+    a: PolygonArray, b: PolygonArray, ai: np.ndarray, bi: np.ndarray
+) -> np.ndarray:
+    """Exact 'intersects' (touching counts) for candidate row pairs.
+
+    Test: any vertex of A inside B, or any vertex of B inside A, or any
+    edge pair crosses/touches. Candidate pairs should already be bbox-
+    prefiltered. Per-pair python loop over pairs, numpy within each pair —
+    intended for the refine step on small candidate sets per partition.
+    """
+    out = np.zeros(len(ai), dtype=bool)
+    for k in range(len(ai)):
+        ra = _all_rings(a, int(ai[k]))
+        rb = _all_rings(b, int(bi[k]))
+        pa = np.concatenate(ra)
+        pb = np.concatenate(rb)
+        if points_in_one_polygon(pa[:, 0], pa[:, 1], rb).any():
+            out[k] = True
+            continue
+        if points_in_one_polygon(pb[:, 0], pb[:, 1], ra).any():
+            out[k] = True
+            continue
+        hit = False
+        for ring_a in ra:
+            for ring_b in rb:
+                e_a1 = ring_a[:-1]
+                e_a2 = ring_a[1:]
+                e_b1 = ring_b[:-1]
+                e_b2 = ring_b[1:]
+                na, nb = len(e_a1), len(e_b1)
+                A1 = np.repeat(e_a1, nb, axis=0)
+                A2 = np.repeat(e_a2, nb, axis=0)
+                B1 = np.tile(e_b1, (na, 1))
+                B2 = np.tile(e_b2, (na, 1))
+                if segments_intersect(A1, A2, B1, B2).any():
+                    hit = True
+                    break
+            if hit:
+                break
+        out[k] = hit
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Convex clipping (Sutherland–Hodgman) & convex-complement difference
+# ---------------------------------------------------------------------------
+
+
+def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Clip a subject ring by a CONVEX clip ring (Sutherland–Hodgman).
+
+    subject: (m,2) closed ring. clip_ring: (k,2) closed convex ring, any
+    orientation (normalized internally to CCW). Returns the clipped closed
+    ring ((0,2) if empty). Output ring is CCW if subject was CCW.
+    """
+    if ring_is_cw(clip_ring):
+        clip_ring = clip_ring[::-1]
+    poly = subject[:-1] if len(subject) and np.array_equal(subject[0], subject[-1]) else subject
+    for i in range(len(clip_ring) - 1):
+        if len(poly) == 0:
+            break
+        cx1, cy1 = clip_ring[i]
+        cx2, cy2 = clip_ring[i + 1]
+        # inside = left of directed clip edge (CCW convex ring)
+        x, y = poly[:, 0], poly[:, 1]
+        side = (cx2 - cx1) * (y - cy1) - (cy2 - cy1) * (x - cx1)
+        inside = side >= 0
+        nxt = np.roll(np.arange(len(poly)), -1)
+        out_pts = []
+        for j in range(len(poly)):
+            k = nxt[j]
+            if inside[j]:
+                out_pts.append(poly[j])
+                if not inside[k]:
+                    out_pts.append(_edge_line_intersection(poly[j], poly[k], (cx1, cy1), (cx2, cy2)))
+            elif inside[k]:
+                out_pts.append(_edge_line_intersection(poly[j], poly[k], (cx1, cy1), (cx2, cy2)))
+        poly = np.array(out_pts) if out_pts else np.empty((0, 2))
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    return np.vstack([poly, poly[:1]])
+
+
+def _edge_line_intersection(p1, p2, c1, c2):
+    """Intersection of segment p1-p2 with the infinite line through c1-c2."""
+    x1, y1 = p1
+    x2, y2 = p2
+    x3, y3 = c1
+    x4, y4 = c2
+    denom = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / denom
+    return np.array([x1 + t * (x2 - x1), y1 + t * (y2 - y1)])
+
+
+def ring_is_cw(ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])) < 0
+
+
+def ring_area(ring: np.ndarray) -> float:
+    if len(ring) < 4:
+        return 0.0
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+
+
+def convex_difference_pieces(subject: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """subject − convex(clip): disjoint convex-clipped pieces.
+
+    Standard convex-complement decomposition: for each edge i of the CCW
+    clip ring, one piece = subject ∩ outside(edge_i) ∩ inside(edge_0..i−1).
+    The pieces are pairwise disjoint and their union is subject − clip, so
+    Σ area(piece) == area(subject − clip) exactly.
+    """
+    if ring_is_cw(clip_ring):
+        clip_ring = clip_ring[::-1]
+    pieces = []
+    current = subject  # region still to be split: subject ∩ inside(e_0..i-1)
+    for i in range(len(clip_ring) - 1):
+        if len(current) == 0:
+            break
+        c1, c2 = clip_ring[i], clip_ring[i + 1]
+        # outside half-plane of edge i = flip the edge direction
+        outside_piece = _clip_halfplane(current, c2, c1)
+        if len(outside_piece) >= 4:
+            pieces.append(outside_piece)
+        current = _clip_halfplane(current, c1, c2)
+    return pieces
+
+
+def _clip_halfplane(ring: np.ndarray, c1, c2) -> np.ndarray:
+    """Clip closed ring by the left half-plane of directed line c1→c2."""
+    if len(ring) == 0:
+        return ring
+    poly = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    cx1, cy1 = c1
+    cx2, cy2 = c2
+    x, y = poly[:, 0], poly[:, 1]
+    side = (cx2 - cx1) * (y - cy1) - (cy2 - cy1) * (x - cx1)
+    inside = side >= 0
+    out_pts = []
+    n = len(poly)
+    for j in range(n):
+        k = (j + 1) % n
+        if inside[j]:
+            out_pts.append(poly[j])
+            if not inside[k]:
+                out_pts.append(_edge_line_intersection(poly[j], poly[k], c1, c2))
+        elif inside[k]:
+            out_pts.append(_edge_line_intersection(poly[j], poly[k], c1, c2))
+    if len(out_pts) < 3:
+        return np.empty((0, 2))
+    poly = np.array(out_pts)
+    return np.vstack([poly, poly[:1]])
+
+
+def is_convex_ring(ring: np.ndarray) -> bool:
+    """True if the closed ring is convex (collinear runs allowed)."""
+    p = ring[:-1]
+    if len(p) < 3:
+        return False
+    a = p
+    b = np.roll(p, -1, axis=0)
+    c = np.roll(p, -2, axis=0)
+    cr = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    return bool(np.all(cr >= 0) or np.all(cr <= 0))
+
+
+# ---------------------------------------------------------------------------
+# Distances
+# ---------------------------------------------------------------------------
+
+
+def point_point_dist2(px, py, qx, qy) -> np.ndarray:
+    dx = px - qx
+    dy = py - qy
+    return dx * dx + dy * dy
+
+
+def point_segment_dist2(px, py, x1, y1, x2, y2) -> np.ndarray:
+    """Squared distance from points to segments (all vectorized, matched)."""
+    dx = x2 - x1
+    dy = y2 - y1
+    ll = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x1) * dx + (py - y1) * dy) / ll
+    t = np.clip(np.where(ll == 0, 0.0, t), 0.0, 1.0)
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2

@@ -1,0 +1,257 @@
+"""k-nearest-neighbors join.
+
+Reproduces the output contract of the reference's
+``get_k_nearest_neighbors`` (/root/reference/src/sgis/geopandas_tools/
+neighbors.py:228-382): exact k nearest points per left row, identical
+points count as neighbors (distance 0), ``strict`` governs k > |neighbors|,
+output columns (left_id, neighbor_id, dist2, knn_rank). Ties are broken by
+ascending neighbor id (the engine's explicit determinism rule — SURVEY.md
+§2.13 — replacing the reference's reliance on ball-tree ordering).
+
+Two physical plans:
+
+* ``knn_broadcast`` — neighbor points are ``ray.put`` once; each actor
+  computes exact distances per batch (vectorized (B×N) blocks, chunked to
+  bound memory). Right plan when the neighbor side fits in one object.
+* ``KnnCellActor`` — neighbors binned into index-grid cells once per actor;
+  per point, rings of cells are scanned outward with DISTANCE-BOUNDED
+  TERMINATION: expansion stops when the next ring's minimum possible
+  distance exceeds the current kth-best distance (the north rule's "H3
+  k-ring expansion" plan). Exact same results, sub-linear per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _topk_block(
+    px: np.ndarray,
+    py: np.ndarray,
+    nx: np.ndarray,
+    ny: np.ndarray,
+    nid: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact top-k for a block of query points vs all neighbors.
+
+    Returns (flat row index, neighbor ids, dist2) with k entries per row,
+    ties broken by neighbor id (nid must be pre-sorted ascending).
+    """
+    n = len(nx)
+    k_eff = min(k, n)
+    d2 = (
+        (px[:, None].astype(np.float64) - nx[None, :]) ** 2
+        + (py[:, None].astype(np.float64) - ny[None, :]) ** 2
+    )
+    if k_eff < n:
+        part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+    else:
+        part = np.broadcast_to(np.arange(n), (len(px), n)).copy()
+    pd2 = np.take_along_axis(d2, part, axis=1)
+    pid = nid[part]
+    # sort the k candidates by (dist2, neighbor_id)
+    order = np.lexsort((pid, pd2), axis=1)
+    sd2 = np.take_along_axis(pd2, order, axis=1)
+    sid = np.take_along_axis(pid, order, axis=1)
+    rows = np.repeat(np.arange(len(px)), k_eff)
+    return rows, sid.ravel(), sd2.ravel()
+
+
+class KnnBroadcast:
+    """Actor-pool stage: exact brute-force kNN against broadcast neighbors."""
+
+    def __init__(self, neighbors_ref, k: int, id_col: str, x_col="px", y_col="py",
+                 strict: bool = False, chunk: int = 2048):
+        nb: dict = ray.get(neighbors_ref)
+        order = np.argsort(nb["id"], kind="stable")
+        self.nx = nb["x"][order].astype(np.float64)
+        self.ny = nb["y"][order].astype(np.float64)
+        self.nid = nb["id"][order]
+        self.k = k
+        self.id_col = id_col
+        self.x_col = x_col
+        self.y_col = y_col
+        self.chunk = chunk
+        if strict and k > len(self.nid):
+            raise ValueError(f"k={k} > number of neighbors {len(self.nid)} (strict)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col]
+        out_rows, out_nid, out_d2 = [], [], []
+        for s in range(0, len(px), self.chunk):
+            r, nidv, d2 = _topk_block(
+                px[s : s + self.chunk], py[s : s + self.chunk],
+                self.nx, self.ny, self.nid, self.k,
+            )
+            out_rows.append(r + s)
+            out_nid.append(nidv)
+            out_d2.append(d2)
+        rows = np.concatenate(out_rows) if out_rows else np.empty(0, np.int64)
+        k_eff = min(self.k, len(self.nid))
+        rank = np.tile(np.arange(1, k_eff + 1), len(px)) if len(px) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                self.id_col: ids.take(pa.array(rows, pa.int64())),
+                "neighbor_id": pa.array(np.concatenate(out_nid) if out_nid else [], pa.int64()),
+                "dist2": pa.array(
+                    (np.concatenate(out_d2) if out_d2 else np.empty(0)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "knn_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+
+def knn_broadcast(
+    left,
+    neighbors: dict,
+    k: int,
+    id_col: str,
+    x_col: str = "px",
+    y_col: str = "py",
+    strict: bool = False,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 16384,
+):
+    """kNN join: ``neighbors`` is {'id','x','y'} numpy dict (small side).
+
+    Output: (id_col, neighbor_id, dist2, knn_rank) — dist2 is squared
+    euclidean distance as int64 (exact for integer coordinates)."""
+    ref = ray.put(neighbors)
+    return left.map_batches(
+        KnnBroadcast,
+        fn_constructor_kwargs={
+            "neighbors_ref": ref, "k": k, "id_col": id_col,
+            "x_col": x_col, "y_col": y_col, "strict": strict,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class KnnCellActor:
+    """kNN via grid binning + ring expansion with distance-bounded stop.
+
+    Neighbors are binned into square cells of size ``cell`` once per actor.
+    For each query point: scan ring 0 (own cell), then ring 1, ... keeping
+    a running top-k; stop once (ring_dist_min)^2 > kth best distance, where
+    ring_dist_min = (ring_index-0... ) * cell — the minimum possible
+    distance from the query point to any point in the next unscanned ring.
+    Exact (same results as brute force), and at uniform density each query
+    touches O(k) candidates instead of O(N).
+    """
+
+    def __init__(self, neighbors_ref, k: int, id_col: str, cell: float = 1000.0,
+                 x_col="px", y_col="py"):
+        nb: dict = ray.get(neighbors_ref)
+        order = np.argsort(nb["id"], kind="stable")
+        self.nx = nb["x"][order].astype(np.float64)
+        self.ny = nb["y"][order].astype(np.float64)
+        self.nid = nb["id"][order]
+        self.k = k
+        self.cell = float(cell)
+        self.id_col = id_col
+        self.x_col = x_col
+        self.y_col = y_col
+        cx = np.floor(self.nx / self.cell).astype(np.int64)
+        cy = np.floor(self.ny / self.cell).astype(np.int64)
+        key = cx * np.int64(1 << 32) + cy
+        order2 = np.argsort(key, kind="stable")
+        self.sorted_key = key[order2]
+        self.perm = order2
+        self.uniq_keys, self.key_starts = np.unique(self.sorted_key, return_index=True)
+        self.key_stops = np.append(self.key_starts[1:], len(self.sorted_key))
+
+    def _cell_members(self, cx: int, cy: int) -> np.ndarray:
+        key = np.int64(cx) * np.int64(1 << 32) + np.int64(cy)
+        j = np.searchsorted(self.uniq_keys, key)
+        if j < len(self.uniq_keys) and self.uniq_keys[j] == key:
+            return self.perm[self.key_starts[j] : self.key_stops[j]]
+        return np.empty(0, dtype=np.int64)
+
+    def _query_one(self, x: float, y: float):
+        cx = int(np.floor(x / self.cell))
+        cy = int(np.floor(y / self.cell))
+        cand: list[np.ndarray] = []
+        n_cand = 0
+        best_kth = np.inf
+        ring = 0
+        max_ring = 1 + int(np.ceil(2.1e6 / self.cell))
+        while ring <= max_ring:
+            # min possible distance to ring `ring` cells (chebyshev ring)
+            if ring > 0:
+                ring_min = (ring - 1) * self.cell  # conservative lower bound
+                if n_cand >= self.k and ring_min * ring_min > best_kth:
+                    break
+            members = []
+            if ring == 0:
+                members.append(self._cell_members(cx, cy))
+            else:
+                for ix in range(cx - ring, cx + ring + 1):
+                    members.append(self._cell_members(ix, cy - ring))
+                    members.append(self._cell_members(ix, cy + ring))
+                for iy in range(cy - ring + 1, cy + ring):
+                    members.append(self._cell_members(cx - ring, iy))
+                    members.append(self._cell_members(cx + ring, iy))
+            m = np.concatenate(members) if members else np.empty(0, np.int64)
+            if len(m):
+                cand.append(m)
+                n_cand += len(m)
+                allc = np.concatenate(cand)
+                d2 = (self.nx[allc] - x) ** 2 + (self.ny[allc] - y) ** 2
+                if n_cand >= self.k:
+                    best_kth = np.partition(d2, self.k - 1)[self.k - 1]
+            ring += 1
+        allc = np.concatenate(cand) if cand else np.empty(0, np.int64)
+        d2 = (self.nx[allc] - x) ** 2 + (self.ny[allc] - y) ** 2
+        k_eff = min(self.k, len(allc))
+        if k_eff == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        idx = np.lexsort((self.nid[allc], d2))[:k_eff]
+        return self.nid[allc][idx], d2[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_id, out_nid, out_d2, out_rank = [], [], [], []
+        for i in range(len(px)):
+            nidv, d2 = self._query_one(float(px[i]), float(py[i]))
+            out_id.append(np.full(len(nidv), ids[i]))
+            out_nid.append(nidv)
+            out_d2.append(d2)
+            out_rank.append(np.arange(1, len(nidv) + 1))
+        cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
+        return pa.table(
+            {
+                self.id_col: pa.array(cat(out_id, np.int64), pa.int64()),
+                "neighbor_id": pa.array(cat(out_nid, np.int64), pa.int64()),
+                "dist2": pa.array(cat(out_d2, np.int64), pa.int64()),
+                "knn_rank": pa.array(cat(out_rank, np.int64), pa.int64()),
+            }
+        )
+
+
+def knn_cells(
+    left,
+    neighbors: dict,
+    k: int,
+    id_col: str,
+    cell: float = 1000.0,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 8192,
+):
+    ref = ray.put(neighbors)
+    return left.map_batches(
+        KnnCellActor,
+        fn_constructor_kwargs={"neighbors_ref": ref, "k": k, "id_col": id_col, "cell": cell},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

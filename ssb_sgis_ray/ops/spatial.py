@@ -1,0 +1,351 @@
+"""Spatial joins: sfilter (semi/anti/split), sjoin pairs, tile assignment.
+
+Reproduces the semantics of the reference's ``sfilter`` family
+(/root/reference/src/sgis/geopandas_tools/sfilter.py:67-268 — semi-join
+keeps left rows matching ANY right geometry, deduplicated; anti is the
+complement; split returns a matched flag) and the sjoin-pairs projection of
+``get_neighbor_indices`` (neighbors.py:19-116), as Ray Data plans:
+
+* **broadcast path** (small right side): the right geometry table is
+  ``ray.put`` ONCE; each actor in the ``map_batches`` pool decodes it and
+  builds an STRtree in ``__init__`` — never per batch. This is the
+  "broadcast small side" plan from SURVEY.md §2.4.
+* **cell co-partition path** (both sides large): both sides are flat-mapped
+  to their covering cells (cells.cover_bbox), tagged, unioned, and joined
+  per cell in ``groupby(cell).map_groups``; pair duplicates from
+  multi-cell geometries are removed by a keep-first dedup on
+  (left_id, right_id) — the halo-dedup discipline of the reference's
+  ``gridloop`` (bounds.py:16-173).
+
+Predicate: 'intersects' (boundary-inclusive), the reference default.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..geo import cells, kernels, wkb
+from ..geo.strtree import STRtree
+
+Mode = Literal["semi", "anti", "split", "pairs"]
+
+
+class _BroadcastIndex:
+    """Decoded right side + STRtree, built once from a ray.put'd table."""
+
+    def __init__(self, right_ref):
+        right: pa.Table = ray.get(right_ref)
+        self.table = right
+        self.pg = wkb.decode_polygons(right["geometry_wkb"])
+        self.bounds = kernels.polygon_bounds(self.pg)
+        self.tree = STRtree(self.bounds)
+
+    def match_points(self, px: np.ndarray, py: np.ndarray):
+        """(pt_idx, poly_idx) exact-match pairs for points."""
+        qboxes = np.stack([px, py, px, py], axis=1).astype(np.float64)
+        qi, pi = self.tree.query_bbox(qboxes)
+        if len(qi) == 0:
+            return qi, pi
+        keep = kernels.points_in_polygon_pairs(
+            px.astype(np.float64), py.astype(np.float64), self.pg, qi, pi
+        )
+        return qi[keep], pi[keep]
+
+    def match_polygons(self, left_pg: wkb.PolygonArray):
+        lb = kernels.polygon_bounds(left_pg)
+        qi, pi = self.tree.query_bbox(lb)
+        if len(qi) == 0:
+            return qi, pi
+        keep = kernels.polygons_intersect_pairs(left_pg, self.pg, qi, pi)
+        return qi[keep], pi[keep]
+
+
+class PIPFilter:
+    """Actor-pool stage: point-in-polygon semi/anti/split filter.
+
+    State (decoded polygons + STRtree) is built once per actor in
+    ``__init__``; ``__call__`` handles one Arrow batch, fully vectorized.
+    """
+
+    def __init__(self, right_ref, mode: Mode = "semi", x_col="px", y_col="py"):
+        self.idx = _BroadcastIndex(right_ref)
+        self.mode = mode
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False)
+        qi, _ = self.idx.match_points(px, py)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[qi] = True  # np.unique-style dedup: any match keeps the row
+        if self.mode == "semi":
+            return batch.filter(pa.array(matched))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~matched))
+        return batch.append_column("matched", pa.array(matched))
+
+
+class PIPJoin:
+    """Actor-pool stage: inner spatial join point->polygon, emitting one
+    output row per matching (point, polygon) pair with selected right
+    columns appended (suffix handling as in clean_overlay step 7)."""
+
+    def __init__(self, right_ref, right_cols: list[str], x_col="px", y_col="py"):
+        self.idx = _BroadcastIndex(right_ref)
+        self.right_cols = right_cols
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False)
+        qi, pi = self.idx.match_points(px, py)
+        left = batch.take(pa.array(qi, pa.int64()))
+        for c in self.right_cols:
+            col = self.idx.table[c].take(pa.array(pi, pa.int64()))
+            name = f"{c}_2" if c in left.column_names else c
+            left = left.append_column(name, col)
+        return left
+
+
+class PolyPolyFilter:
+    """Polygon-left semi/anti/split filter against broadcast polygons."""
+
+    def __init__(self, right_ref, mode: Mode = "semi", wkb_col="geometry_wkb"):
+        self.idx = _BroadcastIndex(right_ref)
+        self.mode = mode
+        self.wkb_col = wkb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left_pg = wkb.decode_polygons(batch[self.wkb_col])
+        qi, _ = self.idx.match_polygons(left_pg)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[qi] = True
+        if self.mode == "semi":
+            return batch.filter(pa.array(matched))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~matched))
+        return batch.append_column("matched", pa.array(matched))
+
+
+class PolyPolyPairs:
+    """Polygon-left inner join pairs (left id cols × right cols)."""
+
+    def __init__(self, right_ref, right_cols: list[str], wkb_col="geometry_wkb"):
+        self.idx = _BroadcastIndex(right_ref)
+        self.right_cols = right_cols
+        self.wkb_col = wkb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left_pg = wkb.decode_polygons(batch[self.wkb_col])
+        qi, pi = self.idx.match_polygons(left_pg)
+        left = batch.take(pa.array(qi, pa.int64()))
+        for c in self.right_cols:
+            col = self.idx.table[c].take(pa.array(pi, pa.int64()))
+            name = f"{c}_2" if c in left.column_names else c
+            left = left.append_column(name, col)
+        return left
+
+
+def broadcast_table(table: pa.Table):
+    """ray.put the small side once; pass the ref into actor pools."""
+    return ray.put(table)
+
+
+def sfilter(
+    left,
+    right_table: pa.Table,
+    mode: Mode = "semi",
+    left_kind: Literal["point", "polygon"] = "point",
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 32768,
+):
+    """Spatial semi/anti/split filter of a Dataset against a small polygon
+    table (broadcast plan). ``left`` must carry px/py (points) or
+    geometry_wkb (polygons)."""
+    ref = broadcast_table(right_table)
+    cls = PIPFilter if left_kind == "point" else PolyPolyFilter
+    return left.map_batches(
+        cls,
+        fn_constructor_kwargs={"right_ref": ref, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sjoin_pairs(
+    left,
+    right_table: pa.Table,
+    right_cols: list[str],
+    left_kind: Literal["point", "polygon"] = "point",
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 32768,
+):
+    """Inner spatial join (one row per matching pair), broadcast plan."""
+    ref = broadcast_table(right_table)
+    cls = PIPJoin if left_kind == "point" else PolyPolyPairs
+    return left.map_batches(
+        cls,
+        fn_constructor_kwargs={"right_ref": ref, "right_cols": right_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell co-partition join (both sides large) — the shuffle plan
+# ---------------------------------------------------------------------------
+
+
+def _tag_points_with_cells(batch: pa.Table, res: int, id_col: str, x_col, y_col) -> pa.Table:
+    px = batch[x_col].to_numpy(zero_copy_only=False)
+    py = batch[y_col].to_numpy(zero_copy_only=False)
+    cell = cells.xy_to_cell(px.astype(np.float64), py.astype(np.float64), res)
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            "left_id": batch[id_col],
+            "px": pa.array(px, pa.int64()),
+            "py": pa.array(py, pa.int64()),
+            "right_id": pa.array(np.full(len(batch), -1, dtype=np.int64)),
+            "geometry_wkb": pa.array([None] * len(batch), pa.binary()),
+        }
+    )
+
+
+def _tag_polys_with_cells(batch: pa.Table, res: int, id_col: str) -> pa.Table:
+    pg = wkb.decode_polygons(batch["geometry_wkb"])
+    b = kernels.polygon_bounds(pg)
+    rows, cell = cells.cover_bbox(b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res)
+    # +1e-9: polygon footprints are closed sets — a polygon whose max edge
+    # lies exactly on a cell boundary can still touch points in the next
+    # cell (boundary-inclusive 'intersects'), so pad the half-open cover.
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
+    geom = batch["geometry_wkb"].take(pa.array(rows, pa.int64()))
+    n = len(rows)
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "left_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "px": pa.array(np.zeros(n, dtype=np.int64)),
+            "py": pa.array(np.zeros(n, dtype=np.int64)),
+            "right_id": pa.array(ids, pa.int64()),
+            "geometry_wkb": geom,
+        }
+    )
+
+
+def _per_cell_pip(group: pd.DataFrame) -> pd.DataFrame:
+    """Join one cell's points with its polygons -> (left_id, right_id)."""
+    pts = group[group["side"] == 0]
+    pls = group[group["side"] == 1]
+    if len(pts) == 0 or len(pls) == 0:
+        return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                             "right_id": pd.Series([], dtype="int64")})
+    pg = wkb.decode_polygons(pls["geometry_wkb"].to_numpy())
+    bounds = kernels.polygon_bounds(pg)
+    tree = STRtree(bounds)
+    px = pts["px"].to_numpy().astype(np.float64)
+    py = pts["py"].to_numpy().astype(np.float64)
+    qboxes = np.stack([px, py, px, py], axis=1)
+    qi, pi = tree.query_bbox(qboxes)
+    if len(qi):
+        keep = kernels.points_in_polygon_pairs(px, py, pg, qi, pi)
+        qi, pi = qi[keep], pi[keep]
+    return pd.DataFrame(
+        {
+            "left_id": pts["left_id"].to_numpy()[qi],
+            "right_id": pls["right_id"].to_numpy()[pi],
+        }
+    )
+
+
+def sjoin_cell_partitioned(
+    left,
+    right,
+    res: int = 7,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    x_col: str = "px",
+    y_col: str = "py",
+):
+    """Large×large PIP join: co-partition by covering cell, join per cell.
+
+    Points land in exactly one cell; polygons are replicated to every cell
+    their bbox overlaps, so a pair can match in at most one cell for PIP
+    (the point's cell) — no dedup leg needed for the point-left case.
+    Returns a Dataset of (left_id, right_id) pairs.
+    """
+    lt = left.map_batches(
+        lambda b: _tag_points_with_cells(b, res, left_id, x_col, y_col),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        lambda b: _tag_polys_with_cells(b, res, right_id), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+    return both.groupby("cell").map_groups(_per_cell_pip, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment (raster<->vector half of the north-star metric)
+# ---------------------------------------------------------------------------
+
+
+def assign_point_tiles(batch: pa.Table, gridsize: int, x_col="px", y_col="py") -> pa.Table:
+    """Point -> containing tile (tile_x, tile_y, ssb_id). Mirrors the
+    reference's add_grid_id (bounds.py:341-372)."""
+    px = batch[x_col].to_numpy(zero_copy_only=False)
+    py = batch[y_col].to_numpy(zero_copy_only=False)
+    tx, ty = cells.tile_xy(px, py, gridsize)
+    t = batch.append_column("tile_x", pa.array(tx, pa.int64()))
+    t = t.append_column("tile_y", pa.array(ty, pa.int64()))
+    sid = pc.binary_join_element_wise(
+        pc.cast(t["tile_x"], pa.string()), pc.cast(t["tile_y"], pa.string()), "_"
+    )
+    return t.append_column("ssb_id", sid)
+
+
+def cover_tiles_flatmap(
+    batch: pa.Table, gridsize: int, id_col: str, bbox_cols=("minx", "miny", "maxx", "maxy")
+) -> pa.Table:
+    """Footprint bbox -> one output row per covering tile (half-open).
+
+    This is the raster<->vector assignment: an image footprint spanning k
+    tiles appears k times, keyed (id, tile_x, tile_y)."""
+    minx = batch[bbox_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+    miny = batch[bbox_cols[1]].to_numpy(zero_copy_only=False).astype(np.int64)
+    maxx = batch[bbox_cols[2]].to_numpy(zero_copy_only=False).astype(np.int64)
+    maxy = batch[bbox_cols[3]].to_numpy(zero_copy_only=False).astype(np.int64)
+    x0 = minx // gridsize
+    y0 = miny // gridsize
+    x1 = (maxx - 1) // gridsize
+    y1 = (maxy - 1) // gridsize
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    rows = np.repeat(np.arange(len(batch)), counts)
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - np.repeat(base, counts)
+    tx = np.repeat(x0, counts) + within % np.repeat(nx, counts)
+    ty = np.repeat(y0, counts) + within // np.repeat(nx, counts)
+    out = pa.table(
+        {
+            id_col: batch[id_col].take(pa.array(rows, pa.int64())),
+            "tile_x": pa.array(tx, pa.int64()),
+            "tile_y": pa.array(ty, pa.int64()),
+        }
+    )
+    return out

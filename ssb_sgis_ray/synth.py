@@ -1,0 +1,259 @@
+"""Deterministic synthetic geometry derivation (engine + SQL-oracle paired).
+
+The driver's test tables (`/root/testdata/sf*/`) are plain TPC-H-ish
+relational tables; the engine's spatial operators need geometry. Geometry
+is derived *deterministically from integer keys* so that the exact same
+shapes can be recomputed in ANSI SQL by the DuckDB oracle. This mirrors
+the reference's fixture style (buffered random points with fixed seeds —
+/root/reference/tests/test_overlay.py:24-27) while making the oracle
+side-channel-free.
+
+Exact-agreement design (integers only, parity-separated):
+
+* point coords        ≡ 2 (mod 4)
+* polygon vertices    ≡ 0 (mod 4)  (diamond centers, box edges)
+* diamond radii       ≡ 1 (mod 4)
+
+Consequences (all in int64, reproduced verbatim in SQL):
+  - point-in-diamond   |dx|+|dy| vs r       : 0 mod 2 vs odd   → never equal
+  - diamond∩diamond    |dc| vs r1+r2        : 0 mod 4 vs 2 mod 4 → never equal
+  - point-on-box-edge  2 mod 4 vs 0 mod 4   → never on an edge
+so the engine's floating-point polygon kernels and the oracle's integer
+closed forms agree on EVERY row — no boundary ties exist by construction.
+
+Shapes per table:
+  customer -> uniform points            (PIP left side, kNN left side)
+  supplier -> diamonds (L1 balls)       (PIP right side; cluster/dissolve)
+  part     -> axis-aligned boxes        (overlay left)
+  orders   -> axis-aligned boxes        (overlay right)
+  lineitem -> skewed points (hotspot)   (bench-scale left side; salting)
+  nation   -> big diamonds              (region polygons for partitioned writes)
+
+Domain: [0, 40000)² "meters" (EPSG:25833-style, like the reference's Oslo
+test data which lives at ~(255k-274k, 6644k-6661k)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .geo import wkb
+
+DOMAIN = 40000  # world is [0, DOMAIN)²
+TILE = 1000  # gridsize used by tile-assignment queries
+
+# ---------------------------------------------------------------------------
+# numpy derivations (engine side). Each has a matching SQL fragment below.
+# ---------------------------------------------------------------------------
+
+
+def _i64(a) -> np.ndarray:
+    return np.asarray(a).astype(np.int64)
+
+
+def customer_points(c_custkey) -> tuple[np.ndarray, np.ndarray]:
+    k = _i64(c_custkey)
+    px = 4 * ((k * 9973) % 10000) + 2
+    py = 4 * ((k * 6151) % 10000) + 2
+    return px, py
+
+
+CUSTOMER_PX_SQL = "4 * ((c_custkey * 9973) % 10000) + 2"
+CUSTOMER_PY_SQL = "4 * ((c_custkey * 6151) % 10000) + 2"
+
+
+def supplier_diamonds(s_suppkey) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    k = _i64(s_suppkey)
+    sx = 4 * ((k * 7919) % 10000)
+    sy = 4 * ((k * 5417) % 10000)
+    r = 4 * ((k * 271) % 500) + 401
+    return sx, sy, r
+
+
+SUPPLIER_SX_SQL = "4 * ((s_suppkey * 7919) % 10000)"
+SUPPLIER_SY_SQL = "4 * ((s_suppkey * 5417) % 10000)"
+SUPPLIER_R_SQL = "4 * ((s_suppkey * 271) % 500) + 401"
+
+
+def part_boxes(p_partkey) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (minx, miny, maxx, maxy), all ≡ 0 (mod 4), strictly positive."""
+    k = _i64(p_partkey)
+    cx = 4 * (500 + (k * 4723) % 9000)
+    cy = 4 * (500 + (k * 6073) % 9000)
+    hw = 4 * (50 + (k * 37) % 400)
+    hh = 4 * (50 + (k * 53) % 400)
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+PART_BOX_SQL = {
+    "minx": "4 * (500 + (p_partkey * 4723) % 9000) - 4 * (50 + (p_partkey * 37) % 400)",
+    "miny": "4 * (500 + (p_partkey * 6073) % 9000) - 4 * (50 + (p_partkey * 53) % 400)",
+    "maxx": "4 * (500 + (p_partkey * 4723) % 9000) + 4 * (50 + (p_partkey * 37) % 400)",
+    "maxy": "4 * (500 + (p_partkey * 6073) % 9000) + 4 * (50 + (p_partkey * 53) % 400)",
+}
+
+
+def orders_boxes(o_orderkey) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    k = _i64(o_orderkey)
+    cx = 4 * (500 + (k * 3557) % 9000)
+    cy = 4 * (500 + (k * 2851) % 9000)
+    hw = 4 * (50 + (k * 41) % 300)
+    hh = 4 * (50 + (k * 59) % 300)
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+ORDERS_BOX_SQL = {
+    "minx": "4 * (500 + (o_orderkey * 3557) % 9000) - 4 * (50 + (o_orderkey * 41) % 300)",
+    "miny": "4 * (500 + (o_orderkey * 2851) % 9000) - 4 * (50 + (o_orderkey * 59) % 300)",
+    "maxx": "4 * (500 + (o_orderkey * 3557) % 9000) + 4 * (50 + (o_orderkey * 41) % 300)",
+    "maxy": "4 * (500 + (o_orderkey * 2851) % 9000) + 4 * (50 + (o_orderkey * 59) % 300)",
+}
+
+
+def lineitem_points(l_orderkey, l_linenumber) -> tuple[np.ndarray, np.ndarray]:
+    """Skewed point cloud: half the rows land in a 2,000²-unit hotspot
+    (<0.3% of the area) — the 'urban hotspot' distribution the north rule's
+    salting exists for. Key mixing uses small multipliers so int64 never
+    overflows at any scale factor (and BIGINT matches in SQL).
+    """
+    k = _i64(l_orderkey) * 131071 + _i64(l_linenumber) * 8191
+    hot = (k % 10) < 5
+    ux = 4 * ((k * 2239) % 10000) + 2
+    uy = 4 * ((k * 3571) % 10000) + 2
+    hx = 20000 + 4 * ((k * 2239) % 500) + 2
+    hy = 20000 + 4 * ((k * 3571) % 500) + 2
+    return np.where(hot, hx, ux), np.where(hot, hy, uy)
+
+
+LINEITEM_K_SQL = "(l_orderkey * 131071 + l_linenumber * 8191)"
+LINEITEM_PX_SQL = (
+    f"CASE WHEN {LINEITEM_K_SQL} % 10 < 5 "
+    f"THEN 20000 + 4 * (({LINEITEM_K_SQL} * 2239) % 500) + 2 "
+    f"ELSE 4 * (({LINEITEM_K_SQL} * 2239) % 10000) + 2 END"
+)
+LINEITEM_PY_SQL = (
+    f"CASE WHEN {LINEITEM_K_SQL} % 10 < 5 "
+    f"THEN 20000 + 4 * (({LINEITEM_K_SQL} * 3571) % 500) + 2 "
+    f"ELSE 4 * (({LINEITEM_K_SQL} * 3571) % 10000) + 2 END"
+)
+
+
+def nation_diamonds(n_nationkey) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """25 large diamond 'regions' (municipality stand-ins) covering much of
+    the domain; used for the partitioned-write / region-enrichment path."""
+    k = _i64(n_nationkey)
+    sx = 4 * (1000 + (k * 1993) % 8000)
+    sy = 4 * (1000 + (k * 3089) % 8000)
+    r = 4 * ((k * 613) % 1000) + 2001
+    return sx, sy, r
+
+
+NATION_SX_SQL = "4 * (1000 + (n_nationkey * 1993) % 8000)"
+NATION_SY_SQL = "4 * (1000 + (n_nationkey * 3089) % 8000)"
+NATION_R_SQL = "4 * ((n_nationkey * 613) % 1000) + 2001"
+
+
+# ---------------------------------------------------------------------------
+# WKB builders (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def diamond_wkb(sx: np.ndarray, sy: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Vectorized diamond (L1 ball) polygons -> WKB object array."""
+    n = len(sx)
+    out = np.empty(n, dtype=object)
+    sx = np.asarray(sx, dtype=np.float64)
+    sy = np.asarray(sy, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    ring = np.empty((n, 5, 2), dtype=np.float64)
+    ring[:, 0, 0] = sx + r
+    ring[:, 0, 1] = sy
+    ring[:, 1, 0] = sx
+    ring[:, 1, 1] = sy + r
+    ring[:, 2, 0] = sx - r
+    ring[:, 2, 1] = sy
+    ring[:, 3, 0] = sx
+    ring[:, 3, 1] = sy - r
+    ring[:, 4] = ring[:, 0]
+    for i in range(n):
+        out[i] = wkb.encode_polygon([ring[i]])
+    return out
+
+
+def box_wkb(minx, miny, maxx, maxy) -> np.ndarray:
+    n = len(minx)
+    out = np.empty(n, dtype=object)
+    ring = np.empty((n, 5, 2), dtype=np.float64)
+    ring[:, 0, 0] = minx
+    ring[:, 0, 1] = miny
+    ring[:, 1, 0] = maxx
+    ring[:, 1, 1] = miny
+    ring[:, 2, 0] = maxx
+    ring[:, 2, 1] = maxy
+    ring[:, 3, 0] = minx
+    ring[:, 3, 1] = maxy
+    ring[:, 4] = ring[:, 0]
+    for i in range(n):
+        out[i] = wkb.encode_polygon([ring[i]])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# map_batches stages that attach geometry to the raw tables
+# ---------------------------------------------------------------------------
+
+
+def add_customer_points(batch: pa.Table) -> pa.Table:
+    px, py = customer_points(batch["c_custkey"].to_numpy(zero_copy_only=False))
+    t = batch.append_column("px", pa.array(px, pa.int64()))
+    t = t.append_column("py", pa.array(py, pa.int64()))
+    return t.append_column(
+        "geometry_wkb", wkb.encode_points_arrow(px.astype(np.float64), py.astype(np.float64))
+    )
+
+
+def add_supplier_diamonds(batch: pa.Table) -> pa.Table:
+    sx, sy, r = supplier_diamonds(batch["s_suppkey"].to_numpy(zero_copy_only=False))
+    t = batch.append_column("sx", pa.array(sx, pa.int64()))
+    t = t.append_column("sy", pa.array(sy, pa.int64()))
+    t = t.append_column("r", pa.array(r, pa.int64()))
+    return t.append_column("geometry_wkb", pa.array(diamond_wkb(sx, sy, r), pa.binary()))
+
+
+def add_part_boxes(batch: pa.Table) -> pa.Table:
+    minx, miny, maxx, maxy = part_boxes(batch["p_partkey"].to_numpy(zero_copy_only=False))
+    for name, col in zip(("minx", "miny", "maxx", "maxy"), (minx, miny, maxx, maxy)):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column(
+        "geometry_wkb", pa.array(box_wkb(minx, miny, maxx, maxy), pa.binary())
+    )
+
+
+def add_orders_boxes(batch: pa.Table) -> pa.Table:
+    minx, miny, maxx, maxy = orders_boxes(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+    for name, col in zip(("minx", "miny", "maxx", "maxy"), (minx, miny, maxx, maxy)):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column(
+        "geometry_wkb", pa.array(box_wkb(minx, miny, maxx, maxy), pa.binary())
+    )
+
+
+def add_lineitem_points(batch: pa.Table) -> pa.Table:
+    px, py = lineitem_points(
+        batch["l_orderkey"].to_numpy(zero_copy_only=False),
+        batch["l_linenumber"].to_numpy(zero_copy_only=False),
+    )
+    t = batch.append_column("px", pa.array(px, pa.int64()))
+    t = t.append_column("py", pa.array(py, pa.int64()))
+    return t.append_column(
+        "geometry_wkb", wkb.encode_points_arrow(px.astype(np.float64), py.astype(np.float64))
+    )
+
+
+def add_nation_diamonds(batch: pa.Table) -> pa.Table:
+    sx, sy, r = nation_diamonds(batch["n_nationkey"].to_numpy(zero_copy_only=False))
+    t = batch.append_column("sx", pa.array(sx, pa.int64()))
+    t = t.append_column("sy", pa.array(sy, pa.int64()))
+    t = t.append_column("r", pa.array(r, pa.int64()))
+    return t.append_column("geometry_wkb", pa.array(diamond_wkb(sx, sy, r), pa.binary()))

@@ -1,0 +1,311 @@
+"""Unit tests for the pure-numpy geometry layer (no Ray needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ssb_sgis_ray.geo import cells, kernels, wkb
+from ssb_sgis_ray.geo.strtree import STRtree
+
+
+def square(cx, cy, half):
+    return np.array(
+        [
+            [cx - half, cy - half],
+            [cx + half, cy - half],
+            [cx + half, cy + half],
+            [cx - half, cy + half],
+            [cx - half, cy - half],
+        ],
+        dtype=np.float64,
+    )
+
+
+def diamond(cx, cy, r):
+    return np.array(
+        [[cx + r, cy], [cx, cy + r], [cx - r, cy], [cx, cy - r], [cx + r, cy]],
+        dtype=np.float64,
+    )
+
+
+# ---------------------------------------------------------------- WKB codec
+
+
+def test_point_roundtrip():
+    x = np.array([1.5, -2.0, 1e6])
+    y = np.array([3.25, 0.0, -7.5])
+    enc = wkb.encode_points(x, y)
+    dec = wkb.decode_points(enc)
+    np.testing.assert_array_equal(dec.x, x)
+    np.testing.assert_array_equal(dec.y, y)
+    # arrow-native encoding matches byte-for-byte
+    arr = wkb.encode_points_arrow(x, y)
+    assert [bytes(v.as_py()) for v in arr] == [bytes(b) for b in enc]
+    dec2 = wkb.decode_points(arr)
+    np.testing.assert_array_equal(dec2.x, x)
+
+
+def test_polygon_roundtrip_simple_and_multi_and_holes():
+    p1 = wkb.encode_polygon([square(0, 0, 10)])
+    hole = square(0, 0, 3)[::-1]  # reversed orientation hole
+    p2 = wkb.encode_polygon([square(0, 0, 10), hole])
+    p3 = wkb.encode_multipolygon([[square(0, 0, 2)], [square(100, 100, 5)]])
+    pg = wkb.decode_polygons(np.array([p1, p2, p3], dtype=object))
+    assert len(pg) == 3
+    areas = kernels.polygon_areas(pg)
+    np.testing.assert_allclose(areas, [400.0, 400.0 - 36.0, 16.0 + 100.0])
+    b = kernels.polygon_bounds(pg)
+    np.testing.assert_allclose(b[0], [-10, -10, 10, 10])
+    np.testing.assert_allclose(b[2], [-2, -2, 105, 105])
+    # re-encode -> re-decode stable
+    enc2 = wkb.encode_polygon_array(pg)
+    pg2 = wkb.decode_polygons(enc2)
+    np.testing.assert_allclose(kernels.polygon_areas(pg2), areas)
+
+
+def test_wkb_arrow_binary_input():
+    p1 = wkb.encode_polygon([diamond(10, 10, 5)])
+    arr = pa.array([p1, p1], type=pa.binary())
+    pg = wkb.decode_polygons(arr)
+    np.testing.assert_allclose(kernels.polygon_areas(pg), [50.0, 50.0])
+
+
+def test_linestring_roundtrip():
+    l1 = wkb.encode_linestring(np.array([[0, 0], [3, 4], [3, 10]], dtype=float))
+    l2 = wkb.encode_multilinestring(
+        [np.array([[0, 0], [1, 0]], dtype=float), np.array([[5, 5], [5, 9]], dtype=float)]
+    )
+    la = wkb.decode_lines(np.array([l1, l2], dtype=object))
+    assert len(la) == 2
+    assert la.geom_offsets.tolist() == [0, 1, 3]
+    np.testing.assert_allclose(la.coords[0], [0, 0])
+
+
+# ---------------------------------------------------------------- kernels
+
+
+def test_areas_perimeters_centroids():
+    pg = wkb.decode_polygons(
+        np.array(
+            [
+                wkb.encode_polygon([square(5, 5, 5)]),
+                wkb.encode_polygon([diamond(0, 0, 2)]),
+            ],
+            dtype=object,
+        )
+    )
+    np.testing.assert_allclose(kernels.polygon_areas(pg), [100.0, 8.0])
+    np.testing.assert_allclose(
+        kernels.polygon_perimeters(pg), [40.0, 4 * 2 * np.sqrt(2)]
+    )
+    c = kernels.polygon_centroids(pg)
+    np.testing.assert_allclose(c, [[5, 5], [0, 0]], atol=1e-12)
+
+
+def test_centroid_with_hole():
+    # square with off-center hole shifts centroid away from the hole
+    outer = square(0, 0, 10)
+    hole = square(5, 0, 2)[::-1]
+    pg = wkb.decode_polygons(np.array([wkb.encode_polygon([outer, hole])], dtype=object))
+    c = kernels.polygon_centroids(pg)[0]
+    assert c[0] < 0  # pulled left, away from the right-side hole
+    np.testing.assert_allclose(c[1], 0, atol=1e-12)
+
+
+def test_pip_pairs():
+    pg = wkb.decode_polygons(
+        np.array(
+            [
+                wkb.encode_polygon([square(0, 0, 10)]),
+                wkb.encode_polygon([diamond(100, 100, 10)]),
+                wkb.encode_polygon([square(0, 0, 10), square(0, 0, 3)[::-1]]),  # hole
+            ],
+            dtype=object,
+        )
+    )
+    px = np.array([0.0, 9.9, 100.0, 104.9, 109.0, 0.0, 5.0])
+    py = np.array([0.0, 9.9, 100.0, 104.9, 100.0, 0.0, 5.0])
+    pairs_pt = np.array([0, 1, 2, 3, 4, 5, 6])
+    pairs_poly = np.array([0, 0, 1, 1, 1, 2, 2])
+    got = kernels.points_in_polygon_pairs(px, py, pg, pairs_pt, pairs_poly)
+    # pt5 (0,0) is inside the hole -> False; pt6 (5,5) in the solid part
+    np.testing.assert_array_equal(got, [True, True, True, True, True, False, True])
+
+
+def test_pip_boundary_inclusive():
+    pg = wkb.decode_polygons(np.array([wkb.encode_polygon([square(0, 0, 10)])], dtype=object))
+    px = np.array([10.0, -10.0, 10.0, 0.0])
+    py = np.array([0.0, 10.0, 10.0, -10.0])
+    got = kernels.points_in_polygon_pairs(px, py, pg, np.arange(4), np.zeros(4, dtype=int))
+    assert got.all()
+
+
+def test_polygons_intersect_pairs():
+    a = wkb.decode_polygons(
+        np.array([wkb.encode_polygon([square(0, 0, 5)])] * 3, dtype=object)
+    )
+    b = wkb.decode_polygons(
+        np.array(
+            [
+                wkb.encode_polygon([square(3, 3, 5)]),  # overlap
+                wkb.encode_polygon([square(20, 0, 5)]),  # disjoint
+                wkb.encode_polygon([square(10, 0, 5)]),  # touching at x=5
+            ],
+            dtype=object,
+        )
+    )
+    got = kernels.polygons_intersect_pairs(a, b, np.arange(3), np.arange(3))
+    np.testing.assert_array_equal(got, [True, False, True])
+
+
+def test_containment_intersects():
+    # fully contained polygon: no edge crossings, vertex-in test must catch
+    a = wkb.decode_polygons(np.array([wkb.encode_polygon([square(0, 0, 10)])], dtype=object))
+    b = wkb.decode_polygons(np.array([wkb.encode_polygon([square(0, 0, 2)])], dtype=object))
+    assert kernels.polygons_intersect_pairs(a, b, np.array([0]), np.array([0]))[0]
+    assert kernels.polygons_intersect_pairs(b, a, np.array([0]), np.array([0]))[0]
+
+
+def test_clip_convex_intersection_area():
+    subj = square(0, 0, 10)
+    clip = square(5, 5, 10)
+    out = kernels.clip_ring_convex(subj, clip)
+    # overlap is [−5,10]×[−5,10] -> 15×15
+    assert kernels.ring_area(out) == pytest.approx(225.0)
+    # disjoint
+    out2 = kernels.clip_ring_convex(square(0, 0, 2), square(100, 100, 2))
+    assert len(out2) == 0
+    # clip by diamond
+    out3 = kernels.clip_ring_convex(square(0, 0, 10), diamond(0, 0, 5))
+    assert kernels.ring_area(out3) == pytest.approx(50.0)
+
+
+def test_convex_difference_pieces():
+    subj = square(0, 0, 10)  # area 400
+    clip = square(5, 5, 5)  # overlap area 10x10/... overlap = [0,10]x[0,10] = 100
+    pieces = kernels.convex_difference_pieces(subj, clip)
+    total = sum(kernels.ring_area(p) for p in pieces)
+    assert total == pytest.approx(400.0 - 100.0)
+    # subtracting a disjoint polygon leaves area unchanged
+    pieces2 = kernels.convex_difference_pieces(subj, square(100, 100, 3))
+    assert sum(kernels.ring_area(p) for p in pieces2) == pytest.approx(400.0)
+    # subtracting a containing polygon leaves nothing
+    pieces3 = kernels.convex_difference_pieces(subj, square(0, 0, 50))
+    assert sum(kernels.ring_area(p) for p in pieces3) == pytest.approx(0.0)
+
+
+def test_is_convex():
+    assert kernels.is_convex_ring(square(0, 0, 1))
+    assert kernels.is_convex_ring(diamond(0, 0, 1))
+    notch = np.array([[0, 0], [10, 0], [10, 10], [5, 2], [0, 10], [0, 0]], dtype=float)
+    assert not kernels.is_convex_ring(notch)
+
+
+def test_point_segment_dist2():
+    d2 = kernels.point_segment_dist2(
+        np.array([0.0, 5.0, 20.0]),
+        np.array([5.0, 5.0, 0.0]),
+        np.array([0.0, 0.0, 0.0]),
+        np.array([0.0, 0.0, 0.0]),
+        np.array([10.0, 10.0, 10.0]),
+        np.array([0.0, 0.0, 0.0]),
+    )
+    np.testing.assert_allclose(d2, [25.0, 25.0, 100.0])
+
+
+# ---------------------------------------------------------------- cells
+
+
+def test_cell_roundtrip_and_parent():
+    x = np.array([0.0, 1000.0, 2e6, 123456.0])
+    y = np.array([0.0, 2000.0, 1e6, 654321.0])
+    c = cells.xy_to_cell(x, y, 10)
+    cx, cy, res = cells.cell_to_xy(c)
+    assert (res == 10).all()
+    size = cells.cell_size(10)
+    np.testing.assert_array_equal(cx, np.floor(x / size).astype(np.int64))
+    parent = cells.cell_to_parent(c, 5)
+    cxp, cyp, resp = cells.cell_to_xy(parent)
+    assert (resp == 5).all()
+    np.testing.assert_array_equal(cxp, cx >> 5)
+    # containment: a point's parent cell == parent of the point's cell
+    np.testing.assert_array_equal(parent, cells.xy_to_cell(x, y, 5))
+
+
+def test_cell_bounds_contains_point():
+    x = np.array([123456.7])
+    y = np.array([89012.3])
+    c = cells.xy_to_cell(x, y, 12)
+    b = cells.cell_bounds(c)[0]
+    assert b[0] <= x[0] < b[2] and b[1] <= y[0] < b[3]
+
+
+def test_k_ring():
+    c = cells.xy_to_cell(np.array([1e5]), np.array([1e5]), 8)[0]
+    r1 = cells.k_ring(int(c), 1)
+    assert len(r1) == 9 and int(c) in r1.tolist()
+    ring2 = cells.ring_only(int(c), 2)
+    assert len(ring2) == 16
+    # ring ∪ interior == k_ring
+    assert set(cells.k_ring(int(c), 2).tolist()) == set(
+        cells.k_ring(int(c), 1).tolist() + ring2.tolist()
+    )
+
+
+def test_cover_bbox_halfopen():
+    size = cells.cell_size(10)
+    # bbox exactly one cell -> 1 cell; bbox ending on boundary stays out of next
+    rows, cc = cells.cover_bbox(
+        np.array([0.0, 0.0]),
+        np.array([0.0, 0.0]),
+        np.array([size, 2 * size + 1.0]),
+        np.array([size, size]),
+        10,
+    )
+    n0 = (rows == 0).sum()
+    n1 = (rows == 1).sum()
+    assert n0 == 1
+    assert n1 == 3  # crosses into a third cell by 1 unit
+
+
+def test_ssb_grid_id():
+    ids = cells.ssb_grid_id(np.array([1500.0, 999.0]), np.array([2500.0, 0.0]), 1000)
+    assert ids[0] == "00010000002000"
+    assert ids[1] == "00000000000000"
+
+
+# ---------------------------------------------------------------- STRtree
+
+
+def test_strtree_matches_bruteforce():
+    rng = np.random.default_rng(42)
+    n = 500
+    mins = rng.uniform(0, 1000, size=(n, 2))
+    sizes = rng.uniform(1, 30, size=(n, 2))
+    boxes = np.hstack([mins, mins + sizes])
+    tree = STRtree(boxes)
+    q_mins = rng.uniform(0, 1000, size=(50, 2))
+    q_sizes = rng.uniform(1, 50, size=(50, 2))
+    qboxes = np.hstack([q_mins, q_mins + q_sizes])
+    qi, ii = tree.query_bbox(qboxes)
+    got = set(zip(qi.tolist(), ii.tolist()))
+    expect = set()
+    for q in range(len(qboxes)):
+        for i in range(n):
+            if (
+                qboxes[q, 0] <= boxes[i, 2]
+                and qboxes[q, 2] >= boxes[i, 0]
+                and qboxes[q, 1] <= boxes[i, 3]
+                and qboxes[q, 3] >= boxes[i, 1]
+            ):
+                expect.add((q, i))
+    assert got == expect
+
+
+def test_strtree_empty_and_single():
+    t0 = STRtree(np.empty((0, 4)))
+    qi, ii = t0.query_bbox(np.array([[0, 0, 1, 1.0]]))
+    assert len(qi) == 0
+    t1 = STRtree(np.array([[0, 0, 10, 10.0]]))
+    qi, ii = t1.query_bbox(np.array([[5, 5, 6, 6.0], [20, 20, 21, 21.0]]))
+    assert qi.tolist() == [0] and ii.tolist() == [0]
