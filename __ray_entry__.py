@@ -1,44 +1,62 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship spatial pipeline on sf0.001: derive point
+geometry for lineitem rows (skewed hotspot distribution), PIP-join against
+the nation region diamonds (broadcast STRtree actor pool), assign SSB-style
+tiles, and aggregate rows per (region, tile) — the spatial-join +
+tile-assignment core of the north-star metric.
+
+``queries()`` / ``oracle_sql()`` expose the full registry from
+ssb_sgis_ray.queries (engine pipeline + DuckDB-checkable SQL pairs).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, "/root/repo")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from ssb_sgis_ray import synth
+    from ssb_sgis_ray.ops import spatial
+
+    lines = rd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(synth.add_lineitem_points, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+
+    nations = synth.add_nation_diamonds(
+        pq.read_table(f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey"])
+    )
+    joined = spatial.sjoin_pairs(lines, nations, right_cols=["n_nationkey"])
+    tiled = joined.map_batches(
+        lambda b: spatial.assign_point_tiles(b, synth.TILE), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    return tiled.groupby(["n_nationkey", "tile_x", "tile_y"]).aggregate(
+        Count(alias_name="n_rows")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ssb_sgis_ray.queries import queries as _q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ssb_sgis_ray.queries import oracle_sql as _o
+
+    return _o()

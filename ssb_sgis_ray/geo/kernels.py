@@ -512,3 +512,98 @@ def point_segment_dist2(px, py, x1, y1, x2, y2) -> np.ndarray:
     cx = x1 + t * dx
     cy = y1 + t * dy
     return (px - cx) ** 2 + (py - cy) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Axis-aligned rectangle fast paths (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def detect_axis_rects(pg: PolygonArray) -> np.ndarray:
+    """Rows that are single-ring axis-aligned rectangles (5-pt ring whose
+    area equals its bbox area and whose coords all lie on the bbox edges).
+    GEOS has the same special case; it unlocks pure interval math for
+    clip/subtract, keeping boxes vectorized end to end."""
+    n = len(pg)
+    out = np.zeros(n, dtype=bool)
+    single_poly = np.diff(pg.geom_offsets) == 1
+    first_ring = pg.poly_offsets[pg.geom_offsets[:-1]]
+    single_ring = np.diff(pg.poly_offsets)[pg.geom_offsets[:-1]] == 1
+    npts = pg.ring_offsets[first_ring + 1] - pg.ring_offsets[first_ring]
+    cand = single_poly & single_ring & (npts == 5)
+    if not cand.any():
+        return out
+    b = polygon_bounds(pg)
+    areas = polygon_areas(pg)
+    box_area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    idx = np.nonzero(cand)[0]
+    for i in idx:
+        if areas[i] == box_area[i] and box_area[i] > 0:
+            r0 = pg.ring_offsets[first_ring[i]]
+            c = pg.coords[r0 : r0 + 5]
+            on_edge = (
+                ((c[:, 0] == b[i, 0]) | (c[:, 0] == b[i, 2]))
+                & ((c[:, 1] == b[i, 1]) | (c[:, 1] == b[i, 3]))
+            )
+            out[i] = bool(on_edge.all())
+    return out
+
+
+def rect_intersection_boxes(
+    a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairwise rect∩rect. a, b: (m,4) matched. Returns (boxes, nonempty)."""
+    minx = np.maximum(a[:, 0], b[:, 0])
+    miny = np.maximum(a[:, 1], b[:, 1])
+    maxx = np.minimum(a[:, 2], b[:, 2])
+    maxy = np.minimum(a[:, 3], b[:, 3])
+    ok = (maxx > minx) & (maxy > miny)
+    return np.stack([minx, miny, maxx, maxy], axis=1), ok
+
+
+def subtract_rect_from_rects(rects: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n,4) rects minus ONE clip rect c -> (m,4) disjoint remainder rects.
+
+    Each overlapped rect splits into at most 4 strips (left, right, bottom,
+    top); untouched rects pass through. Pure interval math, fully
+    vectorized over n.
+    """
+    if len(rects) == 0:
+        return rects
+    ix0 = np.maximum(rects[:, 0], c[0])
+    iy0 = np.maximum(rects[:, 1], c[1])
+    ix1 = np.minimum(rects[:, 2], c[2])
+    iy1 = np.minimum(rects[:, 3], c[3])
+    hit = (ix1 > ix0) & (iy1 > iy0)
+    keep = rects[~hit]
+    r = rects[hit]
+    if len(r) == 0:
+        return keep
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    cx0, cy0, cx1, cy1 = ix0[hit], iy0[hit], ix1[hit], iy1[hit]
+    pieces = []
+    left = np.stack([x0, y0, cx0, y1], axis=1)
+    pieces.append(left[cx0 > x0])
+    right = np.stack([cx1, y0, x1, y1], axis=1)
+    pieces.append(right[cx1 < x1])
+    bottom = np.stack([cx0, y0, cx1, cy0], axis=1)
+    pieces.append(bottom[cy0 > y0])
+    top = np.stack([cx0, cy1, cx1, y1], axis=1)
+    pieces.append(top[cy1 < y1])
+    return np.concatenate([keep] + pieces, axis=0)
+
+
+def rects_to_rings(boxes: np.ndarray) -> np.ndarray:
+    """(n,4) boxes -> (n,5,2) closed CCW rings."""
+    n = len(boxes)
+    rings = np.empty((n, 5, 2), dtype=np.float64)
+    rings[:, 0, 0] = boxes[:, 0]
+    rings[:, 0, 1] = boxes[:, 1]
+    rings[:, 1, 0] = boxes[:, 2]
+    rings[:, 1, 1] = boxes[:, 1]
+    rings[:, 2, 0] = boxes[:, 2]
+    rings[:, 2, 1] = boxes[:, 3]
+    rings[:, 3, 0] = boxes[:, 0]
+    rings[:, 3, 1] = boxes[:, 3]
+    rings[:, 4] = rings[:, 0]
+    return rings

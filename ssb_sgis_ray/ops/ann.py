@@ -1,0 +1,196 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``ann_bruteforce`` — exact cosine top-k: the query matrix (small) is
+  broadcast once; each actor normalizes it in ``__init__`` and does one
+  (batch × dim) @ (dim × q) matmul per batch, then a per-batch partial
+  top-k; a final global top-k per query runs on the small union of
+  partials. This is the baseline and the verifier for approximate paths.
+* ``IvfIndex`` / ``ann_ivf`` — IVF-flat scale path: deterministic k-means
+  (fixed seed, Lloyd iterations on a driver-side sample), then each batch
+  row is assigned to its nearest centroid list; queries probe the
+  ``nprobe`` nearest lists. With nprobe == n_lists results are exact.
+
+All similarity math is float64; outputs carry (query_id, vec_id, rank)
+with rank ties broken by vec_id ascending so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column -> (n, d) float64, zero-copy where possible."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return values.reshape(n, -1)
+
+
+class BruteForceTopK:
+    """Actor stage: per-batch partial top-k cosine vs broadcast queries.
+
+    Emits (query_id, vec_id, sim) candidates — k per query per batch; the
+    final exact top-k happens in a small driver-side/groupby finalize.
+    """
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.qids = q["id"].astype(np.int64)
+        self.qm = _normalize(q["matrix"].astype(np.float64))  # (q, d)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(batch, self.col))  # (n, d)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ self.qm.T  # (n, q)
+        k_eff = min(self.k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            if k_eff < len(ids):
+                part = np.argpartition(-s, k_eff - 1)[:k_eff]
+            else:
+                part = np.arange(len(ids))
+            out_q.append(np.full(len(part), self.qids[qi]))
+            out_v.append(ids[part])
+            out_s.append(s[part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def _finalize_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["ann_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def ann_bruteforce(vectors_ds, queries: dict, k: int,
+                   id_col: str = "vec_id", col: str = "embedding",
+                   concurrency=(1, 8), batch_size: int = 8192):
+    """Exact cosine top-k join. queries = {'id': (q,), 'matrix': (q, d)}.
+
+    Output: (query_id, vec_id, sim, ann_rank) — k rows per query.
+    """
+    ref = ray.put(queries)
+    partials = vectors_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _finalize_topk(g, k), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means on a sample (fixed RandomState init)."""
+    rng = np.random.RandomState(7)
+    sample = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfPartialTopK:
+    """Actor stage: per-batch top-k restricted to probed IVF lists."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, nprobe: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.qids = q["id"].astype(np.int64)
+        self.qm = _normalize(q["matrix"].astype(np.float64))
+        self.cent = ray.get(centroids_ref)  # (L, d), normalized
+        self.k = k
+        self.nprobe = min(nprobe, len(self.cent))
+        self.id_col = id_col
+        self.col = col
+        # lists each query probes: top-nprobe centroid sims
+        qc = self.qm @ self.cent.T  # (q, L)
+        self.probe = np.argsort(-qc, axis=1)[:, : self.nprobe]  # (q, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(batch, self.col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = (m @ self.cent.T).argmax(axis=1)  # list id per vector
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            probe_set = self.probe[qi]
+            mask = np.isin(assign, probe_set)
+            if not mask.any():
+                continue
+            s = m[mask] @ self.qm[qi]
+            sel_ids = ids[mask]
+            k_eff = min(self.k, len(sel_ids))
+            part = np.argpartition(-s, k_eff - 1)[:k_eff] if k_eff < len(sel_ids) else np.arange(len(sel_ids))
+            out_q.append(np.full(len(part), self.qids[qi]))
+            out_v.append(sel_ids[part])
+            out_s.append(s[part])
+        cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q, np.int64), pa.int64()),
+                "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+                "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+            }
+        )
+
+
+def ann_ivf(vectors_ds, queries: dict, k: int, centroids: np.ndarray,
+            nprobe: int = 4, id_col: str = "vec_id", col: str = "embedding",
+            concurrency=(1, 8), batch_size: int = 8192):
+    """IVF-flat ANN. ``centroids`` from kmeans_fit on a driver-side sample.
+
+    nprobe == len(centroids) reproduces brute-force exactly (used in tests
+    to prove the plumbing); smaller nprobe trades recall for speed.
+    """
+    qref = ray.put(queries)
+    cref = ray.put(_normalize(centroids.astype(np.float64)))
+    partials = vectors_ds.map_batches(
+        IvfPartialTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "centroids_ref": cref, "k": k,
+            "nprobe": nprobe, "id_col": id_col, "col": col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _finalize_topk(g, k), batch_format="pandas"
+    )

@@ -129,6 +129,63 @@ def label_propagation(pairs_ds, max_rounds: int = 50):
     return labels
 
 
+def rect_painter_union(boxes: np.ndarray) -> np.ndarray:
+    """Union of axis-aligned boxes as disjoint boxes (vectorized painter).
+
+    Boxes are inserted area-desc; each new box keeps only the parts not
+    covered by already-kept pieces (subtract_rect_from_rects is interval
+    math over the whole piece set at once).
+    """
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    order = np.lexsort((np.arange(len(boxes)), -areas))
+    pieces = np.empty((0, 4), dtype=np.float64)
+    for i in order:
+        mine = boxes[i : i + 1]
+        for p in pieces:
+            mine = kernels.subtract_rect_from_rects(mine, p)
+            if len(mine) == 0:
+                break
+        if len(mine):
+            pieces = np.concatenate([pieces, mine], axis=0)
+    return pieces
+
+
+def _rings_as_uv_rects(rings: list[np.ndarray]) -> np.ndarray | None:
+    """If every ring is an L1 diamond, return their axis-rect bboxes in the
+    45°-rotated frame (u=x+y, v=x−y); else None. Rect areas in uv-space are
+    exactly 2× the xy areas (|det J| = 2)."""
+    boxes = np.empty((len(rings), 4), dtype=np.float64)
+    for i, ring in enumerate(rings):
+        if len(ring) != 5:
+            return None
+        u = ring[:, 0] + ring[:, 1]
+        v = ring[:, 0] - ring[:, 1]
+        u0, u1, v0, v1 = u.min(), u.max(), v.min(), v.max()
+        on_corner = ((u == u0) | (u == u1)) & ((v == v0) | (v == v1))
+        area_uv = 0.5 * abs(np.sum(u[:-1] * v[1:] - u[1:] * v[:-1]))
+        if not (on_corner.all() and area_uv == (u1 - u0) * (v1 - v0) and area_uv > 0):
+            return None
+        boxes[i] = [u0, v0, u1, v1]
+    return boxes
+
+
+def _rings_as_xy_rects(rings: list[np.ndarray]) -> np.ndarray | None:
+    boxes = np.empty((len(rings), 4), dtype=np.float64)
+    for i, ring in enumerate(rings):
+        if len(ring) != 5:
+            return None
+        x, y = ring[:, 0], ring[:, 1]
+        x0, x1, y0, y1 = x.min(), x.max(), y.min(), y.max()
+        on_corner = ((x == x0) | (x == x1)) & ((y == y0) | (y == y1))
+        area = kernels.ring_area(ring)
+        if not (on_corner.all() and area == (x1 - x0) * (y1 - y0) and area > 0):
+            return None
+        boxes[i] = [x0, y0, x1, y1]
+    return boxes
+
+
 def painter_union_pieces(rings: list[np.ndarray], areas: np.ndarray) -> list[np.ndarray]:
     """Union of convex rings as disjoint pieces (painter's algorithm).
 
@@ -152,6 +209,28 @@ def painter_union_pieces(rings: list[np.ndarray], areas: np.ndarray) -> list[np.
     return pieces
 
 
+def union_pieces_and_area(rings: list[np.ndarray], areas: np.ndarray):
+    """(pieces, union_area) — fast rect/diamond paths, generic fallback."""
+    xyr = _rings_as_xy_rects(rings)
+    if xyr is not None:
+        boxes = rect_painter_union(xyr)
+        area = float(((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])).sum())
+        return list(kernels.rects_to_rings(boxes)), area
+    uvr = _rings_as_uv_rects(rings)
+    if uvr is not None:
+        boxes = rect_painter_union(uvr)
+        area = float(((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])).sum()) / 2.0
+        # map uv rects back to xy quads: x=(u+v)/2, y=(u−v)/2
+        uv_rings = kernels.rects_to_rings(boxes)
+        out = []
+        for r in uv_rings:
+            xy = np.stack([(r[:, 0] + r[:, 1]) / 2.0, (r[:, 0] - r[:, 1]) / 2.0], axis=1)
+            out.append(xy)
+        return out, area
+    pieces = painter_union_pieces(rings, areas)
+    return pieces, float(sum(kernels.ring_area(p) for p in pieces))
+
+
 def union_area_of_group(g: pd.DataFrame) -> float:
     """Exact union area of one group of convex polygons."""
     pg = wkb.decode_polygons(g["geometry_wkb"].to_numpy())
@@ -161,8 +240,8 @@ def union_area_of_group(g: pd.DataFrame) -> float:
         for i in range(len(pg))
     ]
     areas = kernels.polygon_areas(pg)
-    pieces = painter_union_pieces(rings, areas)
-    return float(sum(kernels.ring_area(p) for p in pieces))
+    _, area = union_pieces_and_area(rings, areas)
+    return area
 
 
 def dissolve_groups(grouped_ds, by: list[str]):
@@ -180,8 +259,7 @@ def dissolve_groups(grouped_ds, by: list[str]):
             for i in range(len(pg))
         ]
         areas = kernels.polygon_areas(pg)
-        pieces = painter_union_pieces(rings, areas)
-        area = float(sum(kernels.ring_area(p) for p in pieces))
+        pieces, area = union_pieces_and_area(rings, areas)
         out = {c: [g[c].iloc[0]] for c in by}
         out["n_members"] = [len(g)]
         out["union_area"] = [area]

@@ -93,6 +93,9 @@ class OverlayActor:
         self.rbounds = kernels.polygon_bounds(self.rpg)
         self.tree = STRtree(self.rbounds)
         self.right_cols = [c for c in right.column_names if c != "geometry_wkb"]
+        # rectangle fast path: axis-aligned boxes stay boxes under clip and
+        # subtract, so rect×rect pairs use pure interval math (vectorized)
+        self.r_is_rect = kernels.detect_axis_rects(self.rpg)
 
     # -- column plumbing ---------------------------------------------------
     def _suffix_plan(self, left_cols: list[str], with_suffix: bool):
@@ -122,17 +125,38 @@ class OverlayActor:
         return df
 
     # -- geometry legs -----------------------------------------------------
-    def _pairs(self, lpg: wkb.PolygonArray):
+    def _pairs(self, lpg: wkb.PolygonArray, l_is_rect: np.ndarray):
         lb = kernels.polygon_bounds(lpg)
         qi, pi = self.tree.query_bbox(lb)
         if len(qi):
-            keep = kernels.polygons_intersect_pairs(lpg, self.rpg, qi, pi)
+            # rect×rect: bbox overlap IS the exact boundary-inclusive
+            # intersects test — skip the generic refine for those pairs
+            both_rect = l_is_rect[qi] & self.r_is_rect[pi]
+            gi = np.nonzero(~both_rect)[0]
+            keep = np.ones(len(qi), dtype=bool)
+            if len(gi):
+                keep[gi] = kernels.polygons_intersect_pairs(
+                    lpg, self.rpg, qi[gi], pi[gi]
+                )
             qi, pi = qi[keep], pi[keep]
         return qi, pi
 
-    def _intersection_leg(self, left, lpg, qi, pi, with_suffix=True) -> pd.DataFrame:
+    def _intersection_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
+                          with_suffix=True) -> pd.DataFrame:
+        both_rect = l_is_rect[qi] & self.r_is_rect[pi] if len(qi) else np.zeros(0, bool)
+
+        # vectorized rect×rect leg: interval math + fixed-size WKB encode
+        ri_idx = np.nonzero(both_rect)[0]
+        boxes, ok = kernels.rect_intersection_boxes(
+            lbounds[qi[ri_idx]], self.rbounds[pi[ri_idx]]
+        ) if len(ri_idx) else (np.empty((0, 4)), np.zeros(0, bool))
+        rect_li = qi[ri_idx][ok]
+        rect_ri = pi[ri_idx][ok]
+        rect_wkb = wkb.encode_boxes_arrow(boxes[ok]).to_pylist()
+
+        # generic leg (python per pair) for everything else
         out_li, out_ri, out_geom = [], [], []
-        for k in range(len(qi)):
+        for k in np.nonzero(~both_rect)[0]:
             srings = _rings_of_row(lpg, int(qi[k]))
             crings = _rings_of_row(self.rpg, int(pi[k]))
             pieces = []
@@ -148,10 +172,13 @@ class OverlayActor:
                 out_li.append(qi[k])
                 out_ri.append(pi[k])
                 out_geom.append(g)
-        return self._emit(left, np.array(out_li, np.int64), np.array(out_ri, np.int64),
-                          out_geom, with_suffix)
+        li = np.concatenate([rect_li, np.array(out_li, np.int64)])
+        ri = np.concatenate([rect_ri, np.array(out_ri, np.int64)])
+        return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
+                          rect_wkb + out_geom, with_suffix)
 
-    def _difference_leg(self, left, lpg, qi, pi, with_suffix=False) -> pd.DataFrame:
+    def _difference_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
+                        with_suffix=False) -> pd.DataFrame:
         n = len(lpg)
         out_li, out_geom = [], []
         # group matched right rows per left row (overlay.py:399-423 agg)
@@ -159,14 +186,22 @@ class OverlayActor:
         for k in range(len(qi)):
             by_left.setdefault(int(qi[k]), []).append(int(pi[k]))
         for i in range(n):
-            srings = _rings_of_row(lpg, i)
             if i not in by_left:
-                g = _pieces_to_wkb(srings)  # untouched left rows ride through
+                g = _pieces_to_wkb(_rings_of_row(lpg, i))  # untouched rows
+            elif l_is_rect[i] and self.r_is_rect[by_left[i]].all():
+                # rect subject − rect clips: stay in interval math; the
+                # remainder is always a set of disjoint axis-aligned boxes
+                rects = lbounds[i : i + 1]
+                for r in by_left[i]:
+                    rects = kernels.subtract_rect_from_rects(rects, self.rbounds[r])
+                    if len(rects) == 0:
+                        break
+                g = _pieces_to_wkb(list(kernels.rects_to_rings(rects))) if len(rects) else None
             else:
                 clips = []
                 for r in by_left[i]:
                     clips.extend(_rings_of_row(self.rpg, r))
-                g = _pieces_to_wkb(_subtract_all(srings, clips))
+                g = _pieces_to_wkb(_subtract_all(_rings_of_row(lpg, i), clips))
             if g is not None:
                 out_li.append(i)
                 out_geom.append(g)
@@ -175,21 +210,24 @@ class OverlayActor:
     # -- main --------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         lpg = wkb.decode_polygons(batch["geometry_wkb"])
-        qi, pi = self._pairs(lpg)
+        l_is_rect = kernels.detect_axis_rects(lpg)
+        lbounds = kernels.polygon_bounds(lpg)
+        qi, pi = self._pairs(lpg, l_is_rect)
         how = self.how
         if how == "intersection":
-            return self._intersection_leg(batch, lpg, qi, pi)
+            return self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
         if how == "difference":
-            return self._difference_leg(batch, lpg, qi, pi)
+            return self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
         if how == "identity":
             # intersection + left difference legs (overlay.py:310-317)
-            a = self._intersection_leg(batch, lpg, qi, pi)
-            b = self._difference_leg(batch, lpg, qi, pi, with_suffix=True)
+            a = self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
+            b = self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
+                                     with_suffix=True)
             return pd.concat([a, b], ignore_index=True)[list(a.columns)]
         if how == "update":
             # difference of left by right, then all right rows appended
             # (overlay.py:260-263)
-            a = self._difference_leg(batch, lpg, qi, pi)
+            a = self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
             return a
         raise NotImplementedError(
             f"how={how!r} needs the distributed right-leg plan (union/symdiff "
@@ -202,9 +240,13 @@ def clean_overlay(
     right_table: pa.Table,
     how: str = "intersection",
     concurrency: int | tuple = (1, 8),
-    batch_size: int = 8192,
+    batch_size: int = 512,
 ):
     """Dataset-level clean_overlay (broadcast right side).
+
+    Default batch_size is small: overlay output fans out (one row per
+    intersecting pair), so small input batches keep the actor pool busy in
+    parallel and bound per-batch output size.
 
     For union/symmetric_difference the unmatched-right leg (right rows with
     no intersection at all, overlay.py:388-396) requires knowing global

@@ -1,0 +1,168 @@
+"""Text analysis stages for the documents table.
+
+Large-scale training-data operators: token counting, quality scoring,
+language-ID, document fingerprinting. All stateful setup (compiled
+regexes, stopword tables) happens once per actor in ``__init__``; the
+per-batch body is pandas/numpy vectorized.
+
+Exact-oracle discipline: every metric that feeds a DuckDB-checked query
+is an INTEGER COUNT (token counts, class-character counts) and filters use
+cross-multiplied integer comparisons (``punct * 100 <= chars * 5``), never
+float ratios — so engine and SQL can't disagree in the last ulp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+DIGIT_RE = r"[0-9]"
+PUNCT_RE = r"[.,!?;:]"
+UPPER_RE = r"[A-Z]"
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (public common-word lists)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "una", "es", "por"],
+    "no": ["og", "det", "som", "av", "en", "til", "er", "ikke"],
+}
+
+
+class TokenStats:
+    """Actor stage: per-doc integer text metrics.
+
+    Output columns: doc_id, n_tokens, n_digits, n_punct, n_upper, len_chars.
+    Matches DuckDB ``len(regexp_extract_all(text, ...))`` exactly.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tok = re.compile(TOKEN_RE)
+        self.dig = re.compile(DIGIT_RE)
+        self.pun = re.compile(PUNCT_RE)
+        self.upp = re.compile(UPPER_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[self.text_col].astype(str)
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": txt.map(lambda t: len(self.tok.findall(t))).astype("int64"),
+                "n_digits": txt.map(lambda t: len(self.dig.findall(t))).astype("int64"),
+                "n_punct": txt.map(lambda t: len(self.pun.findall(t))).astype("int64"),
+                "n_upper": txt.map(lambda t: len(self.upp.findall(t))).astype("int64"),
+                "len_chars": txt.str.len().astype("int64"),
+            }
+        )
+
+
+def quality_filter_mask(stats: pd.DataFrame) -> np.ndarray:
+    """Quality heuristic (integer math only):
+
+    keep iff  n_tokens >= 5
+          and n_punct * 10 <= len_chars          (≤10% punctuation)
+          and n_digits * 2 <= len_chars          (≤50% digits)
+          and len_chars between 20 and 100000
+    """
+    return (
+        (stats["n_tokens"] >= 5)
+        & (stats["n_punct"] * 10 <= stats["len_chars"])
+        & (stats["n_digits"] * 2 <= stats["len_chars"])
+        & (stats["len_chars"] >= 20)
+        & (stats["len_chars"] <= 100000)
+    ).to_numpy()
+
+
+QUALITY_FILTER_SQL = (
+    "n_tokens >= 5 AND n_punct * 10 <= len_chars "
+    "AND n_digits * 2 <= len_chars AND len_chars BETWEEN 20 AND 100000"
+)
+
+
+class LangId:
+    """Actor stage: stopword-vote language guess.
+
+    predicted = argmax over languages of (# stopword occurrences as
+    standalone lowercase tokens); ties and zero votes -> 'und'.
+    Deterministic tie-break: lexicographic language code.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tok = re.compile(r"[a-z]+")
+        self.tables = {
+            lang: frozenset(words) for lang, words in LANG_STOPWORDS.items()
+        }
+        self.langs = sorted(self.tables)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in batch[self.text_col].astype(str):
+            toks = self.tok.findall(t.lower())
+            best_lang, best_n = "und", 0
+            for lang in self.langs:
+                tab = self.tables[lang]
+                n = sum(1 for w in toks if w in tab)
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            preds.append(best_lang)
+        return pd.DataFrame({self.id_col: batch[self.id_col], "pred_lang": preds})
+
+
+MOD61 = (1 << 61) - 1
+
+
+def rolling_fingerprint(texts, base: int = 1000003) -> np.ndarray:
+    """Polynomial rolling hash of the full text mod 2^61−1 (document
+    fingerprint; order-sensitive unlike a bag-of-words hash)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * base + b) % MOD61
+        out[i] = h
+    return out
+
+
+class Fingerprint:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col],
+                "fingerprint": rolling_fingerprint(batch[self.text_col].astype(str)),
+            }
+        )
+
+
+def md5_hash_column(texts) -> list[str]:
+    """hex md5 per text — matches DuckDB's md5() exactly."""
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+class Md5Stage:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "h": pa.array(md5_hash_column(texts), pa.string()),
+            }
+        )

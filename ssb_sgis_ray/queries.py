@@ -1,0 +1,699 @@
+"""Query registry: engine pipelines + matching DuckDB oracle SQL.
+
+Each entry pairs a Ray Data pipeline (the engine under test) with an ANSI
+SQL statement that recomputes the identical result from the same parquet
+tables (synthetic geometry re-derived from integer keys — see synth.py for
+the exact-agreement design). Column names and types match on both sides;
+outputs avoid raw floats (scaled int64 everywhere) so value hashes are
+deterministic.
+
+Queries whose semantics plain SQL cannot express (minhash-LSH, simhash,
+language-ID heuristics, IVF probing, union geometry) have no SQL entry and
+are validated by pytest oracles instead (rows-only check by the driver).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import synth
+from .geo import kernels, wkb
+from .ops import ann as ann_ops
+from .ops import dedup as dedup_ops
+from .ops import dissolve as dis
+from .ops import knn as knn_ops
+from .ops import overlay as overlay_ops
+from .ops import relational as rel
+from .ops import spatial
+from .ops import text as text_ops
+
+TILE = synth.TILE
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+
+def customers(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(synth.add_customer_points, batch_format="pyarrow")
+    )
+
+
+def suppliers_tbl(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    return synth.add_supplier_diamonds(t)
+
+
+def suppliers_ds(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(synth.add_supplier_diamonds, batch_format="pyarrow")
+    )
+
+
+def parts(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(synth.add_part_boxes, batch_format="pyarrow")
+    )
+
+
+def orders_tbl(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return synth.add_orders_boxes(t)
+
+
+def documents(sf_dir: str, columns=("doc_id", "text")):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _supplier_neighbors(sf_dir: str) -> dict:
+    s = suppliers_tbl(sf_dir)
+    return {
+        "id": s["s_suppkey"].to_numpy().astype(np.int64),
+        "x": s["sx"].to_numpy().astype(np.float64),
+        "y": s["sy"].to_numpy().astype(np.float64),
+    }
+
+
+# SQL fragments for the derived geometry (must mirror synth.py exactly)
+CUST_SQL = (
+    f"SELECT c_custkey, {synth.CUSTOMER_PX_SQL} AS px, "
+    f"{synth.CUSTOMER_PY_SQL} AS py FROM customer"
+)
+SUP_SQL = (
+    f"SELECT s_suppkey, {synth.SUPPLIER_SX_SQL} AS sx, "
+    f"{synth.SUPPLIER_SY_SQL} AS sy, {synth.SUPPLIER_R_SQL} AS r FROM supplier"
+)
+PART_SQL = (
+    f"SELECT p_partkey, {synth.PART_BOX_SQL['minx']} AS minx, "
+    f"{synth.PART_BOX_SQL['miny']} AS miny, {synth.PART_BOX_SQL['maxx']} AS maxx, "
+    f"{synth.PART_BOX_SQL['maxy']} AS maxy FROM part"
+)
+ORD_SQL = (
+    f"SELECT o_orderkey, {synth.ORDERS_BOX_SQL['minx']} AS minx, "
+    f"{synth.ORDERS_BOX_SQL['miny']} AS miny, {synth.ORDERS_BOX_SQL['maxx']} AS maxx, "
+    f"{synth.ORDERS_BOX_SQL['maxy']} AS maxy FROM orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_pip_semi(sf_dir: str):
+    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="semi")
+    return out.select_columns(["c_custkey", "px", "py"])
+
+
+SQL_PIP_SEMI = f"""
+SELECT c.c_custkey, c.px, c.py FROM ({CUST_SQL}) c
+WHERE EXISTS (SELECT 1 FROM ({SUP_SQL}) s
+              WHERE abs(c.px - s.sx) + abs(c.py - s.sy) <= s.r)
+"""
+
+
+def q_pip_anti(sf_dir: str):
+    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="anti")
+    return out.select_columns(["c_custkey", "px", "py"])
+
+
+SQL_PIP_ANTI = f"""
+SELECT c.c_custkey, c.px, c.py FROM ({CUST_SQL}) c
+WHERE NOT EXISTS (SELECT 1 FROM ({SUP_SQL}) s
+                  WHERE abs(c.px - s.sx) + abs(c.py - s.sy) <= s.r)
+"""
+
+
+def q_pip_pairs(sf_dir: str):
+    out = spatial.sjoin_pairs(customers(sf_dir), suppliers_tbl(sf_dir), right_cols=["s_suppkey"])
+    return out.select_columns(["c_custkey", "s_suppkey"])
+
+
+SQL_PIP_PAIRS = f"""
+SELECT c.c_custkey, s.s_suppkey FROM ({CUST_SQL}) c JOIN ({SUP_SQL}) s
+ON abs(c.px - s.sx) + abs(c.py - s.sy) <= s.r
+"""
+
+
+def q_pip_pairs_cell(sf_dir: str):
+    """Same join via the cell-co-partitioned shuffle plan (both sides as
+    Datasets) — proves the large×large physical plan on the same oracle."""
+    out = spatial.sjoin_cell_partitioned(
+        customers(sf_dir), suppliers_ds(sf_dir), res=7,
+        left_id="c_custkey", right_id="s_suppkey",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey", "s_suppkey"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_knn3(sf_dir: str):
+    return knn_ops.knn_broadcast(
+        customers(sf_dir), _supplier_neighbors(sf_dir), k=3, id_col="c_custkey"
+    )
+
+
+SQL_KNN3 = f"""
+SELECT c_custkey, neighbor_id, dist2, knn_rank FROM (
+  SELECT c.c_custkey, s.s_suppkey AS neighbor_id,
+         (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) AS dist2,
+         row_number() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy),
+                    s.s_suppkey) AS knn_rank
+  FROM ({CUST_SQL}) c CROSS JOIN ({SUP_SQL}) s
+) WHERE knn_rank <= 3
+"""
+
+
+def q_knn1_cellplan(sf_dir: str):
+    """k=1 via the ring-expansion cell plan (distance-bounded stop)."""
+    return knn_ops.knn_cells(
+        customers(sf_dir), _supplier_neighbors(sf_dir), k=1,
+        id_col="c_custkey", cell=4000.0,
+    )
+
+
+SQL_KNN1 = f"""
+SELECT c_custkey, neighbor_id, dist2, knn_rank FROM (
+  SELECT c.c_custkey, s.s_suppkey AS neighbor_id,
+         (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) AS dist2,
+         row_number() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy),
+                    s.s_suppkey) AS knn_rank
+  FROM ({CUST_SQL}) c CROSS JOIN ({SUP_SQL}) s
+) WHERE knn_rank <= 1
+"""
+
+
+def q_tile_assign(sf_dir: str):
+    out = customers(sf_dir).map_batches(
+        lambda b: spatial.assign_point_tiles(b, TILE), batch_format="pyarrow"
+    )
+    return out.select_columns(["c_custkey", "tile_x", "tile_y", "ssb_id"])
+
+
+SQL_TILE_ASSIGN = f"""
+SELECT c_custkey, px // {TILE} AS tile_x, py // {TILE} AS tile_y,
+       CAST(px // {TILE} AS VARCHAR) || '_' || CAST(py // {TILE} AS VARCHAR) AS ssb_id
+FROM ({CUST_SQL})
+"""
+
+
+def q_tile_cover(sf_dir: str):
+    return parts(sf_dir).map_batches(
+        lambda b: spatial.cover_tiles_flatmap(b, TILE, "p_partkey"),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TILE_COVER = f"""
+SELECT p_partkey, gx.tile_x, gy.tile_y
+FROM ({PART_SQL}) b,
+     LATERAL (SELECT unnest(generate_series(b.minx // {TILE}, (b.maxx - 1) // {TILE})) AS tile_x) gx,
+     LATERAL (SELECT unnest(generate_series(b.miny // {TILE}, (b.maxy - 1) // {TILE})) AS tile_y) gy
+"""
+
+
+def q_overlay_intersection(sf_dir: str):
+    out = overlay_ops.clean_overlay(parts(sf_dir), orders_tbl(sf_dir), how="intersection")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+        area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "inter_area": area,
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_OVERLAY_INTERSECTION = f"""
+SELECT p.p_partkey, o.o_orderkey,
+       (least(p.maxx, o.maxx) - greatest(p.minx, o.minx))
+     * (least(p.maxy, o.maxy) - greatest(p.miny, o.miny)) AS inter_area
+FROM ({PART_SQL}) p JOIN ({ORD_SQL}) o
+  ON least(p.maxx, o.maxx) > greatest(p.minx, o.minx)
+ AND least(p.maxy, o.maxy) > greatest(p.miny, o.miny)
+"""
+
+
+def q_overlay_difference_area(sf_dir: str):
+    """Per part box: exact remaining area after subtracting ALL orders
+    boxes (difference how). Not plain-SQL-expressible (union of many
+    clips) — rows-only driver check; exactness is proven in pytest against
+    an independent scanline oracle."""
+    out = overlay_ops.clean_overlay(parts(sf_dir), orders_tbl(sf_dir), how="difference")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+        area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
+        return pd.DataFrame(
+            {"p_partkey": b["p_partkey"].astype("int64"), "diff_area": area}
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def q_geom_area(sf_dir: str):
+    """Shoelace area of each supplier diamond from its WKB (engine kernel
+    path); closed form 2·r² on the oracle side."""
+
+    def project(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
+        return pa.table(
+            {"s_suppkey": b["s_suppkey"], "area_i": pa.array(area, pa.int64())}
+        )
+
+    return suppliers_ds(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+SQL_GEOM_AREA = f"SELECT s_suppkey, 2 * r * r AS area_i FROM ({SUP_SQL})"
+
+
+def q_bounds_agg(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    res = customers(sf_dir).aggregate(
+        Min("px", alias_name="min_x"),
+        Min("py", alias_name="min_y"),
+        Max("px", alias_name="max_x"),
+        Max("py", alias_name="max_y"),
+    )  # ds.aggregate returns a plain dict (single global row)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in res.items()})
+
+
+SQL_BOUNDS_AGG = f"""
+SELECT min(px) AS min_x, min(py) AS min_y, max(px) AS max_x, max(py) AS max_y
+FROM ({CUST_SQL})
+"""
+
+
+def q_poly_clusters(sf_dir: str):
+    """Connected components of the diamond overlap graph, labels = min
+    member id. Engine computes intersect pairs geometrically from WKB,
+    then union-find (pair count provably small after the geometric
+    prefilter at this scale)."""
+    sup = suppliers_tbl(sf_dir)
+    pairs = dis.self_intersect_pairs(sup, "s_suppkey")
+    ids = sup["s_suppkey"].to_numpy()
+    labels = dis.union_find_labels(ids, pairs)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(ids.astype(np.int64), pa.int64()),
+            "cluster_label": pa.array(labels.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_POLY_CLUSTERS = f"""
+WITH RECURSIVE sup AS ({SUP_SQL}),
+edges AS (
+  SELECT a.s_suppkey AS ia, b.s_suppkey AS ib FROM sup a, sup b
+  WHERE abs(a.sx - b.sx) + abs(a.sy - b.sy) <= a.r + b.r
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+)
+SELECT ia AS s_suppkey, min(ib) AS cluster_label FROM reach GROUP BY ia
+"""
+
+
+def q_cluster_sizes(sf_dir: str):
+    t = q_poly_clusters(sf_dir).to_pandas()
+    out = t.groupby("cluster_label", as_index=False).size()
+    out = out.rename(columns={"size": "n_members"})
+    return pa.table(
+        {
+            "cluster_label": pa.array(out["cluster_label"].astype("int64")),
+            "n_members": pa.array(out["n_members"].astype("int64")),
+        }
+    )
+
+
+SQL_CLUSTER_SIZES = f"""
+WITH RECURSIVE sup AS ({SUP_SQL}),
+edges AS (
+  SELECT a.s_suppkey AS ia, b.s_suppkey AS ib FROM sup a, sup b
+  WHERE abs(a.sx - b.sx) + abs(a.sy - b.sy) <= a.r + b.r
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+),
+labels AS (SELECT ia AS s_suppkey, min(ib) AS cluster_label FROM reach GROUP BY ia)
+SELECT cluster_label, count(*) AS n_members FROM labels GROUP BY cluster_label
+"""
+
+
+def q_dissolve_union_area(sf_dir: str):
+    """Exact union area per overlap cluster (painter pieces). Union
+    geometry is not SQL-expressible — rows-only driver check; pytest
+    verifies against the scanline oracle."""
+    sup = suppliers_tbl(sf_dir)
+    clusters = q_poly_clusters(sf_dir).to_pandas()
+    lab_map = dict(zip(clusters["s_suppkey"], clusters["cluster_label"]))
+    ds = suppliers_ds(sf_dir).map_batches(
+        lambda b: b.append_column(
+            "cluster_label",
+            pa.array(
+                [lab_map[int(k)] for k in b["s_suppkey"].to_pylist()], pa.int64()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = dis.dissolve_groups(ds, by=["cluster_label"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster_label": b["cluster_label"].astype("int64"),
+                "n_members": b["n_members"].astype("int64"),
+                "union_area_i": np.round(b["union_area"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# relational queries
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"],
+    ).map_batches(rel.lineitem_enrich, batch_format="pyarrow")
+    return rel.grouped_sums(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        sums=["qty_i", "price_c", "revenue_c4", "charge_c6"],
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_i,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS charge_c6,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(rel.events_enrich, batch_format="pyarrow")
+    return rel.grouped_sums(ds, keys=["event_type", "hour_epoch"], sums=["value_c"])
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour_epoch,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       count(*) AS n_rows
+FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    return documents(sf_dir).map_batches(
+        text_ops.TokenStats, batch_format="pandas", concurrency=(1, 8), batch_size=4096
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(length(text) AS BIGINT) AS len_chars
+FROM documents
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    stats = q_token_stats(sf_dir)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[text_ops.quality_filter_mask(b), ["doc_id"]]
+
+    return stats.map_batches(filt, batch_format="pandas")
+
+
+SQL_QUALITY_FILTER = f"""
+SELECT doc_id FROM ({SQL_TOKEN_STATS}) WHERE {text_ops.QUALITY_FILTER_SQL}
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup_ops.exact_dedup_groups(documents(sf_dir))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_bands(sf_dir: str):
+    """MinHash LSH band rows (doc_id, band_id, band_hash) — the shuffle
+    key material for near-dup candidate generation. Not SQL-expressible."""
+    return documents(sf_dir).map_batches(
+        dedup_ops.MinHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    """LSH candidate pairs verified by true 5-gram Jaccard >= 0.5."""
+    import ray
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    pairs = dedup_ops.minhash_candidate_pairs(documents(sf_dir))
+    return pairs.map_batches(
+        dedup_ops.JaccardVerify,
+        fn_constructor_kwargs={"texts_ref": ray.put(texts), "threshold": 0.5},
+        batch_format="pandas",
+        concurrency=(1, 4),
+        batch_size=4096,
+    ).select_columns(["id_a", "id_b"])
+
+
+def q_simhash(sf_dir: str):
+    return documents(sf_dir).map_batches(
+        dedup_ops.SimHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
+    )
+
+
+def q_langid(sf_dir: str):
+    return documents(sf_dir).map_batches(
+        text_ops.LangId, batch_format="pandas", concurrency=(1, 8), batch_size=2048
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return documents(sf_dir).map_batches(
+        text_ops.Fingerprint, batch_format="pandas", concurrency=(1, 8), batch_size=2048
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN / embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 10) -> dict:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] < n].sort_values("vec_id")
+    return {
+        "id": df["vec_id"].to_numpy().astype(np.int64),
+        "matrix": np.stack(df["embedding"].to_numpy()),
+    }
+
+
+def embeddings_ds(sf_dir: str):
+    return _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    out = ann_ops.ann_bruteforce(
+        embeddings_ds(sf_dir), _query_vectors(sf_dir), k=5
+    )
+    return out.select_columns(["query_id", "vec_id", "ann_rank"])
+
+
+SQL_ANN_TOPK = """
+SELECT query_id, vec_id, ann_rank FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                    v.vec_id) AS ann_rank
+  FROM embeddings q CROSS JOIN embeddings v
+  WHERE q.vec_id < 10
+) WHERE ann_rank <= 5
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF with nprobe == n_lists == exact (proves plumbing on the same
+    oracle); recall<1 configs are exercised in pytest."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = ann_ops.embedding_matrix(t)[:2000]
+    cent = ann_ops.kmeans_fit(sample, n_lists=8)
+    out = ann_ops.ann_ivf(
+        embeddings_ds(sf_dir), _query_vectors(sf_dir), k=5, centroids=cent, nprobe=8
+    )
+    return out.select_columns(["query_id", "vec_id", "ann_rank"])
+
+
+class _EmbedDedupStage:
+    """Pairs with cosine >= threshold vs broadcast full matrix.
+
+    Scale note: at 100 TB this becomes LSH/IVF-blocked (bucket by coarse
+    quantization, compare within buckets); the all-pairs form here is the
+    per-bucket kernel."""
+
+    def __init__(self, all_ref, threshold: float):
+        import ray
+
+        allv = ray.get(all_ref)
+        self.ids = allv["id"]
+        self.m = ann_ops._normalize(allv["matrix"].astype(np.float64))
+        self.t = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ann_ops._normalize(ann_ops.embedding_matrix(batch))
+        sims = m @ self.m.T
+        bi, bj = np.nonzero(sims >= self.t)
+        a = ids[bi]
+        b = self.ids[bj]
+        keep = a < b
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+
+def q_embed_dedup_pairs(sf_dir: str, threshold: float = 0.995):
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    allv = {
+        "id": t["vec_id"].to_numpy().astype(np.int64),
+        "matrix": ann_ops.embedding_matrix(t),
+    }
+    out = embeddings_ds(sf_dir).map_batches(
+        _EmbedDedupStage,
+        fn_constructor_kwargs={"all_ref": ray.put(allv), "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=4096,
+    ).to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64")})
+    return out
+
+
+SQL_EMBED_DEDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.995
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # spatial core
+    "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
+    "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
+    "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
+    "pip_pairs_cell": (q_pip_pairs_cell, SQL_PIP_PAIRS),
+    "knn3": (q_knn3, SQL_KNN3),
+    "knn1_cellplan": (q_knn1_cellplan, SQL_KNN1),
+    "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
+    "tile_cover": (q_tile_cover, SQL_TILE_COVER),
+    "overlay_intersection": (q_overlay_intersection, SQL_OVERLAY_INTERSECTION),
+    "overlay_difference_area": (q_overlay_difference_area, None),
+    "geom_area": (q_geom_area, SQL_GEOM_AREA),
+    "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
+    "poly_clusters": (q_poly_clusters, SQL_POLY_CLUSTERS),
+    "cluster_sizes": (q_cluster_sizes, SQL_CLUSTER_SIZES),
+    "dissolve_union_area": (q_dissolve_union_area, None),
+    # relational
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # text / dedup
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "minhash_bands": (q_minhash_bands, None),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash": (q_simhash, None),
+    "langid": (q_langid, None),
+    "fingerprint": (q_fingerprint, None),
+    # embeddings / ANN
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
+    "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
