@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/
+sf0.1) with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "images_per_sec": ...}
+
+The headline is the flagship spatial-join + tile-assignment job over the
+synthesized image table (the north-star metric); per-query timings cover
+the representative operator classes.
+
+`python bench.py --scaling` runs the headline job in FRESH processes at
+two parallelism levels (8 and 32 CPUs — the sandbox stand-in for N vs 4N
+nodes) on the same input and prints throughput at both plus the scaling
+efficiency (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# image-count multiplier for the flagship headline: makes the job compute-
+# bound so throughput and scaling reflect parallel work, not fixed startup
+COPIES = int(os.environ.get("GRAFT_COPIES", "60"))
+
+
+def _consume(res) -> int:
+    """Force execution; return row count without driver materialization."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return res.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ssb_sgis_ray.queries import REGISTRY
+    from ssb_sgis_ray.pipelines import flagship as fl
+
+    # warm the page cache + worker pool with one untimed pass
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    bench_queries = [
+        "pip_pairs", "pip_pairs_cell", "knn3", "tile_assign", "tile_cover",
+        "overlay_intersection", "lineitem_agg", "events_hourly",
+        "token_stats", "exact_dedup", "minhash_bands", "ann_topk",
+        "image_exact_dedup", "image_tiles",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        n = _consume(fn(SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # headline: flagship image pipeline (fresh output dir, no resume skip)
+    out_dir = f"/tmp/bench_flagship_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = fl.flagship(SF_DIR, out_dir, concurrency=max(3, NUM_CPUS * 3 // 4), copies=COPIES)
+    headline = round(time.time() - t0, 3)
+    timings["flagship"] = headline
+
+    import pyarrow.parquet as pq
+
+    n_images = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * COPIES
+    result = {
+        "metric": "flagship spatial-join + tile-assignment wall time "
+                  "(synth image table, decode+validate+join+tile+partitioned write)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images_per_sec": round(n_images / headline, 1),
+        "rows_written": res["rows_written"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_HEADLINE_ONLY="1", GRAFT_COPIES=str(COPIES))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "images_per_sec_8": r_lo["images_per_sec"],
+        "images_per_sec_32": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }))
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()  # warm cache
+    from ssb_sgis_ray.pipelines import flagship as fl
+
+    out_dir = f"/tmp/bench_flagship_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    fl.flagship(SF_DIR, out_dir, concurrency=max(3, NUM_CPUS * 3 // 4), copies=COPIES)
+    headline = round(time.time() - t0, 3)
+    import pyarrow.parquet as pq
+
+    n_images = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * COPIES
+    ray.shutdown()
+    return {
+        "metric": "flagship wall time", "value": headline, "unit": "sec",
+        "queries": {"flagship": headline}, "sf": SF_DIR,
+        "num_cpus": NUM_CPUS, "images_per_sec": round(n_images / headline, 1),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif os.environ.get("GRAFT_HEADLINE_ONLY"):
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -536,16 +536,18 @@ def detect_axis_rects(pg: PolygonArray) -> np.ndarray:
     b = polygon_bounds(pg)
     areas = polygon_areas(pg)
     box_area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    idx = np.nonzero(cand)[0]
-    for i in idx:
-        if areas[i] == box_area[i] and box_area[i] > 0:
-            r0 = pg.ring_offsets[first_ring[i]]
-            c = pg.coords[r0 : r0 + 5]
-            on_edge = (
-                ((c[:, 0] == b[i, 0]) | (c[:, 0] == b[i, 2]))
-                & ((c[:, 1] == b[i, 1]) | (c[:, 1] == b[i, 3]))
-            )
-            out[i] = bool(on_edge.all())
+    idx = np.nonzero(cand & (areas == box_area) & (box_area > 0))[0]
+    if len(idx) == 0:
+        return out
+    # gather the 5 ring points of every candidate at once
+    starts = pg.ring_offsets[first_ring[idx]]
+    pts = pg.coords[starts[:, None] + np.arange(5)]  # (m, 5, 2)
+    bx = b[idx]
+    on_edge = (
+        ((pts[:, :, 0] == bx[:, None, 0]) | (pts[:, :, 0] == bx[:, None, 2]))
+        & ((pts[:, :, 1] == bx[:, None, 1]) | (pts[:, :, 1] == bx[:, None, 3]))
+    ).all(axis=1)
+    out[idx] = on_edge
     return out
 
 

@@ -271,11 +271,42 @@ def _gather_f64(buf: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.n
 
 
 def decode_polygons(wkb) -> PolygonArray:
-    """Decode a column of WKB POLYGON / MULTIPOLYGON rows (mixed OK)."""
+    """Decode a column of WKB POLYGON / MULTIPOLYGON rows (mixed OK).
+
+    Fast path: when every row is a single-ring POLYGON (the dominant shape
+    in the engine's pipelines — boxes, diamonds, grid cells), all offsets
+    derive from vectorized header reads with no per-row python loop.
+    """
     buf, offsets = _as_bytes_and_offsets(wkb)
     n = len(offsets) - 1
     pos = offsets[:-1]
     types = _read_u32(buf, pos + 1)
+
+    if n and (types == POLYGON).all():
+        nrings = _read_u32(buf, pos + 5)
+        if (nrings == 1).all():
+            pt_counts = _read_u32(buf, pos + 9).astype(np.int64)
+            ring_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(pt_counts, out=ring_offsets[1:])
+            one = np.arange(n + 1, dtype=np.int64)
+            row_lens = np.diff(offsets)
+            if (row_lens == row_lens[0]).all() and (pt_counts == pt_counts[0]).all():
+                # uniform-stride page (e.g. all boxes/diamonds): view the
+                # whole byte range as (n, rowlen) and slice the coords out
+                # in one copy — no index matrices at all
+                rl = int(row_lens[0])
+                npts = int(pt_counts[0])
+                rows = buf[offsets[0] : offsets[-1]].reshape(n, rl)
+                coord_bytes = np.ascontiguousarray(rows[:, 13 : 13 + npts * 16])
+                flat = coord_bytes.reshape(-1).view("<f8").copy()
+            else:
+                flat = _gather_f64(buf, pos + 13, pt_counts * 2)
+            return PolygonArray(
+                coords=flat.reshape(-1, 2),
+                ring_offsets=ring_offsets,
+                poly_offsets=one,
+                geom_offsets=one,
+            )
 
     geom_offsets = np.zeros(n + 1, dtype=np.int64)
     poly_starts: list[int] = []  # byte pos of each polygon's numRings field

