@@ -90,6 +90,8 @@ class STRtree:
         q_idx, n_idx = q_idx[mask], n_idx[mask]
 
         for lvl in range(len(self.levels) - 1, -1, -1):
+            if len(n_idx) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
             node_boxes, starts = self.levels[lvl]
             child_boxes = self.levels[lvl - 1][0] if lvl > 0 else self.item_boxes[self.perm]
             n_children = len(child_boxes)

@@ -66,3 +66,39 @@ def events_enrich(batch: pa.Table) -> pa.Table:
     value_c = np.round(batch["value"].to_numpy() * 100).astype(np.int64)
     t = batch.append_column("hour_epoch", pa.array(hour, pa.int64()))
     return t.append_column("value_c", pa.array(value_c, pa.int64()))
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def sessionize_user(g: pd.DataFrame) -> pd.DataFrame:
+    """Session windows per user: a gap > 30 min starts a new session.
+
+    The engine's stream-shaped pattern (no event-time runtime in Ray Data):
+    events are an ordered, partitioned log — partition by user, sort by ts
+    within the group, sessionize with vectorized pandas. Emits one row per
+    session: (user_id, session_no, n_events, start_us, end_us).
+    """
+    ts = np.sort(g["ts_us"].to_numpy())
+    new_session = np.ones(len(ts), dtype=np.int64)
+    new_session[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+    sid = np.cumsum(new_session)
+    out = pd.DataFrame({"ts_us": ts, "session_no": sid})
+    agg = out.groupby("session_no", as_index=False).agg(
+        n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max")
+    )
+    agg.insert(0, "user_id", g["user_id"].iloc[0])
+    return agg
+
+
+def sessionize(events_ds):
+    """events -> session windows: groupby(user).map_groups(sessionize)."""
+
+    def add_ts_us(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts_us": ts})
+
+    prepared = events_ds.map_batches(add_ts_us, batch_format="pyarrow")
+    return prepared.groupby("user_id").map_groups(
+        sessionize_user, batch_format="pandas"
+    )

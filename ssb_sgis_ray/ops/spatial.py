@@ -279,6 +279,8 @@ def sjoin_cell_partitioned(
     right_id: str = "right_id",
     x_col: str = "px",
     y_col: str = "py",
+    salt_threshold: int | None = None,
+    n_salts: int = 8,
 ):
     """Large×large PIP join: co-partition by covering cell, join per cell.
 
@@ -286,6 +288,14 @@ def sjoin_cell_partitioned(
     their bbox overlaps, so a pair can match in at most one cell for PIP
     (the point's cell) — no dedup leg needed for the point-left case.
     Returns a Dataset of (left_id, right_id) pairs.
+
+    Skew handling (north rule): with ``salt_threshold`` set, a first cheap
+    pass counts left rows per cell (projection of the cell column only);
+    cells above the threshold ("urban hotspots") are SALTED — their left
+    rows split into ``n_salts`` sub-partitions by a deterministic id hash,
+    and the right rows covering a hot cell are replicated to every salt, so
+    no single shuffle partition exceeds ~threshold rows. Results are
+    identical with or without salting.
     """
     lt = left.map_batches(
         lambda b: _tag_points_with_cells(b, res, left_id, x_col, y_col),
@@ -294,8 +304,57 @@ def sjoin_cell_partitioned(
     rt = right.map_batches(
         lambda b: _tag_polys_with_cells(b, res, right_id), batch_format="pyarrow"
     )
+
+    hot_cells: frozenset = frozenset()
+    if salt_threshold is not None:
+        from ray.data.aggregate import Count
+
+        hist = (
+            lt.select_columns(["cell"])
+            .groupby("cell")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )  # one small row per distinct cell — the skew histogram
+        hot_cells = frozenset(
+            int(c) for c, n in zip(hist["cell"], hist["n"]) if n > salt_threshold
+        )
+
+    if hot_cells:
+        lt = lt.map_batches(
+            lambda b: _salt_left(b, hot_cells, n_salts), batch_format="pyarrow"
+        )
+        rt = rt.map_batches(
+            lambda b: _salt_right(b, hot_cells, n_salts), batch_format="pyarrow"
+        )
+
     both = lt.union(rt)
     return both.groupby("cell").map_groups(_per_cell_pip, batch_format="pandas")
+
+
+_SALT_MULT = np.int64(2654435761)
+
+
+def _salt_left(batch: pa.Table, hot_cells: frozenset, n_salts: int) -> pa.Table:
+    """Shuffle key := cell*n_salts + salt(left_id) for hot cells."""
+    cell = batch["cell"].to_numpy(zero_copy_only=False)
+    lid = batch["left_id"].to_numpy(zero_copy_only=False)
+    hot = np.isin(cell, np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells)))
+    salt = np.where(hot, (lid * _SALT_MULT) % n_salts, 0)
+    key = cell * n_salts + salt
+    return batch.set_column(0, "cell", pa.array(key, pa.int64()))
+
+
+def _salt_right(batch: pa.Table, hot_cells: frozenset, n_salts: int) -> pa.Table:
+    """Replicate right rows covering a hot cell to every salt sub-key."""
+    cell = batch["cell"].to_numpy(zero_copy_only=False)
+    hot = np.isin(cell, np.fromiter(hot_cells, dtype=np.int64, count=len(hot_cells)))
+    reps = np.where(hot, n_salts, 1)
+    rows = np.repeat(np.arange(len(batch)), reps)
+    base = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    salt = np.arange(int(reps.sum())) - np.repeat(base, reps)
+    out = batch.take(pa.array(rows, pa.int64()))
+    key = cell[rows] * n_salts + salt
+    return out.set_column(0, "cell", pa.array(key, pa.int64()))
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,66 @@ def q_pip_pairs_cell(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def lineitems(sf_dir: str):
+    """Skewed point cloud (50% of rows in a <0.3%-area hotspot) with a
+    composite left id = l_orderkey*10 + l_linenumber."""
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = (
+            b["l_orderkey"].to_numpy(zero_copy_only=False) * 10
+            + b["l_linenumber"].to_numpy(zero_copy_only=False)
+        )
+        return b.append_column("l_key", pa.array(k.astype(np.int64), pa.int64()))
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+        .map_batches(synth.add_lineitem_points, batch_format="pyarrow")
+        .map_batches(add_key, batch_format="pyarrow")
+    )
+
+
+def nations_ds(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .map_batches(synth.add_nation_diamonds, batch_format="pyarrow")
+    )
+
+
+def q_pip_pairs_salted(sf_dir: str):
+    """Skewed-left PIP join through the salted cell plan: the lineitem
+    hotspot cell exceeds the salt threshold and is split into 8 sub-keys
+    (right rows replicated per salt). Same oracle as the unsalted join —
+    salting must not change results."""
+    out = spatial.sjoin_cell_partitioned(
+        lineitems(sf_dir), nations_ds(sf_dir), res=9,
+        left_id="l_key", right_id="n_nationkey",
+        salt_threshold=5000, n_salts=8,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_key", "n_nationkey"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+LINE_PT_SQL = (
+    f"SELECT l_orderkey * 10 + l_linenumber AS l_key, "
+    f"{synth.LINEITEM_PX_SQL} AS px, {synth.LINEITEM_PY_SQL} AS py FROM lineitem"
+)
+
+SQL_PIP_PAIRS_SALTED = f"""
+SELECT l.l_key, n.n_nationkey
+FROM ({LINE_PT_SQL}) l JOIN ({{NATION}}) n
+ON abs(l.px - n.sx) + abs(l.py - n.sy) <= n.r
+""".replace(
+    "{NATION}",
+    f"SELECT n_nationkey, {synth.NATION_SX_SQL} AS sx, "
+    f"{synth.NATION_SY_SQL} AS sy, {synth.NATION_R_SQL} AS r FROM nation",
+)
+
+
 def q_knn3(sf_dir: str):
     return knn_ops.knn_broadcast(
         customers(sf_dir), _supplier_neighbors(sf_dir), k=3, id_col="c_custkey"
@@ -655,6 +715,228 @@ WHERE a.vec_id < b.vec_id
 
 
 # ---------------------------------------------------------------------------
+# geometry-type / breadth operators
+# ---------------------------------------------------------------------------
+
+
+def _mixed_geoms_stage(batch: pa.Table) -> pa.Table:
+    """Deterministic mixed-geometry table from part keys:
+    p_partkey % 4 -> 0 point, 1 linestring, 2 polygon(box), 3 multipoint
+    (mirrors the reference's create_all_geometry_types fixture,
+    /root/reference/tests/helpers.py:59-73)."""
+    from .geo import wkb as W
+
+    k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = (4 * ((k * 97) % 10000) + 2).astype(np.float64)
+    y = (4 * ((k * 61) % 10000) + 2).astype(np.float64)
+    out = np.empty(len(k), dtype=object)
+    for i in range(len(k)):
+        m = int(k[i]) % 4
+        if m == 0:
+            out[i] = W.encode_points(x[i : i + 1], y[i : i + 1])[0]
+        elif m == 1:
+            out[i] = W.encode_linestring(
+                np.array([[x[i], y[i]], [x[i] + 100, y[i] + 200]])
+            )
+        elif m == 2:
+            out[i] = W.encode_polygon(
+                [np.array([[x[i], y[i]], [x[i] + 80, y[i]], [x[i] + 80, y[i] + 80],
+                           [x[i], y[i] + 80], [x[i], y[i]]])]
+            )
+        else:
+            n_pts = 1 + int(k[i]) % 3
+            pts = np.stack(
+                [x[i] + 8 * np.arange(n_pts), y[i] + 4 * np.arange(n_pts)], axis=1
+            )
+            out[i] = W.encode_multipoint(pts)
+    return pa.table(
+        {"p_partkey": batch["p_partkey"], "geometry_wkb": pa.array(list(out), pa.binary())}
+    )
+
+
+def mixed_geoms(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(_mixed_geoms_stage, batch_format="pyarrow")
+    )
+
+
+def q_geom_type_counts(sf_dir: str):
+    """get_geom_type over a mixed table -> counts per geometry family."""
+    from .ops import geometry as geom_ops
+    from ray.data.aggregate import Count
+
+    ds = mixed_geoms(sf_dir).map_batches(
+        lambda b: geom_ops.add_geom_type(b), batch_format="pyarrow"
+    )
+    return ds.groupby("geom_family").aggregate(Count(alias_name="n_geoms"))
+
+
+SQL_GEOM_TYPE_COUNTS = """
+SELECT CASE p_partkey % 4 WHEN 0 THEN 'point' WHEN 1 THEN 'line'
+       WHEN 2 THEN 'polygon' ELSE 'point' END AS geom_family,
+       count(*) AS n_geoms
+FROM part GROUP BY 1
+"""
+
+
+def q_explode_singlepart(sf_dir: str):
+    """make_all_singlepart over the multipoint rows (p_partkey%4==3):
+    1 multipoint -> n point rows with part_no."""
+    from .ops import geometry as geom_ops
+    import pyarrow.compute as pc
+
+    mp = mixed_geoms(sf_dir).map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["p_partkey"], 3), 3)
+        ),
+        batch_format="pyarrow",
+    )
+    out = mp.map_batches(
+        lambda b: geom_ops.explode_multipoints(b, "p_partkey"), batch_format="pyarrow"
+    )
+    return out.select_columns(["p_partkey", "part_no"])
+
+
+SQL_EXPLODE_SINGLEPART = """
+SELECT p_partkey, g.part_no
+FROM part,
+     LATERAL (SELECT unnest(generate_series(0, p_partkey % 3)) AS part_no) g
+WHERE p_partkey % 4 = 3
+"""
+
+
+def q_within_distance(sf_dir: str):
+    """Buffered neighbor join (get_neighbor_indices with max_distance):
+    customers within 3000 m of a supplier center, exact L2 predicate."""
+    from .ops import geometry as geom_ops
+
+    return geom_ops.within_distance_pairs(
+        customers(sf_dir), _supplier_neighbors(sf_dir), distance=3000.0,
+        id_col="c_custkey",
+    )
+
+
+SQL_WITHIN_DISTANCE = f"""
+SELECT c.c_custkey, s.s_suppkey AS neighbor_id,
+       (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) AS dist2
+FROM ({CUST_SQL}) c JOIN ({SUP_SQL}) s
+  ON (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) <= 9000000
+"""
+
+
+def q_size_rank(sf_dir: str):
+    """sort_large_first as explicit ranks over supplier diamond areas."""
+    from .ops import geometry as geom_ops
+
+    sup = suppliers_tbl(sf_dir)
+    pg = wkb.decode_polygons(sup["geometry_wkb"])
+    area = kernels.polygon_areas(pg)
+    return geom_ops.size_ranks(sup, area, "s_suppkey")
+
+
+SQL_SIZE_RANK = f"""
+SELECT s_suppkey,
+       row_number() OVER (ORDER BY 2 * r * r DESC, s_suppkey) AS size_rank
+FROM ({SUP_SQL})
+"""
+
+
+def q_self_intersections(sf_dir: str):
+    """get_intersections (duplicates.py:130-248): self-overlay of the part
+    boxes, pairs a<b with positive overlap area."""
+    right = synth.add_part_boxes(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    )
+    out = overlay_ops.clean_overlay(parts(sf_dir), right, how="intersection", emit="area")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["p_partkey_1"] < b["p_partkey_2"]
+        return pd.DataFrame(
+            {
+                "p_a": b.loc[m, "p_partkey_1"].astype("int64"),
+                "p_b": b.loc[m, "p_partkey_2"].astype("int64"),
+                "inter_area": np.round(b.loc[m, "piece_area"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_SELF_INTERSECTIONS = f"""
+SELECT a.p_partkey AS p_a, b.p_partkey AS p_b,
+       (least(a.maxx, b.maxx) - greatest(a.minx, b.minx))
+     * (least(a.maxy, b.maxy) - greatest(a.miny, b.miny)) AS inter_area
+FROM ({PART_SQL}) a JOIN ({PART_SQL.replace('p_partkey', 'p_partkey')}) b
+  ON a.p_partkey < b.p_partkey
+ AND least(a.maxx, b.maxx) > greatest(a.minx, b.minx)
+ AND least(a.maxy, b.maxy) > greatest(a.miny, b.miny)
+"""
+
+
+def q_update_geometries(sf_dir: str):
+    """Painter's-algorithm de-overlap (duplicates.py:15-127) over supplier
+    diamonds: larger-first order, each row keeps its geometry minus the
+    union of earlier rows; output = kept area per row. Union geometry is
+    not SQL-expressible -> rows-only; pytest proves Σ kept == union area."""
+    sup = suppliers_tbl(sf_dir)
+    pg = wkb.decode_polygons(sup["geometry_wkb"])
+    ids = sup["s_suppkey"].to_numpy().astype(np.int64)
+    areas = kernels.polygon_areas(pg)
+    rings = [
+        pg.coords[pg.ring_offsets[i] : pg.ring_offsets[i + 1]] for i in range(len(pg))
+    ]
+    # diamonds -> axis rects in the 45-degree frame; painter in rect space
+    uv = dis._rings_as_uv_rects(rings)
+    order = np.lexsort((ids, -areas))
+    kept = np.zeros(len(ids))
+    pieces = np.empty((0, 4))
+    for i in order:
+        mine = uv[i : i + 1]
+        for p in pieces:
+            mine = kernels.subtract_rect_from_rects(mine, p)
+            if len(mine) == 0:
+                break
+        if len(mine):
+            kept[i] = ((mine[:, 2] - mine[:, 0]) * (mine[:, 3] - mine[:, 1])).sum() / 2.0
+            pieces = np.concatenate([pieces, mine], axis=0)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(ids, pa.int64()),
+            "kept_area_i": pa.array(np.round(kept).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user over the events stream."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rel.sessionize(ds)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+d AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM d
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
 # image pipeline queries (input_hint schema over synthesized images)
 # ---------------------------------------------------------------------------
 
@@ -809,6 +1091,7 @@ REGISTRY: dict[str, tuple] = {
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
     "pip_pairs_cell": (q_pip_pairs_cell, SQL_PIP_PAIRS),
+    "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
     "knn3": (q_knn3, SQL_KNN3),
     "knn1_cellplan": (q_knn1_cellplan, SQL_KNN1),
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
@@ -820,9 +1103,17 @@ REGISTRY: dict[str, tuple] = {
     "poly_clusters": (q_poly_clusters, SQL_POLY_CLUSTERS),
     "cluster_sizes": (q_cluster_sizes, SQL_CLUSTER_SIZES),
     "dissolve_union_area": (q_dissolve_union_area, None),
+    # breadth: geometry types / sorts / buffered joins / self-overlay
+    "geom_type_counts": (q_geom_type_counts, SQL_GEOM_TYPE_COUNTS),
+    "explode_singlepart": (q_explode_singlepart, SQL_EXPLODE_SINGLEPART),
+    "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
+    "size_rank": (q_size_rank, SQL_SIZE_RANK),
+    "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
+    "update_geometries": (q_update_geometries, None),
     # relational
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     # text / dedup
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
