@@ -171,3 +171,101 @@ def size_ranks(table: pa.Table, area: np.ndarray, id_col: str) -> pa.Table:
             "size_rank": pa.array(rank, pa.int64()),
         }
     )
+
+
+def extract_holes(batch: pa.Table, id_col: str,
+                  wkb_col: str = "geometry_wkb") -> pa.Table:
+    """get_holes (polygon_operations.py:828-862): one output row per
+    interior ring with its area."""
+    pg = wkb.decode_polygons(batch[wkb_col])
+    from ..geo import kernels
+
+    ring_a = np.abs(kernels.ring_signed_areas(pg))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_no, out_area = [], [], []
+    n_rings_per_poly = np.diff(pg.poly_offsets)
+    poly_of_row = pg.geom_offsets
+    for row in range(len(pg)):
+        for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+            r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+            for hole_no, r in enumerate(range(r0 + 1, r1)):
+                out_id.append(ids[row])
+                out_no.append(hole_no)
+                out_area.append(ring_a[r])
+    return pa.table(
+        {
+            id_col: pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "hole_no": pa.array(np.asarray(out_no, np.int64), pa.int64()),
+            "hole_area": pa.array(
+                np.round(np.asarray(out_area)).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def close_all_holes(batch: pa.Table, id_col: str,
+                    wkb_col: str = "geometry_wkb") -> pa.Table:
+    """close_all_holes (polygon_operations.py:523-601): drop every interior
+    ring; emit the exterior-only polygon + its (closed) area."""
+    pg = wkb.decode_polygons(batch[wkb_col])
+    from ..geo import kernels
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_geom = np.empty(len(pg), dtype=object)
+    out_area = np.zeros(len(pg))
+    for row in range(len(pg)):
+        rings = []
+        for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+            r0 = pg.poly_offsets[q]
+            ring = pg.coords[pg.ring_offsets[r0] : pg.ring_offsets[r0 + 1]]
+            rings.append([ring])
+            out_area[row] += kernels.ring_area(ring)
+        out_geom[row] = (
+            wkb.encode_polygon(rings[0]) if len(rings) == 1
+            else wkb.encode_multipolygon(rings)
+        )
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "closed_area": pa.array(np.round(out_area).astype(np.int64), pa.int64()),
+            "geometry_wkb": pa.array(list(out_geom), pa.binary()),
+        }
+    )
+
+
+def cut_line_parts(batch: pa.Table, id_col: str, max_length: float,
+                   wkb_col: str = "geometry_wkb") -> pa.Table:
+    """cut_lines (cutting_lines.py:230-297): split each 2-point line into
+    the minimum number of equal parts with part length <= max_length.
+    Emits one row per part with its sub-line geometry.
+
+    The part count uses an integer-exact correction after the float sqrt so
+    an oracle computing the same correction can never disagree:
+        k0 = ceil(sqrt(len2)/max);  k = k0-1 if (k0-1)^2*max^2 >= len2
+    """
+    la = wkb.decode_lines(batch[wkb_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    max2 = max_length * max_length
+    out_id, out_part, out_geom = [], [], []
+    for i in range(len(la)):
+        l0 = la.geom_offsets[i]
+        a = la.coords[la.line_offsets[l0]]
+        b = la.coords[la.line_offsets[l0 + 1] - 1]
+        len2 = float((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2)
+        k = int(np.ceil(np.sqrt(len2) / max_length))
+        if k > 1 and (k - 1) * (k - 1) * max2 >= len2:
+            k -= 1
+        k = max(k, 1)
+        for j in range(k):
+            p = a + (b - a) * (j / k)
+            q = a + (b - a) * ((j + 1) / k)
+            out_id.append(ids[i])
+            out_part.append(j)
+            out_geom.append(wkb.encode_linestring(np.stack([p, q])))
+    return pa.table(
+        {
+            id_col: pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "part_no": pa.array(np.asarray(out_part, np.int64), pa.int64()),
+            "geometry_wkb": pa.array(out_geom, pa.binary()),
+        }
+    )

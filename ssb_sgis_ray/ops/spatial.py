@@ -408,3 +408,65 @@ def cover_tiles_flatmap(
         }
     )
     return out
+
+
+def map_tiles(
+    ds,
+    func,
+    gridsize: int,
+    x_col: str = "px",
+    y_col: str = "py",
+    halo: float = 0.0,
+    batch_format: str = "pandas",
+):
+    """gridloop-style per-tile UDF (the reference's user-extension surface,
+    /root/reference/src/sgis/geopandas_tools/bounds.py:16-173): run ``func``
+    once per grid tile over the rows that fall in the tile, optionally with
+    a ``halo``-meter margin (rows within ``halo`` of a tile boundary are
+    replicated into the neighboring tile, like gridloop's ``gridbuffer``).
+
+    ``func(group)`` receives the tile's rows (tile_x/tile_y columns
+    included, halo copies flagged ``in_halo=True``) and returns a
+    DataFrame; results are concatenated across tiles. The UDF is
+    responsible for halo discipline (e.g. clip results back to the tile),
+    exactly as with gridloop's clip=True.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows, tx, ty, in_halo = _halo_tiles(px, py, gridsize, halo)
+        out = batch.take(pa.array(rows, pa.int64()))
+        out = out.append_column("tile_x", pa.array(tx, pa.int64()))
+        out = out.append_column("tile_y", pa.array(ty, pa.int64()))
+        return out.append_column("in_halo", pa.array(in_halo))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby(["tile_x", "tile_y"]).map_groups(
+        func, batch_format=batch_format
+    )
+
+
+def _halo_tiles(px, py, gridsize, halo):
+    """Row -> (containing tile) plus neighbor tiles within ``halo``."""
+    minx = px - halo
+    maxx = px + halo
+    miny = py - halo
+    maxy = py + halo
+    x0 = np.floor(minx / gridsize).astype(np.int64)
+    x1 = np.floor(maxx / gridsize).astype(np.int64)
+    y0 = np.floor(miny / gridsize).astype(np.int64)
+    y1 = np.floor(maxy / gridsize).astype(np.int64)
+    home_x = np.floor(px / gridsize).astype(np.int64)
+    home_y = np.floor(py / gridsize).astype(np.int64)
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    rows = np.repeat(np.arange(len(px)), counts)
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - np.repeat(base, counts)
+    tx = np.repeat(x0, counts) + within % np.repeat(nx, counts)
+    ty = np.repeat(y0, counts) + within // np.repeat(nx, counts)
+    in_halo = (tx != home_x[rows]) | (ty != home_y[rows])
+    return rows, tx, ty, in_halo

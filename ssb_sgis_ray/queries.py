@@ -714,6 +714,15 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+IMAGE_ID_SQL = "'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+CONTENT_KEY_SQL = "CASE WHEN doc_id % 100 = 99 THEN doc_id - 1 ELSE doc_id END"
+
+_FP = __import__("ssb_sgis_ray.sources.images", fromlist=["FOOTPRINT_SQL"]).FOOTPRINT_SQL
+IMG_BOX_SQL = (
+    f"SELECT doc_id, {_FP['minx']} AS minx, {_FP['miny']} AS miny, "
+    f"{_FP['maxx']} AS maxx, {_FP['maxy']} AS maxy FROM documents"
+)
+
 # ---------------------------------------------------------------------------
 # geometry-type / breadth operators
 # ---------------------------------------------------------------------------
@@ -909,6 +918,303 @@ def q_update_geometries(sf_dir: str):
     )
 
 
+_HW_SQL = "4 * (50 + (p_partkey * 37) % 400)"
+_HH_SQL = "4 * (50 + (p_partkey * 53) % 400)"
+
+
+def _holed_boxes(sf_dir: str):
+    """Part boxes with a centered hole of half the dimensions: outer area
+    4*hw*hh, hole area hw*hh (all integer closed forms for the oracle)."""
+    from .geo import wkb as W
+
+    def stage(batch: pa.Table) -> pa.Table:
+        minx, miny, maxx, maxy = synth.part_boxes(
+            batch["p_partkey"].to_numpy(zero_copy_only=False)
+        )
+        cx = (minx + maxx) // 2
+        cy = (miny + maxy) // 2
+        qw = (maxx - minx) // 4  # quarter width = hw//2
+        qh = (maxy - miny) // 4
+        out = np.empty(len(cx), dtype=object)
+        for i in range(len(cx)):
+            outer = np.array(
+                [[minx[i], miny[i]], [maxx[i], miny[i]], [maxx[i], maxy[i]],
+                 [minx[i], maxy[i]], [minx[i], miny[i]]], dtype=float,
+            )
+            hole = np.array(
+                [[cx[i] - qw[i], cy[i] - qh[i]], [cx[i] - qw[i], cy[i] + qh[i]],
+                 [cx[i] + qw[i], cy[i] + qh[i]], [cx[i] + qw[i], cy[i] - qh[i]],
+                 [cx[i] - qw[i], cy[i] - qh[i]]], dtype=float,
+            )  # reversed orientation
+            out[i] = W.encode_polygon([outer, hole])
+        return pa.table(
+            {"p_partkey": batch["p_partkey"],
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+
+
+def q_get_holes(sf_dir: str):
+    """get_holes: interior rings of holed polygons with their areas."""
+    from .ops import geometry as geom_ops
+
+    return _holed_boxes(sf_dir).map_batches(
+        lambda b: geom_ops.extract_holes(b, "p_partkey"), batch_format="pyarrow"
+    )
+
+
+SQL_GET_HOLES = f"""
+SELECT p_partkey, 0 AS hole_no, {_HW_SQL} * {_HH_SQL} AS hole_area FROM part
+"""
+
+
+def q_close_holes(sf_dir: str):
+    """close_all_holes: exterior-only area per polygon (net area + hole)."""
+    from .ops import geometry as geom_ops
+
+    out = _holed_boxes(sf_dir).map_batches(
+        lambda b: geom_ops.close_all_holes(b, "p_partkey"), batch_format="pyarrow"
+    )
+    return out.select_columns(["p_partkey", "closed_area"])
+
+
+SQL_CLOSE_HOLES = f"""
+SELECT p_partkey, 4 * {_HW_SQL} * {_HH_SQL} AS closed_area FROM part
+"""
+
+
+_LINE_X1 = "CAST(4 * ((p_partkey * 71) % 10000) + 2 AS BIGINT)"
+_LINE_Y1 = "CAST(4 * ((p_partkey * 83) % 10000) + 2 AS BIGINT)"
+_LINE_X2 = "CAST(4 * ((p_partkey * 89) % 10000) + 2 AS BIGINT)"
+_LINE_Y2 = "CAST(4 * ((p_partkey * 101) % 10000) + 2 AS BIGINT)"
+_CUT_MAX = 999
+
+
+def _part_lines(sf_dir: str):
+    from .geo import wkb as W
+
+    def stage(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = 4 * ((k * 71) % 10000) + 2
+        y1 = 4 * ((k * 83) % 10000) + 2
+        x2 = 4 * ((k * 89) % 10000) + 2
+        y2 = 4 * ((k * 101) % 10000) + 2
+        out = np.empty(len(k), dtype=object)
+        for i in range(len(k)):
+            out[i] = W.encode_linestring(
+                np.array([[x1[i], y1[i]], [x2[i], y2[i]]], dtype=float)
+            )
+        return pa.table(
+            {"p_partkey": batch["p_partkey"],
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+
+
+def q_cut_lines(sf_dir: str):
+    """cut_lines: each 2-point line split into minimal <=999 m parts; one
+    output row per part (the geometry legs are pytest-verified)."""
+    from .ops import geometry as geom_ops
+
+    out = _part_lines(sf_dir).map_batches(
+        lambda b: geom_ops.cut_line_parts(b, "p_partkey", float(_CUT_MAX)),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["p_partkey", "part_no"])
+
+
+SQL_CUT_LINES = f"""
+WITH l AS (
+  SELECT p_partkey,
+         ({_LINE_X2} - {_LINE_X1}) * ({_LINE_X2} - {_LINE_X1})
+       + ({_LINE_Y2} - {_LINE_Y1}) * ({_LINE_Y2} - {_LINE_Y1}) AS len2
+  FROM part
+),
+k0 AS (
+  SELECT p_partkey, len2,
+         CAST(ceil(sqrt(CAST(len2 AS DOUBLE)) / {_CUT_MAX}) AS BIGINT) AS k0
+  FROM l
+),
+kk AS (
+  SELECT p_partkey,
+         greatest(CASE WHEN k0 > 1 AND (k0 - 1) * (k0 - 1) * {_CUT_MAX * _CUT_MAX} >= len2
+                       THEN k0 - 1 ELSE k0 END, 1) AS k
+  FROM k0
+)
+SELECT p_partkey, g.part_no
+FROM kk, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS part_no) g
+"""
+
+
+def q_buffdissexp_clusters(sf_dir: str):
+    """buffdissexp (buffer -> cluster -> dissolve): customer points buffered
+    by 1500 m overlap iff dist <= 3000 m; connected components over the
+    within-distance pair graph give the dissolve clusters. Engine computes
+    the pairs with the distance-join operator and labels with union-find;
+    oracle re-derives components with a recursive CTE."""
+    from .ops import geometry as geom_ops
+
+    c = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ct = synth.add_customer_points(c)
+    ids = ct["c_custkey"].to_numpy().astype(np.int64)
+    nb = {
+        "id": ids,
+        "x": ct["px"].to_numpy().astype(np.float64),
+        "y": ct["py"].to_numpy().astype(np.float64),
+    }
+    pairs_df = geom_ops.within_distance_pairs(
+        customers(sf_dir), nb, distance=3000.0, id_col="c_custkey"
+    ).to_pandas()
+    pairs_df = pairs_df[pairs_df["c_custkey"] < pairs_df["neighbor_id"]]
+    pairs_df = pairs_df.rename(columns={"c_custkey": "id_a", "neighbor_id": "id_b"})
+    labels = dis.union_find_labels(ids, pairs_df)
+    return pa.table(
+        {
+            "c_custkey": pa.array(ids, pa.int64()),
+            "cluster_label": pa.array(labels.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_BUFFDISSEXP_CLUSTERS = f"""
+WITH RECURSIVE pts AS ({CUST_SQL}),
+edges AS (
+  SELECT a.c_custkey AS ia, b.c_custkey AS ib FROM pts a, pts b
+  WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 9000000
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+)
+SELECT ia AS c_custkey, min(ib) AS cluster_label FROM reach GROUP BY ia
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (Raster.zonal -> groupby(tile)): per covering tile,
+    image count and total pixel count (w*h from the real image table)."""
+    from ray.data.aggregate import Count, Sum
+    from .sources import images as img_src
+
+    ds = _images_ds(sf_dir).select_columns(["doc_id", "w", "h"]).map_batches(
+        img_src.add_footprints, batch_format="pyarrow"
+    )
+
+    def tiles_with_pixels(b: pa.Table) -> pa.Table:
+        cov = spatial.cover_tiles_flatmap(b, TILE, "doc_id")
+        minx = b["minx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        maxx = b["maxx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        miny = b["miny"].to_numpy(zero_copy_only=False).astype(np.int64)
+        maxy = b["maxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nx = (maxx - 1) // TILE - minx // TILE + 1
+        ny = (maxy - 1) // TILE - miny // TILE + 1
+        rows = np.repeat(np.arange(len(b)), nx * ny)
+        px_count = (
+            b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )[rows]
+        return cov.append_column("n_pixels", pa.array(px_count, pa.int64()))
+
+    tiled = ds.map_batches(tiles_with_pixels, batch_format="pyarrow")
+    return tiled.groupby(["tile_x", "tile_y"]).aggregate(
+        Count(alias_name="n_images"),
+        Sum("n_pixels", alias_name="sum_pixels"),
+    )
+
+
+SQL_ZONAL_STATS = f"""
+WITH img AS (
+  SELECT doc_id, {CONTENT_KEY_SQL} AS ck FROM documents
+),
+dims AS (
+  SELECT i.doc_id, b.minx, b.miny, b.maxx, b.maxy,
+         (32 + (i.ck * 7) % 33) * (32 + (i.ck * 11) % 33) AS n_pixels
+  FROM img i JOIN ({IMG_BOX_SQL}) b USING (doc_id)
+)
+SELECT gx.tile_x, gy.tile_y, count(*) AS n_images,
+       CAST(sum(n_pixels) AS BIGINT) AS sum_pixels
+FROM dims,
+     LATERAL (SELECT unnest(generate_series(minx // {TILE}, (maxx - 1) // {TILE})) AS tile_x) gx,
+     LATERAL (SELECT unnest(generate_series(miny // {TILE}, (maxy - 1) // {TILE})) AS tile_y) gy
+GROUP BY gx.tile_x, gy.tile_y
+"""
+
+
+def q_eliminate_by_largest(sf_dir: str):
+    """eliminate_by_largest (polygon_operations.py:390-405): every sliver
+    (p_partkey % 5 == 0) dissolves into the LARGEST-area intersecting host
+    box (ties by smallest host key); isolated slivers are dropped."""
+    right = synth.add_part_boxes(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    )
+    pairs = overlay_ops.clean_overlay(
+        parts(sf_dir), right, how="intersection", emit="area"
+    )
+
+    def pick_host(b: pd.DataFrame) -> pd.DataFrame:
+        sliver = b[(b["p_partkey_1"] % 5 == 0) & (b["p_partkey_2"] % 5 != 0)].copy()
+        if not len(sliver):
+            return pd.DataFrame({"p_sliver": pd.Series(dtype="int64"),
+                                 "host_key": pd.Series(dtype="int64")})
+        hw = 4 * (50 + (sliver["p_partkey_2"] * 37) % 400)
+        hh = 4 * (50 + (sliver["p_partkey_2"] * 53) % 400)
+        sliver["host_area"] = 4 * hw * hh
+        sliver = sliver.sort_values(
+            ["p_partkey_1", "host_area", "p_partkey_2"],
+            ascending=[True, False, True], kind="stable",
+        )
+        first = sliver.drop_duplicates("p_partkey_1", keep="first")
+        return pd.DataFrame(
+            {"p_sliver": first["p_partkey_1"].astype("int64"),
+             "host_key": first["p_partkey_2"].astype("int64")}
+        )
+
+    # per-batch candidate winners -> global winner per sliver
+    cands = pairs.map_batches(pick_host, batch_format="pandas")
+    return cands.groupby("p_sliver").map_groups(
+        lambda g: _final_host(g), batch_format="pandas"
+    )
+
+
+def _final_host(g: pd.DataFrame) -> pd.DataFrame:
+    hw = 4 * (50 + (g["host_key"] * 37) % 400)
+    hh = 4 * (50 + (g["host_key"] * 53) % 400)
+    g = g.assign(host_area=4 * hw * hh).sort_values(
+        ["host_area", "host_key"], ascending=[False, True], kind="stable"
+    )
+    return g.head(1)[["p_sliver", "host_key"]]
+
+
+SQL_ELIMINATE = f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS p_sliver, b.p_partkey AS host_key,
+         4 * ({_HW_SQL.replace('p_partkey', 'b.p_partkey')})
+           * ({_HH_SQL.replace('p_partkey', 'b.p_partkey')}) AS host_area
+  FROM ({PART_SQL}) a JOIN ({PART_SQL}) b
+    ON a.p_partkey % 5 = 0 AND b.p_partkey % 5 != 0
+   AND least(a.maxx, b.maxx) > greatest(a.minx, b.minx)
+   AND least(a.maxy, b.maxy) > greatest(a.miny, b.miny)
+)
+SELECT p_sliver, host_key FROM (
+  SELECT p_sliver, host_key,
+         row_number() OVER (PARTITION BY p_sliver
+                            ORDER BY host_area DESC, host_key) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min gap) per user over the events stream."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -940,8 +1246,6 @@ FROM s GROUP BY user_id, session_no
 # image pipeline queries (input_hint schema over synthesized images)
 # ---------------------------------------------------------------------------
 
-IMAGE_ID_SQL = "'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
-CONTENT_KEY_SQL = "CASE WHEN doc_id % 100 = 99 THEN doc_id - 1 ELSE doc_id END"
 
 
 def _images_ds(sf_dir: str):
@@ -1021,12 +1325,6 @@ def q_image_tiles(sf_dir: str):
         batch_format="pyarrow",
     )
 
-
-_FP = __import__("ssb_sgis_ray.sources.images", fromlist=["FOOTPRINT_SQL"]).FOOTPRINT_SQL
-IMG_BOX_SQL = (
-    f"SELECT doc_id, {_FP['minx']} AS minx, {_FP['miny']} AS miny, "
-    f"{_FP['maxx']} AS maxx, {_FP['maxy']} AS maxy FROM documents"
-)
 
 SQL_IMAGE_TILES = f"""
 SELECT doc_id, gx.tile_x, gy.tile_y
@@ -1110,6 +1408,12 @@ REGISTRY: dict[str, tuple] = {
     "size_rank": (q_size_rank, SQL_SIZE_RANK),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "update_geometries": (q_update_geometries, None),
+    "get_holes": (q_get_holes, SQL_GET_HOLES),
+    "close_holes": (q_close_holes, SQL_CLOSE_HOLES),
+    "cut_lines": (q_cut_lines, SQL_CUT_LINES),
+    "buffdissexp_clusters": (q_buffdissexp_clusters, SQL_BUFFDISSEXP_CLUSTERS),
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
+    "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
     # relational
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

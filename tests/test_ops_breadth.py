@@ -149,3 +149,74 @@ def test_salted_join_equals_unsalted(ray_session):
         zip(salted["left_id"], salted["right_id"])
     )
     assert len(plain) == len(salted)  # no duplicates introduced
+
+
+def test_cut_line_parts_conserves_length():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "geometry_wkb": pa.array(
+                [
+                    wkb.encode_linestring(np.array([[0, 0], [2500, 0.0]])),
+                    wkb.encode_linestring(np.array([[0, 0], [500, 0.0]])),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = geom_ops.cut_line_parts(t, "id", 999.0)
+    df = out.to_pandas()
+    assert len(df[df["id"] == 1]) == 3  # 2500/999 -> 3 parts
+    assert len(df[df["id"] == 2]) == 1
+    la = wkb.decode_lines(out["geometry_wkb"])
+    seg = np.diff(la.coords, axis=0)
+    # parts of line 1 each ~833.33, all <= 999; total length conserved
+    lens = []
+    for i in range(len(la)):
+        a = la.coords[la.line_offsets[i]]
+        b = la.coords[la.line_offsets[i + 1] - 1]
+        lens.append(float(np.hypot(*(b - a))))
+    assert all(l <= 999.0 + 1e-9 for l in lens)
+    assert sum(lens) == pytest.approx(3000.0)
+
+
+def test_holes_roundtrip():
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], dtype=float)
+    hole = np.array([[40, 40], [40, 60], [60, 60], [60, 40], [40, 40]], dtype=float)
+    t = pa.table(
+        {
+            "id": pa.array([9], pa.int64()),
+            "geometry_wkb": pa.array([wkb.encode_polygon([outer, hole])], pa.binary()),
+        }
+    )
+    holes = geom_ops.extract_holes(t, "id").to_pandas()
+    assert holes["hole_area"].tolist() == [400]
+    closed = geom_ops.close_all_holes(t, "id")
+    assert closed["closed_area"].to_pylist() == [10000]
+    pg = wkb.decode_polygons(closed["geometry_wkb"])
+    assert kernels.polygon_areas(pg)[0] == 10000.0  # hole gone
+
+
+def test_map_tiles_udf(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray.ops import spatial
+
+    df = pd.DataFrame({"px": [100.0, 900.0, 1100.0, 1950.0], "py": [100.0] * 4,
+                       "rid": [1, 2, 3, 4]})
+
+    def count_tile(g: pd.DataFrame) -> pd.DataFrame:
+        core = g[~g["in_halo"]]
+        return pd.DataFrame({
+            "tile_x": [g["tile_x"].iloc[0]], "tile_y": [g["tile_y"].iloc[0]],
+            "n_core": [len(core)], "n_with_halo": [len(g)],
+        })
+
+    out = spatial.map_tiles(
+        rd.from_pandas(df), count_tile, gridsize=1000, halo=100.0
+    ).to_pandas().set_index("tile_x").sort_index()
+    # tile 0: rows 1,2 core; row 3 (x=1100) NOT within 100 of tile 0
+    assert out.loc[0, "n_core"] == 2
+    assert out.loc[0, "n_with_halo"] == 2
+    # tile 1: rows 3,4 core; row 2 (x=900) within halo of tile 1
+    assert out.loc[1, "n_core"] == 2
+    assert out.loc[1, "n_with_halo"] == 3
