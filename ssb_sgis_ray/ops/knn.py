@@ -175,19 +175,23 @@ class KnnCellActor:
             return self.perm[self.key_starts[j] : self.key_stops[j]]
         return np.empty(0, dtype=np.int64)
 
-    def _query_one(self, x: float, y: float):
-        cx = int(np.floor(x / self.cell))
-        cy = int(np.floor(y / self.cell))
+    def _query_cell_group(self, qx: np.ndarray, qy: np.ndarray, cx: int, cy: int):
+        """All query points sharing one grid cell, processed together.
+
+        Rings of cells are scanned outward; after each ring the (m × c)
+        distance matrix gives every point's current kth-best, and expansion
+        stops when ring_min² exceeds the group max of those — vectorized
+        distance-bounded termination.
+        """
         cand: list[np.ndarray] = []
         n_cand = 0
-        best_kth = np.inf
+        kth_max = np.inf
         ring = 0
         max_ring = 1 + int(np.ceil(2.1e6 / self.cell))
         while ring <= max_ring:
-            # min possible distance to ring `ring` cells (chebyshev ring)
             if ring > 0:
-                ring_min = (ring - 1) * self.cell  # conservative lower bound
-                if n_cand >= self.k and ring_min * ring_min > best_kth:
+                ring_min = (ring - 1) * self.cell
+                if n_cand >= self.k and ring_min * ring_min > kth_max:
                     break
             members = []
             if ring == 0:
@@ -203,30 +207,58 @@ class KnnCellActor:
             if len(m):
                 cand.append(m)
                 n_cand += len(m)
-                allc = np.concatenate(cand)
-                d2 = (self.nx[allc] - x) ** 2 + (self.ny[allc] - y) ** 2
                 if n_cand >= self.k:
-                    best_kth = np.partition(d2, self.k - 1)[self.k - 1]
+                    allc = np.concatenate(cand)
+                    d2 = (qx[:, None] - self.nx[allc][None, :]) ** 2 + (
+                        qy[:, None] - self.ny[allc][None, :]
+                    ) ** 2
+                    k_eff = min(self.k, d2.shape[1])
+                    kth = np.partition(d2, k_eff - 1, axis=1)[:, k_eff - 1]
+                    kth_max = float(kth.max())
             ring += 1
         allc = np.concatenate(cand) if cand else np.empty(0, np.int64)
-        d2 = (self.nx[allc] - x) ** 2 + (self.ny[allc] - y) ** 2
+        if len(allc) == 0:
+            return (np.empty(0, np.int64),) * 4
+        d2 = (qx[:, None] - self.nx[allc][None, :]) ** 2 + (
+            qy[:, None] - self.ny[allc][None, :]
+        ) ** 2
+        nid = self.nid[allc]
         k_eff = min(self.k, len(allc))
-        if k_eff == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        idx = np.lexsort((self.nid[allc], d2))[:k_eff]
-        return self.nid[allc][idx], d2[idx]
+        if k_eff < len(allc):
+            part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+        else:
+            part = np.broadcast_to(np.arange(len(allc)), (len(qx), len(allc))).copy()
+        pd2 = np.take_along_axis(d2, part, axis=1)
+        pid = nid[part]
+        order = np.lexsort((pid, pd2), axis=1)
+        sd2 = np.take_along_axis(pd2, order, axis=1)
+        sid = np.take_along_axis(pid, order, axis=1)
+        rows = np.repeat(np.arange(len(qx)), k_eff)
+        ranks = np.tile(np.arange(1, k_eff + 1), len(qx))
+        return rows, sid.ravel(), sd2.ravel(), ranks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = batch[self.x_col].to_numpy(zero_copy_only=False)
-        py = batch[self.y_col].to_numpy(zero_copy_only=False)
+        px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        qcx = np.floor(px / self.cell).astype(np.int64)
+        qcy = np.floor(py / self.cell).astype(np.int64)
+        key = qcx * np.int64(1 << 32) + qcy
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        stops = np.append(starts[1:], len(order))
         out_id, out_nid, out_d2, out_rank = [], [], [], []
-        for i in range(len(px)):
-            nidv, d2 = self._query_one(float(px[i]), float(py[i]))
-            out_id.append(np.full(len(nidv), ids[i]))
+        for g in range(len(uniq)):
+            sel = order[starts[g] : stops[g]]
+            rows, nidv, d2v, ranks = self._query_cell_group(
+                px[sel], py[sel], int(qcx[sel[0]]), int(qcy[sel[0]])
+            )
+            if len(rows) == 0:
+                continue
+            out_id.append(ids[sel][rows])
             out_nid.append(nidv)
-            out_d2.append(d2)
-            out_rank.append(np.arange(1, len(nidv) + 1))
+            out_d2.append(d2v)
+            out_rank.append(ranks)
         cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
         return pa.table(
             {

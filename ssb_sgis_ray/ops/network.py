@@ -1,0 +1,100 @@
+"""Network/graph operators (secondary scope per SURVEY.md §2.10).
+
+Reproduces the parts of the reference's network layer that the north rule
+needs: node-id assignment from line endpoints (``make_node_ids`` —
+/root/reference/src/sgis/networkanalysis/nodes.py:15-94 — which keys nodes
+by exact endpoint coordinates; the engine keys by snapped coordinates,
+the distributed analogue of its ``search_tolerance``), endpoint degrees,
+and connected components over the node graph (``get_connected_components``
+— finding_isolated_networks.py:9-113) using the same union-find /
+min-label-propagation kernel as polygon clustering.
+
+Node identity is a deterministic coordinate hash (no global counter — the
+SURVEY §2.3 distributed-id note): node_key = snap_x * 100000 + snap_y.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geo import wkb
+
+
+def line_endpoints(batch: pa.Table, id_col: str,
+                   wkb_col: str = "geometry_wkb") -> pa.Table:
+    """One row per line endpoint: (line_id, end_no, x, y)."""
+    la = wkb.decode_lines(batch[wkb_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    first = la.coords[la.line_offsets[la.geom_offsets[:-1]]]
+    last = la.coords[la.line_offsets[la.geom_offsets[1:]] - 1]
+    n = len(ids)
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, 2), pa.int64()),
+            "end_no": pa.array(np.tile([0, 1], n), pa.int64()),
+            "x": pa.array(np.stack([first[:, 0], last[:, 0]], 1).reshape(-1)),
+            "y": pa.array(np.stack([first[:, 1], last[:, 1]], 1).reshape(-1)),
+        }
+    )
+
+
+def snap_node_key(x: np.ndarray, y: np.ndarray, tolerance: float) -> np.ndarray:
+    """Deterministic node id from snapped endpoint coordinates."""
+    sx = np.floor(np.asarray(x) / tolerance).astype(np.int64)
+    sy = np.floor(np.asarray(y) / tolerance).astype(np.int64)
+    return sx * 100000 + sy
+
+
+def add_node_keys(batch: pa.Table, id_col: str, tolerance: float,
+                  wkb_col: str = "geometry_wkb") -> pa.Table:
+    """Line -> (line_id, node_a, node_b) with snapped node identities."""
+    la = wkb.decode_lines(batch[wkb_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    first = la.coords[la.line_offsets[la.geom_offsets[:-1]]]
+    last = la.coords[la.line_offsets[la.geom_offsets[1:]] - 1]
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "node_a": pa.array(snap_node_key(first[:, 0], first[:, 1], tolerance), pa.int64()),
+            "node_b": pa.array(snap_node_key(last[:, 0], last[:, 1], tolerance), pa.int64()),
+        }
+    )
+
+
+def node_degrees(lines_ds, id_col: str, tolerance: float):
+    """Per-node degree ``n`` (nodes.py:57-94's ``n`` column)."""
+    from ray.data.aggregate import Count
+
+    def ends(batch: pa.Table) -> pa.Table:
+        t = add_node_keys(batch, id_col, tolerance)
+        node = np.concatenate(
+            [t["node_a"].to_numpy(zero_copy_only=False),
+             t["node_b"].to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"node_key": pa.array(node, pa.int64())})
+
+    return lines_ds.map_batches(ends, batch_format="pyarrow").groupby(
+        "node_key"
+    ).aggregate(Count(alias_name="degree"))
+
+
+def line_components(lines_ds, id_col: str, tolerance: float) -> pd.DataFrame:
+    """Connected components over the line graph: label = min node_key in
+    the component; each line labeled by its component."""
+    from .dissolve import union_find_labels
+
+    edges = lines_ds.map_batches(
+        lambda b: add_node_keys(b, id_col, tolerance), batch_format="pyarrow"
+    ).to_pandas()
+    nodes = np.unique(np.concatenate([edges["node_a"], edges["node_b"]]))
+    pairs = pd.DataFrame({"id_a": edges["node_a"], "id_b": edges["node_b"]})
+    labels = union_find_labels(nodes, pairs)
+    lab_map = dict(zip(nodes.tolist(), labels.tolist()))
+    return pd.DataFrame(
+        {
+            id_col: edges[id_col].astype("int64"),
+            "component_label": [lab_map[int(a)] for a in edges["node_a"]],
+        }
+    )

@@ -48,15 +48,29 @@ def partial_sum_stage(keys: list[str], sums: list[str]):
     return fn
 
 
-def grouped_sums(ds, keys: list[str], sums: list[str]):
-    """Pre-aggregated grouped sum: partial per batch, then merge."""
-    from ray.data.aggregate import Sum
+def grouped_sums(ds, keys: list[str], sums: list[str], driver_merge_limit: int = 2_000_000):
+    """Pre-aggregated grouped sum: partial per batch, then merge.
+
+    The partial stage bounds the merge input to (#keys × #batches) rows, so
+    the final combine is a driver-side pandas groupby when that stays under
+    ``driver_merge_limit`` (this sandbox's Ray multi-key groupby carries a
+    ~12 s fixed shuffle overhead even on a handful of rows); the
+    distributed groupby path remains for genuinely high-cardinality keys.
+    """
+    import pyarrow as _pa
 
     partials = ds.map_batches(
         partial_sum_stage(keys, sums), batch_format="pandas", batch_size=65536
     )
+    pm = partials.materialize()
+    if pm.count() <= driver_merge_limit:
+        df = pm.to_pandas()
+        out = df.groupby(keys, as_index=False)[sums + ["n_rows"]].sum()
+        return _pa.Table.from_pandas(out, preserve_index=False)
+    from ray.data.aggregate import Sum
+
     aggs = [Sum(c, alias_name=c) for c in sums] + [Sum("n_rows", alias_name="n_rows")]
-    return partials.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
+    return pm.groupby(keys[0] if len(keys) == 1 else keys).aggregate(*aggs)
 
 
 def events_enrich(batch: pa.Table) -> pa.Table:

@@ -1215,6 +1215,91 @@ SELECT p_sliver, host_key FROM (
 """
 
 
+_NODE_TOL = 2000
+
+_NODE_A_SQL = f"(({_LINE_X1}) // {_NODE_TOL}) * 100000 + (({_LINE_Y1}) // {_NODE_TOL})"
+_NODE_B_SQL = f"(({_LINE_X2}) // {_NODE_TOL}) * 100000 + (({_LINE_Y2}) // {_NODE_TOL})"
+
+
+def q_node_degrees(sf_dir: str):
+    """make_node_ids degree column: endpoints snapped to nodes, degree per
+    node (nodes.py:57-94)."""
+    from .ops import network as net_ops
+
+    return net_ops.node_degrees(_part_lines(sf_dir), "p_partkey", float(_NODE_TOL))
+
+
+SQL_NODE_DEGREES = f"""
+WITH ends AS (
+  SELECT {_NODE_A_SQL} AS node_key FROM part
+  UNION ALL
+  SELECT {_NODE_B_SQL} AS node_key FROM part
+)
+SELECT node_key, count(*) AS degree FROM ends GROUP BY node_key
+"""
+
+
+def q_line_components(sf_dir: str):
+    """get_connected_components over the line graph (label = min node key
+    reachable); engine uses the shared union-find/label kernel."""
+    from .ops import network as net_ops
+
+    return net_ops.line_components(_part_lines(sf_dir), "p_partkey", float(_NODE_TOL))
+
+
+SQL_LINE_COMPONENTS = f"""
+WITH RECURSIVE lines AS (
+  SELECT p_partkey, {_NODE_A_SQL} AS node_a, {_NODE_B_SQL} AS node_b FROM part
+),
+edges AS (
+  SELECT node_a AS ia, node_b AS ib FROM lines
+  UNION SELECT node_b, node_a FROM lines
+  UNION SELECT node_a, node_a FROM lines
+  UNION SELECT node_b, node_b FROM lines
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+),
+labels AS (SELECT ia AS node_key, min(ib) AS lab FROM reach GROUP BY ia)
+SELECT l.p_partkey, lb.lab AS component_label
+FROM lines l JOIN labels lb ON l.node_a = lb.node_key
+"""
+
+
+def q_dissexp_by_cat(sf_dir: str):
+    """dissexp(by=...): supplier diamonds dissolved per nation key — union
+    area + member count per group (union geometry not SQL-expressible ->
+    rows-only; pytest checks each group's area against the scanline
+    oracle)."""
+    sup_keys = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        t = synth.add_supplier_diamonds(batch)
+        return t
+
+    ds = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .map_batches(attach, batch_format="pyarrow")
+    )
+    out = dis.dissolve_groups(ds, by=["s_nationkey"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_nationkey": b["s_nationkey"].astype("int64"),
+                "n_members": b["n_members"].astype("int64"),
+                "union_area_i": np.round(b["union_area"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min gap) per user over the events stream."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -1414,6 +1499,9 @@ REGISTRY: dict[str, tuple] = {
     "buffdissexp_clusters": (q_buffdissexp_clusters, SQL_BUFFDISSEXP_CLUSTERS),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
+    "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
+    "line_components": (q_line_components, SQL_LINE_COMPONENTS),
+    "dissexp_by_cat": (q_dissexp_by_cat, None),
     # relational
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

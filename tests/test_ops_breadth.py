@@ -220,3 +220,41 @@ def test_map_tiles_udf(ray_session):
     # tile 1: rows 3,4 core; row 2 (x=900) within halo of tile 1
     assert out.loc[1, "n_core"] == 2
     assert out.loc[1, "n_with_halo"] == 3
+
+
+def test_dissexp_by_cat_matches_scanline(ray_session):
+    import pyarrow.parquet as pq
+    from ssb_sgis_ray.queries import q_dissexp_by_cat
+    from tests.test_ops_spatial import _diamond_union_area_scanline
+
+    got = q_dissexp_by_cat(SF).to_pandas().set_index("s_nationkey")
+    sup = pq.read_table(f"{SF}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sx, sy, r = synth.supplier_diamonds(sup["s_suppkey"].to_numpy())
+    for nk, idx in sup.groupby("s_nationkey").groups.items():
+        sel = np.asarray(idx)
+        expect = _diamond_union_area_scanline(sx[sel], sy[sel], r[sel])
+        assert got.loc[nk, "union_area_i"] == pytest.approx(expect, abs=1.0)
+        assert got.loc[nk, "n_members"] == len(sel)
+
+
+def test_line_endpoints_and_node_keys():
+    from ssb_sgis_ray.ops import network as net_ops
+
+    t = pa.table(
+        {
+            "lid": pa.array([1, 2], pa.int64()),
+            "geometry_wkb": pa.array(
+                [
+                    wkb.encode_linestring(np.array([[100, 100], [2100, 100.0]])),
+                    wkb.encode_linestring(np.array([[2100, 100], [2100, 4100.0]])),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    ends = net_ops.line_endpoints(t, "lid").to_pandas()
+    assert len(ends) == 4
+    keys = net_ops.add_node_keys(t, "lid", 2000.0).to_pandas()
+    # line 1 ends in the same snapped node as line 2 starts -> shared node
+    assert keys.loc[0, "node_b"] == keys.loc[1, "node_a"]
