@@ -269,3 +269,66 @@ def cut_line_parts(batch: pa.Table, id_col: str, max_length: float,
             "geometry_wkb": pa.array(out_geom, pa.binary()),
         }
     )
+
+
+class SnapToDiamonds:
+    """snap_all (point_operations.py:14-183): snap each point to the
+    nearest point on the nearest diamond's boundary.
+
+    Exact closed form in the 45°-rotated frame (u=x+y, v=x−y), where L1
+    diamonds are axis rects and the rotation scales all L2 distances
+    uniformly by √2: for points OUTSIDE the rect, the nearest boundary
+    point is the per-axis clamp. Callers feed only points outside every
+    diamond (the sfilter-anti side); interior points would need the
+    nearest-edge case. Outputs stay integer: snapped coords ×2 and the
+    uv-frame squared distance (= 2× the xy squared distance).
+    """
+
+    def __init__(self, right_ref, id_col: str, x_col="px", y_col="py"):
+        r = ray.get(right_ref)
+        sx = r["sx"].astype(np.int64)
+        sy = r["sy"].astype(np.int64)
+        rr = r["r"].astype(np.int64)
+        self.u0 = sx + sy - rr
+        self.u1 = sx + sy + rr
+        self.v0 = sx - sy - rr
+        self.v1 = sx - sy + rr
+        self.rid = r["id"].astype(np.int64)
+        self.id_col = id_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pu = px + py
+        pv = px - py
+        uc = np.clip(pu[:, None], self.u0[None, :], self.u1[None, :])
+        vc = np.clip(pv[:, None], self.v0[None, :], self.v1[None, :])
+        d2 = (pu[:, None] - uc) ** 2 + (pv[:, None] - vc) ** 2
+        # nearest diamond, ties by id (rid is pre-sorted ascending input? use lexsort)
+        order = np.lexsort((np.broadcast_to(self.rid, d2.shape), d2), axis=1)
+        best = order[:, 0]
+        rows = np.arange(len(px))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "snap_suppkey": pa.array(self.rid[best], pa.int64()),
+                "snap_x2": pa.array(uc[rows, best] + vc[rows, best], pa.int64()),
+                "snap_y2": pa.array(uc[rows, best] - vc[rows, best], pa.int64()),
+                "snap_dist2_uv": pa.array(d2[rows, best], pa.int64()),
+            }
+        )
+
+
+def snap_to_diamonds(left, diamonds: dict, id_col: str,
+                     concurrency=(1, 8), batch_size: int = 16384):
+    ref = ray.put(diamonds)
+    return left.map_batches(
+        SnapToDiamonds,
+        fn_constructor_kwargs={"right_ref": ref, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -258,6 +258,171 @@ class OverlayActor:
         )
 
 
+class RightPairsEmitter:
+    """Stage for the mirrored right leg of union/symmetric_difference
+    (overlay.py:426-454 ``_shapely_diffclip_right``): emits one row per
+    matching pair carrying (right_row, left exterior ring) so a
+    ``groupby(right_id)`` can subtract the union of ALL matching left
+    geometries from each right geometry — global state the per-batch
+    actor cannot see."""
+
+    def __init__(self, right_ref):
+        self.idx_state = None
+        self.right_ref = right_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.idx_state is None:
+            right: pa.Table = ray.get(self.right_ref)
+            rpg = wkb.decode_polygons(right["geometry_wkb"])
+            self.idx_state = (
+                right, rpg, STRtree(kernels.polygon_bounds(rpg)),
+                kernels.detect_axis_rects(rpg),
+            )
+        right, rpg, tree, r_is_rect = self.idx_state
+        lpg = wkb.decode_polygons(batch["geometry_wkb"])
+        l_is_rect = kernels.detect_axis_rects(lpg)
+        lb = kernels.polygon_bounds(lpg)
+        qi, pi = tree.query_bbox(lb)
+        if len(qi):
+            # rect×rect: bbox overlap IS the exact test — skip generic refine
+            both_rect = l_is_rect[qi] & r_is_rect[pi]
+            keep = np.ones(len(qi), dtype=bool)
+            gi = np.nonzero(~both_rect)[0]
+            if len(gi):
+                keep[gi] = kernels.polygons_intersect_pairs(lpg, rpg, qi[gi], pi[gi])
+            qi, pi = qi[keep], pi[keep]
+        left_geom = batch["geometry_wkb"].take(pa.array(qi, pa.int64()))
+        return pa.table(
+            {
+                "right_row": pa.array(pi.astype(np.int64), pa.int64()),
+                "left_geom": left_geom,
+            }
+        )
+
+
+def _right_diff_kernel(right_table: pa.Table):
+    """Group kernel: right row − union(matching left geoms)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        row = int(g["right_row"].iloc[0])
+        rpg = wkb.decode_polygons(right_table["geometry_wkb"].slice(row, 1))
+        lpg = wkb.decode_polygons(g["left_geom"].to_numpy())
+        # rect fast path: subject and all clips axis-aligned -> interval math
+        if kernels.detect_axis_rects(rpg)[0] and kernels.detect_axis_rects(lpg).all():
+            rects = kernels.polygon_bounds(rpg)[:1]
+            for cb in kernels.polygon_bounds(lpg):
+                rects = kernels.subtract_rect_from_rects(rects, cb)
+                if len(rects) == 0:
+                    break
+            gwkb = (_pieces_to_wkb(list(kernels.rects_to_rings(rects)))
+                    if len(rects) else None)
+        else:
+            subject = _rings_of_row(rpg, 0)
+            clips = []
+            for i in range(len(lpg)):
+                clips.extend(_rings_of_row(lpg, i))
+            gwkb = _pieces_to_wkb(_subtract_all(subject, clips))
+        out = {c: [right_table[c][row].as_py()] for c in right_table.column_names
+               if c != "geometry_wkb"}
+        out["geometry_wkb"] = [gwkb]
+        df = pd.DataFrame(out)
+        return df[df["geometry_wkb"].notna()]
+
+    return fn
+
+
+def overlay_union_legs(
+    left,
+    right_table: pa.Table,
+    how: str = "union",
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 512,
+):
+    """union / symmetric_difference / update via composed legs.
+
+    union = intersection ⊎ left-difference ⊎ right-difference legs;
+    symmetric_difference drops the intersection leg; update = left
+    difference ⊎ untouched right rows (overlay.py:260-307). The
+    right-difference leg shuffles (right_id, matching left geom) pairs and
+    subtracts per right row in ``groupby(right_id).map_groups`` — the only
+    leg that needs global match state. Left geometries must be convex for
+    the right-leg subtraction. Returns a Dataset whose rows carry a
+    ``leg`` column ('inter' | 'left' | 'right') plus the suffixed columns
+    of the participating sides (absent side columns are null).
+    """
+    if how not in ("union", "symmetric_difference", "update"):
+        raise ValueError(how)
+    ref = ray.put(right_table)
+
+    left_cols = [c for c in left.schema().names if c != "geometry_wkb"]
+    right_cols = [c for c in right_table.column_names if c != "geometry_wkb"]
+    both = set(left_cols) & set(right_cols)
+    lmap = {c: (c + "_1" if c in both else c) for c in left_cols}
+    rmap = {c: (c + "_2" if c in both else c) for c in right_cols}
+    all_cols = (
+        [lmap[c] for c in left_cols]
+        + [rmap[c] for c in right_cols if rmap[c] not in set(lmap.values())]
+        + ["leg", "geometry_wkb"]
+    )
+
+    def norm(leg_name: str, rename: dict):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns=rename)
+            df["leg"] = leg_name
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None
+            return df[all_cols]
+
+        return fn
+
+    legs = []
+    if how == "union":
+        inter = left.map_batches(
+            OverlayActor,
+            fn_constructor_kwargs={"right_ref": ref, "how": "intersection"},
+            batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        ).map_batches(norm("inter", {}), batch_format="pandas")
+        legs.append(inter)
+    ldiff = left.map_batches(
+        OverlayActor,
+        fn_constructor_kwargs={"right_ref": ref, "how": "difference"},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).map_batches(norm("left", lmap), batch_format="pandas")
+    legs.append(ldiff)
+    if how in ("union", "symmetric_difference"):
+        pairs = left.map_batches(
+            RightPairsEmitter,
+            fn_constructor_kwargs={"right_ref": ref},
+            batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        ).materialize()  # consumed twice: grouped subtraction + matched-id scan
+        rdiff = pairs.groupby("right_row").map_groups(
+            _right_diff_kernel(right_table), batch_format="pandas"
+        ).map_batches(norm("right", rmap), batch_format="pandas")
+        legs.append(rdiff)
+        # unmatched right rows ride through with original geometry
+        matched = set()
+        for b in pairs.select_columns(["right_row"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            matched.update(b["right_row"].to_pylist())
+        unmatched_rows = [i for i in range(len(right_table)) if i not in matched]
+        if unmatched_rows:
+            import ray.data as rd
+
+            um = right_table.take(pa.array(unmatched_rows, pa.int64())).to_pandas()
+            legs.append(rd.from_pandas(norm("right", rmap)(um)))
+    if how == "update":
+        import ray.data as rd
+
+        um = right_table.to_pandas()
+        legs.append(rd.from_pandas(norm("right", rmap)(um)))
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.union(l)
+    return out
+
+
 def clean_overlay(
     left,
     right_table: pa.Table,

@@ -1300,6 +1300,70 @@ def q_dissexp_by_cat(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_snap_nearest(sf_dir: str):
+    """snap_all: customers OUTSIDE every diamond snapped to the nearest
+    point on the nearest diamond boundary (uv-frame clamp closed form;
+    outputs stay integer: coords ×2, squared distance in the uv frame)."""
+    from .ops import geometry as geom_ops
+
+    sup = suppliers_tbl(sf_dir)
+    diamonds = {
+        "id": sup["s_suppkey"].to_numpy().astype(np.int64),
+        "sx": sup["sx"].to_numpy().astype(np.int64),
+        "sy": sup["sy"].to_numpy().astype(np.int64),
+        "r": sup["r"].to_numpy().astype(np.int64),
+    }
+    outside = spatial.sfilter(customers(sf_dir), sup, mode="anti")
+    return geom_ops.snap_to_diamonds(outside, diamonds, id_col="c_custkey")
+
+
+SQL_SNAP_NEAREST = f"""
+WITH pts AS ({CUST_SQL}),
+sup AS ({SUP_SQL}),
+outside AS (
+  SELECT p.* FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM sup s
+                    WHERE abs(p.px - s.sx) + abs(p.py - s.sy) <= s.r)
+),
+cand AS (
+  SELECT p.c_custkey, s.s_suppkey,
+         least(greatest(p.px + p.py, s.sx + s.sy - s.r), s.sx + s.sy + s.r) AS uc,
+         least(greatest(p.px - p.py, s.sx - s.sy - s.r), s.sx - s.sy + s.r) AS vc,
+         (p.px + p.py - least(greatest(p.px + p.py, s.sx + s.sy - s.r), s.sx + s.sy + s.r))
+       * (p.px + p.py - least(greatest(p.px + p.py, s.sx + s.sy - s.r), s.sx + s.sy + s.r))
+       + (p.px - p.py - least(greatest(p.px - p.py, s.sx - s.sy - s.r), s.sx - s.sy + s.r))
+       * (p.px - p.py - least(greatest(p.px - p.py, s.sx - s.sy - s.r), s.sx - s.sy + s.r))
+         AS d2
+  FROM outside p CROSS JOIN sup s
+)
+SELECT c_custkey, s_suppkey AS snap_suppkey, uc + vc AS snap_x2,
+       uc - vc AS snap_y2, d2 AS snap_dist2_uv
+FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d2, s_suppkey) AS rn FROM cand)
+WHERE rn = 1
+"""
+
+
+def q_overlay_union(sf_dir: str):
+    """Full union composition (all three legs) of part × orders boxes —
+    leg-summed areas (union geometry partition; rows-only, pytest proves
+    the micro-geometry exactness and Σ == painter union area)."""
+    right = synth.add_orders_boxes(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    )
+    out = overlay_ops.overlay_union_legs(parts(sf_dir), right, how="union")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+        area = kernels.polygon_areas(pg)
+        return pd.DataFrame({"leg": b["leg"], "area_i": np.round(area).astype(np.int64)})
+
+    legs = out.map_batches(project, batch_format="pandas").to_pandas()
+    agg = legs.groupby("leg", as_index=False)["area_i"].sum()
+    agg = agg.rename(columns={"area_i": "total_area"})
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min gap) per user over the events stream."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -1502,6 +1566,8 @@ REGISTRY: dict[str, tuple] = {
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "dissexp_by_cat": (q_dissexp_by_cat, None),
+    "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
+    "overlay_union": (q_overlay_union, None),
     # relational
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -125,3 +125,21 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
     rows = metrics.to_pandas().to_dict("records")  # small: one row/partition
     append_manifest(out_dir, rows)
     return rows
+
+
+def verify_manifest(out_dir: str) -> dict:
+    """Audit a completed output: for every manifest row check the file
+    exists, its parquet row count matches n_rows, and its byte size
+    matches n_bytes. Returns {partition: 'ok' | reason}."""
+    out: dict[str, str] = {}
+    for key, row in load_manifest(out_dir).items():
+        path = row["path"]
+        if not os.path.exists(path):
+            out[key] = "missing"
+            continue
+        if os.path.getsize(path) != row["n_bytes"]:
+            out[key] = "size mismatch"
+            continue
+        meta = pq.read_metadata(path)
+        out[key] = "ok" if meta.num_rows == row["n_rows"] else "row count mismatch"
+    return out

@@ -258,3 +258,49 @@ def test_line_endpoints_and_node_keys():
     keys = net_ops.add_node_keys(t, "lid", 2000.0).to_pandas()
     # line 1 ends in the same snapped node as line 2 starts -> shared node
     assert keys.loc[0, "node_b"] == keys.loc[1, "node_a"]
+
+
+def _boxes_table(specs, key_name):
+    from ssb_sgis_ray.geo import wkb as W
+    boxes = np.array(specs, dtype=float)
+    return pa.table({
+        key_name: pa.array(np.arange(len(specs), dtype=np.int64), pa.int64()),
+        "geometry_wkb": W.encode_boxes_arrow(boxes),
+    })
+
+
+def test_overlay_union_composition(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray.ops import overlay as ov
+    from ssb_sgis_ray.ops.dissolve import rect_painter_union
+
+    left_specs = [(0, 0, 10, 10), (20, 0, 30, 10), (100, 100, 110, 110)]
+    right_specs = [(5, 0, 25, 10), (200, 200, 210, 210)]
+    left = rd.from_arrow(_boxes_table(left_specs, "lid"))
+    right = _boxes_table(right_specs, "rid")
+
+    out = ov.overlay_union_legs(left, right, how="union").to_pandas()
+    pg = wkb.decode_polygons(out["geometry_wkb"].to_numpy())
+    total = kernels.polygon_areas(pg).sum()
+    # union legs partition |A ∪ B|: compare to the rect painter union
+    all_boxes = np.array(left_specs + right_specs, dtype=float)
+    u = rect_painter_union(all_boxes)
+    expect = ((u[:, 2] - u[:, 0]) * (u[:, 3] - u[:, 1])).sum()
+    assert total == pytest.approx(expect)
+    # suffix rules: no collided plain columns, leg column present
+    assert set(out["leg"]) == {"inter", "left", "right"}
+    assert "lid" in out.columns and "rid" in out.columns  # no collision -> unsuffixed
+
+    # symmetric_difference drops the intersection leg
+    sym = ov.overlay_union_legs(left, right, how="symmetric_difference").to_pandas()
+    pg2 = wkb.decode_polygons(sym["geometry_wkb"].to_numpy())
+    inter_total = 5 * 10 + 5 * 10  # [5,10]x[0,10] and [20,25]x[0,10]
+    # symdiff = union minus the (single-counted) intersection region
+    assert kernels.polygon_areas(pg2).sum() == pytest.approx(expect - inter_total)
+
+    # update: left minus right, then right appended unchanged
+    upd = ov.overlay_union_legs(left, right, how="update").to_pandas()
+    pg3 = wkb.decode_polygons(upd["geometry_wkb"].to_numpy())
+    left_minus = 100 + 100 + 100 - inter_total  # left area minus overlaps
+    right_area = 200 + 100
+    assert kernels.polygon_areas(pg3).sum() == pytest.approx(left_minus + right_area)
