@@ -122,11 +122,21 @@ def run_scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+    # this sandbox's first-touch fault costs make single runs noisy
+    # (+/-30%); take the min of interleaved trials per level, the standard
+    # benchmark practice for noisy hosts
+    lo_runs, hi_runs = [], []
+    for _ in range(trials):
+        lo_runs.append(run(lo))
+        hi_runs.append(run(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
         "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "sec_8_all": [r["value"] for r in lo_runs],
+        "sec_32_all": [r["value"] for r in hi_runs],
         "images_per_sec_8": r_lo["images_per_sec"],
         "images_per_sec_32": r_hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -287,3 +287,68 @@ def knn_cells(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class KnnRankTies:
+    """destination_count tie semantics (networkanalysis.py:394-397): keep
+    every neighbor whose MIN-rank by distance is <= k — ties at the kth
+    place are all kept, so an origin can return more than k rows
+    ("might be higher than destination_count if trips have equal cost").
+    rank(neighbor) = 1 + #neighbors strictly closer."""
+
+    def __init__(self, neighbors_ref, k: int, id_col: str, x_col="px", y_col="py"):
+        nb: dict = ray.get(neighbors_ref)
+        self.nx = nb["x"].astype(np.float64)
+        self.ny = nb["y"].astype(np.float64)
+        self.nid = nb["id"].astype(np.int64)
+        self.k = k
+        self.id_col = id_col
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_nid, out_d2, out_rank = [], [], [], []
+        for s in range(0, len(px), 2048):
+            d2 = (px[s:s+2048, None] - self.nx[None, :]) ** 2 + (
+                py[s:s+2048, None] - self.ny[None, :]
+            ) ** 2
+            # min-rank = 1 + count of strictly smaller distances
+            order = np.argsort(d2, axis=1, kind="stable")
+            sorted_d2 = np.take_along_axis(d2, order, axis=1)
+            # rank of sorted position j = 1 + index of first equal value
+            first_eq = np.zeros_like(sorted_d2, dtype=np.int64)
+            for j in range(1, sorted_d2.shape[1]):
+                same = sorted_d2[:, j] == sorted_d2[:, j - 1]
+                first_eq[:, j] = np.where(same, first_eq[:, j - 1], j)
+            ranks = first_eq + 1
+            keep = ranks <= self.k
+            for r in range(len(d2)):
+                cols = order[r][keep[r]]
+                out_id.append(np.full(len(cols), ids[s + r]))
+                out_nid.append(self.nid[cols])
+                out_d2.append(d2[r][cols])
+                out_rank.append(ranks[r][keep[r]])
+        cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
+        return pa.table(
+            {
+                self.id_col: pa.array(cat(out_id, np.int64), pa.int64()),
+                "neighbor_id": pa.array(cat(out_nid, np.int64), pa.int64()),
+                "dist2": pa.array(cat(out_d2, np.int64), pa.int64()),
+                "tie_rank": pa.array(cat(out_rank, np.int64), pa.int64()),
+            }
+        )
+
+
+def knn_rank_ties(left, neighbors: dict, k: int, id_col: str,
+                  concurrency=(1, 8), batch_size: int = 8192):
+    ref = ray.put(neighbors)
+    return left.map_batches(
+        KnnRankTies,
+        fn_constructor_kwargs={"neighbors_ref": ref, "k": k, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

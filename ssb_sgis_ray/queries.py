@@ -1300,6 +1300,52 @@ def q_dissexp_by_cat(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_knn_ties(sf_dir: str):
+    """destination_count tie semantics: all suppliers whose min-rank by
+    distance is <= 3 (ties at the 3rd place kept — output can exceed 3
+    rows per customer, networkanalysis.py:167-170)."""
+    return knn_ops.knn_rank_ties(
+        customers(sf_dir), _supplier_neighbors(sf_dir), k=3, id_col="c_custkey"
+    )
+
+
+SQL_KNN_TIES = f"""
+SELECT c_custkey, neighbor_id, dist2, tie_rank FROM (
+  SELECT c.c_custkey, s.s_suppkey AS neighbor_id,
+         (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) AS dist2,
+         rank() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy)
+         ) AS tie_rank
+  FROM ({CUST_SQL}) c CROSS JOIN ({SUP_SQL}) s
+) WHERE tie_rank <= 3
+"""
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type (map-side distinct combine)."""
+    from .ops import sketch as sk
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return sk.exact_distinct_per_key(ds, "event_type", "user_id")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct user_ids via mergeable HyperLogLog sketches
+    (rows-only: estimate within ~1.6% of exact; pytest asserts the bound)."""
+    from .ops import sketch as sk
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = sk.approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -1568,6 +1614,9 @@ REGISTRY: dict[str, tuple] = {
     "dissexp_by_cat": (q_dissexp_by_cat, None),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "overlay_union": (q_overlay_union, None),
+    "knn_ties": (q_knn_ties, SQL_KNN_TIES),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "hll_distinct": (q_hll_distinct, None),
     # relational
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -304,3 +304,31 @@ def test_overlay_union_composition(ray_session):
     left_minus = 100 + 100 + 100 - inter_total  # left area minus overlaps
     right_area = 200 + 100
     assert kernels.polygon_areas(pg3).sum() == pytest.approx(left_minus + right_area)
+
+
+def test_knn_rank_ties_keeps_ties(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray.ops import knn as knn_ops
+
+    # two neighbors equidistant from the query -> both kept at rank 2
+    left = rd.from_pandas(pd.DataFrame({"qid": [1], "px": [0], "py": [0]}))
+    nb = {
+        "id": np.array([10, 20, 30, 40], dtype=np.int64),
+        "x": np.array([1.0, 5.0, -5.0, 50.0]),
+        "y": np.array([0.0, 0.0, 0.0, 0.0]),
+    }
+    out = knn_ops.knn_rank_ties(left, nb, k=2, id_col="qid").to_pandas()
+    got = sorted(zip(out["neighbor_id"], out["tie_rank"]))
+    assert got == [(10, 1), (20, 2), (30, 2)]  # 3 rows for k=2
+
+
+def test_hll_estimate_within_bound():
+    from ssb_sgis_ray.ops import sketch as sk
+
+    rng = np.random.default_rng(5)
+    for true_n in (100, 5000, 200000):
+        vals = rng.integers(0, 1 << 62, size=true_n).astype(np.int64)
+        # split into batches, sketch each, merge — the distributed shape
+        parts = [sk.hll_registers(v) for v in np.array_split(vals, 7)]
+        est = sk.hll_estimate(sk.hll_merge(parts))
+        assert abs(est - true_n) / true_n < 0.05  # 3x the 1.6% std error
