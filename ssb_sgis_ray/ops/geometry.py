@@ -332,3 +332,103 @@ def snap_to_diamonds(left, diamonds: dict, id_col: str,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def boundary_lines(batch: pa.Table, id_col: str,
+                   wkb_col: str = "geometry_wkb") -> pa.Table:
+    """to_lines (general.py:402-510): polygon boundaries as LINESTRING rows
+    (one per ring, exterior first), with exact ring length per row."""
+    pg = wkb.decode_polygons(batch[wkb_col])
+    from ..geo import kernels
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_no, out_len, out_geom = [], [], [], []
+    for row in range(len(pg)):
+        ring_no = 0
+        for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+            for r in range(pg.poly_offsets[q], pg.poly_offsets[q + 1]):
+                ring = pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+                d = np.diff(ring, axis=0)
+                out_id.append(ids[row])
+                out_no.append(ring_no)
+                out_len.append(float(np.hypot(d[:, 0], d[:, 1]).sum()))
+                out_geom.append(wkb.encode_linestring(ring))
+                ring_no += 1
+    return pa.table(
+        {
+            id_col: pa.array(np.asarray(out_id, np.int64), pa.int64()),
+            "ring_no": pa.array(np.asarray(out_no, np.int64), pa.int64()),
+            "ring_len_i": pa.array(
+                np.round(np.asarray(out_len)).astype(np.int64), pa.int64()
+            ),
+            "geometry_wkb": pa.array(out_geom, pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# PolygonsAsRings (polygons_as_rings.py:62-277): decompose -> UDF -> rebuild
+# ---------------------------------------------------------------------------
+
+
+def polygons_to_rings(batch: pa.Table, id_col: str,
+                      wkb_col: str = "geometry_wkb") -> pa.Table:
+    """Decompose polygons to ring rows keyed (row_id, poly_no, ring_kind,
+    ring_no) — the engine's columnar replacement for the reference's
+    MultiIndex layout. ring_kind: 0 = exterior, 1 = interior."""
+    pg = wkb.decode_polygons(batch[wkb_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out = {"row_id": [], "poly_no": [], "ring_kind": [], "ring_no": [], "ring_wkb": []}
+    for row in range(len(pg)):
+        for pn, q in enumerate(range(pg.geom_offsets[row], pg.geom_offsets[row + 1])):
+            r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+            for rn, r in enumerate(range(r0, r1)):
+                ring = pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+                out["row_id"].append(ids[row])
+                out["poly_no"].append(pn)
+                out["ring_kind"].append(0 if r == r0 else 1)
+                out["ring_no"].append(rn)
+                out["ring_wkb"].append(wkb.encode_linestring(ring))
+    return pa.table(
+        {
+            "row_id": pa.array(np.asarray(out["row_id"], np.int64), pa.int64()),
+            "poly_no": pa.array(np.asarray(out["poly_no"], np.int64), pa.int64()),
+            "ring_kind": pa.array(np.asarray(out["ring_kind"], np.int64), pa.int64()),
+            "ring_no": pa.array(np.asarray(out["ring_no"], np.int64), pa.int64()),
+            "ring_wkb": pa.array(out["ring_wkb"], pa.binary()),
+        }
+    )
+
+
+def apply_ring_func(rings: pa.Table, func, only_interiors: bool = False) -> pa.Table:
+    """Ring-level UDF hook (apply_numpy_func(_to_interiors)): ``func`` maps
+    an (n,2) coords array to an (m,2) coords array, applied per ring."""
+    la = wkb.decode_lines(rings["ring_wkb"])
+    kinds = rings["ring_kind"].to_numpy(zero_copy_only=False)
+    out = []
+    for i in range(len(la)):
+        ring = la.coords[la.line_offsets[i] : la.line_offsets[i + 1]]
+        if only_interiors and kinds[i] == 0:
+            out.append(wkb.encode_linestring(ring))
+        else:
+            out.append(wkb.encode_linestring(np.asarray(func(ring), dtype=float)))
+    return rings.set_column(
+        rings.schema.get_field_index("ring_wkb"), "ring_wkb",
+        pa.array(out, pa.binary()),
+    )
+
+
+def rings_to_polygons(rings: pd.DataFrame) -> pd.DataFrame:
+    """Rebuild polygons from ring rows (group kernel for
+    groupby(row_id).map_groups): exterior + interiors per poly_no,
+    reassembled into POLYGON/MULTIPOLYGON WKB."""
+    g = rings.sort_values(["poly_no", "ring_kind", "ring_no"], kind="stable")
+    la = wkb.decode_lines(g["ring_wkb"].to_numpy())
+    polys: dict[int, list[np.ndarray]] = {}
+    for i, pn in enumerate(g["poly_no"]):
+        ring = la.coords[la.line_offsets[i] : la.line_offsets[i + 1]]
+        polys.setdefault(int(pn), []).append(ring)
+    parts = [polys[k] for k in sorted(polys)]
+    gwkb = (wkb.encode_polygon(parts[0]) if len(parts) == 1
+            else wkb.encode_multipolygon(parts))
+    return pd.DataFrame({"row_id": [g["row_id"].iloc[0]], "geometry_wkb": [gwkb]})

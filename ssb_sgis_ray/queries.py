@@ -1300,6 +1300,24 @@ def q_dissexp_by_cat(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q_boundary_lines(sf_dir: str):
+    """to_lines: part-box boundaries as linestring rows with exact ring
+    length (2*(w+h) closed form on the oracle side)."""
+    from .ops import geometry as geom_ops
+
+    out = parts(sf_dir).map_batches(
+        lambda b: geom_ops.boundary_lines(b, "p_partkey"), batch_format="pyarrow"
+    )
+    return out.select_columns(["p_partkey", "ring_no", "ring_len_i"])
+
+
+SQL_BOUNDARY_LINES = f"""
+SELECT p_partkey, 0 AS ring_no,
+       2 * (2 * ({_HW_SQL}) + 2 * ({_HH_SQL})) AS ring_len_i
+FROM part
+"""
+
+
 def q_knn_ties(sf_dir: str):
     """destination_count tie semantics: all suppliers whose min-rank by
     distance is <= 3 (ties at the 3rd place kept — output can exceed 3
@@ -1615,6 +1633,7 @@ REGISTRY: dict[str, tuple] = {
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "overlay_union": (q_overlay_union, None),
     "knn_ties": (q_knn_ties, SQL_KNN_TIES),
+    "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "hll_distinct": (q_hll_distinct, None),
     # relational

@@ -332,3 +332,59 @@ def test_hll_estimate_within_bound():
         parts = [sk.hll_registers(v) for v in np.array_split(vals, 7)]
         est = sk.hll_estimate(sk.hll_merge(parts))
         assert abs(est - true_n) / true_n < 0.05  # 3x the 1.6% std error
+
+
+def test_polygons_as_rings_roundtrip_and_udf(ray_session):
+    import ray.data as rd
+
+    outer = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], dtype=float)
+    hole = np.array([[40, 40], [40, 60], [60, 60], [60, 40], [40, 40]], dtype=float)
+    t = pa.table(
+        {
+            "pid": pa.array([7], pa.int64()),
+            "geometry_wkb": pa.array([wkb.encode_polygon([outer, hole])], pa.binary()),
+        }
+    )
+    rings = geom_ops.polygons_to_rings(t, "pid")
+    assert rings["ring_kind"].to_pylist() == [0, 1]
+
+    # identity roundtrip preserves area
+    rebuilt = geom_ops.rings_to_polygons(rings.to_pandas())
+    pg = wkb.decode_polygons(rebuilt["geometry_wkb"].to_numpy())
+    assert kernels.polygon_areas(pg)[0] == 10000.0 - 400.0
+
+    # interior-only UDF: dilate the hole 2x about its centroid
+    def grow(ring):
+        c = ring[:-1].mean(axis=0)
+        out = c + (ring - c) * 2.0
+        out[-1] = out[0]
+        return out
+
+    grown = geom_ops.apply_ring_func(rings, grow, only_interiors=True)
+    rebuilt2 = geom_ops.rings_to_polygons(grown.to_pandas())
+    pg2 = wkb.decode_polygons(rebuilt2["geometry_wkb"].to_numpy())
+    assert kernels.polygon_areas(pg2)[0] == 10000.0 - 1600.0  # hole 4x area
+
+    # distributed shape: groupby(row_id).map_groups rebuild
+    ds = rd.from_arrow(geom_ops.polygons_to_rings(t, "pid"))
+    out = ds.groupby("row_id").map_groups(
+        geom_ops.rings_to_polygons, batch_format="pandas"
+    ).to_pandas()
+    pg3 = wkb.decode_polygons(out["geometry_wkb"].to_numpy())
+    assert kernels.polygon_areas(pg3)[0] == 9600.0
+
+
+def test_boundary_lines_lengths():
+    t = pa.table(
+        {
+            "pid": pa.array([1], pa.int64()),
+            "geometry_wkb": pa.array(
+                [wkb.encode_polygon(
+                    [np.array([[0, 0], [30, 0], [30, 10], [0, 10], [0, 0]], dtype=float)]
+                )],
+                pa.binary(),
+            ),
+        }
+    )
+    out = geom_ops.boundary_lines(t, "pid").to_pandas()
+    assert out["ring_len_i"].tolist() == [80]
