@@ -342,6 +342,64 @@ def q_overlay_difference_area(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+# Klee sweep over axis rects in xy (no uv transform): covered area of a
+# set of rects per group — used to oracle-check difference/union legs.
+def _rect_cover_sweep_sql(inter_cte: str, group_col: str) -> str:
+    return f"""
+xs AS (
+  SELECT DISTINCT {group_col}, u FROM (
+    SELECT {group_col}, x0 AS u FROM inter
+    UNION ALL SELECT {group_col}, x1 FROM inter)
+),
+slabs AS (
+  SELECT {group_col}, u AS a,
+         lead(u) OVER (PARTITION BY {group_col} ORDER BY u) AS b
+  FROM xs
+),
+cover AS (
+  SELECT s.{group_col}, s.a, s.b, i.y0, i.y1
+  FROM slabs s JOIN inter i
+    ON i.{group_col} = s.{group_col} AND i.x0 <= s.a AND i.x1 >= s.b
+  WHERE s.b IS NOT NULL
+),
+merged AS (
+  SELECT {group_col}, a, b, y0, y1,
+         max(y1) OVER (PARTITION BY {group_col}, a ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM cover
+),
+pieces AS (
+  SELECT {group_col}, a, b,
+         greatest(y1 - greatest(y0, coalesce(prev_max, y0)), 0) AS len
+  FROM merged
+),
+covered AS (
+  SELECT {group_col}, CAST(sum((b - a) * len) AS BIGINT) AS covered_area
+  FROM pieces GROUP BY {group_col}
+)
+"""
+
+
+SQL_OVERLAY_DIFFERENCE_AREA = (
+    "WITH pboxes AS (" + PART_SQL + "),\noboxes AS (" + ORD_SQL + "),\n"
+    """inter AS (
+  SELECT p.p_partkey, greatest(p.minx, o.minx) AS x0, greatest(p.miny, o.miny) AS y0,
+         least(p.maxx, o.maxx) AS x1, least(p.maxy, o.maxy) AS y1
+  FROM pboxes p JOIN oboxes o
+    ON least(p.maxx, o.maxx) > greatest(p.minx, o.minx)
+   AND least(p.maxy, o.maxy) > greatest(p.miny, o.miny)
+),
+"""
+    + _rect_cover_sweep_sql("inter", "p_partkey").lstrip()
+    + """
+SELECT p.p_partkey,
+       (p.maxx - p.minx) * (p.maxy - p.miny) - coalesce(c.covered_area, 0) AS diff_area
+FROM pboxes p LEFT JOIN covered c USING (p_partkey)
+WHERE (p.maxx - p.minx) * (p.maxy - p.miny) - coalesce(c.covered_area, 0) > 0
+"""
+)
+
+
 def q_geom_area(sf_dir: str):
     """Shoelace area of each supplier diamond from its WKB (engine kernel
     path); closed form 2·r² on the oracle side."""
@@ -470,6 +528,96 @@ def q_dissolve_union_area(sf_dir: str):
 # ---------------------------------------------------------------------------
 # relational queries
 # ---------------------------------------------------------------------------
+
+
+# Klee-sweep SQL oracle for union areas of diamond groups: diamonds become
+# axis rects in the uv frame (u=sx+sy, v=sx−sy, half-size r); per group,
+# decompose u into elementary slabs, union the v-intervals covering each
+# slab via a running-max window, and sum slab_width × covered_length / 2
+# (the uv→xy area factor). Pure window functions — no recursion needed.
+def _union_area_sweep_sql(groups_cte: str, group_col: str) -> str:
+    return f"""
+rects AS (
+  SELECT g.{group_col}, s.sx + s.sy - s.r AS u0, s.sx - s.sy - s.r AS v0,
+         s.sx + s.sy + s.r AS u1, s.sx - s.sy + s.r AS v1
+  FROM ({groups_cte}) g JOIN ({SUP_SQL}) s USING (s_suppkey)
+),
+xs AS (
+  SELECT DISTINCT {group_col}, u FROM (
+    SELECT {group_col}, u0 AS u FROM rects
+    UNION ALL SELECT {group_col}, u1 FROM rects)
+),
+slabs AS (
+  SELECT {group_col}, u AS a,
+         lead(u) OVER (PARTITION BY {group_col} ORDER BY u) AS b
+  FROM xs
+),
+cover AS (
+  SELECT s.{group_col}, s.a, s.b, r.v0, r.v1
+  FROM slabs s JOIN rects r
+    ON r.{group_col} = s.{group_col} AND r.u0 <= s.a AND r.u1 >= s.b
+  WHERE s.b IS NOT NULL
+),
+merged AS (
+  SELECT {group_col}, a, b, v0, v1,
+         max(v1) OVER (PARTITION BY {group_col}, a ORDER BY v0, v1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM cover
+),
+pieces AS (
+  SELECT {group_col}, a, b,
+         greatest(v1 - greatest(v0, coalesce(prev_max, v0)), 0) AS len
+  FROM merged
+),
+areas AS (
+  SELECT {group_col},
+         CAST(sum((b - a) * len) AS BIGINT) // 2 AS union_area_i
+  FROM pieces GROUP BY {group_col}
+)
+"""
+
+
+_CLUSTER_LABELS_CTE = f"""
+WITH RECURSIVE sup2 AS ({SUP_SQL}),
+edges AS (
+  SELECT a.s_suppkey AS ia, b.s_suppkey AS ib FROM sup2 a, sup2 b
+  WHERE abs(a.sx - b.sx) + abs(a.sy - b.sy) <= a.r + b.r
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+),
+labels AS (SELECT ia AS s_suppkey, min(ib) AS cluster_label FROM reach GROUP BY ia)
+SELECT s_suppkey, cluster_label FROM labels
+"""
+
+SQL_DISSOLVE_UNION_AREA = (
+    "WITH RECURSIVE sup2 AS (" + SUP_SQL + "),\n"
+    "edges AS (SELECT a.s_suppkey AS ia, b.s_suppkey AS ib FROM sup2 a, sup2 b\n"
+    "  WHERE abs(a.sx - b.sx) + abs(a.sy - b.sy) <= a.r + b.r),\n"
+    "reach(ia, ib) AS (SELECT ia, ib FROM edges UNION\n"
+    "  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia),\n"
+    "labels AS (SELECT ia AS s_suppkey, min(ib) AS cluster_label FROM reach GROUP BY ia),\n"
+    + _union_area_sweep_sql("SELECT s_suppkey, cluster_label FROM labels", "cluster_label").lstrip()
+    + """
+SELECT l.cluster_label, count(*) AS n_members, a.union_area_i
+FROM labels l JOIN areas a USING (cluster_label)
+GROUP BY l.cluster_label, a.union_area_i
+"""
+)
+
+SQL_DISSEXP_BY_CAT = (
+    "WITH "
+    + _union_area_sweep_sql(
+        "SELECT s_suppkey, s_nationkey FROM supplier", "s_nationkey"
+    ).lstrip()
+    + """
+SELECT s.s_nationkey, count(*) AS n_members, a.union_area_i
+FROM supplier s JOIN areas a USING (s_nationkey)
+GROUP BY s.s_nationkey, a.union_area_i
+"""
+)
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -882,6 +1030,33 @@ FROM ({PART_SQL}) a JOIN ({PART_SQL.replace('p_partkey', 'p_partkey')}) b
  AND least(a.maxx, b.maxx) > greatest(a.minx, b.minx)
  AND least(a.maxy, b.maxy) > greatest(a.miny, b.miny)
 """
+
+
+SQL_UPDATE_GEOMETRIES = (
+    "WITH sup2 AS (" + SUP_SQL + "),\n"
+    """rects AS (
+  SELECT s_suppkey, r, sx + sy - r AS u0, sx - sy - r AS v0,
+         sx + sy + r AS u1, sx - sy + r AS v1
+  FROM sup2
+),
+inter AS (
+  -- clip of every EARLIER (larger area, then smaller key) diamond to row i
+  SELECT i.s_suppkey, greatest(i.u0, j.u0) AS x0, greatest(i.v0, j.v0) AS y0,
+         least(i.u1, j.u1) AS x1, least(i.v1, j.v1) AS y1
+  FROM rects i JOIN rects j
+    ON (j.r > i.r OR (j.r = i.r AND j.s_suppkey < i.s_suppkey))
+   AND least(i.u1, j.u1) > greatest(i.u0, j.u0)
+   AND least(i.v1, j.v1) > greatest(i.v0, j.v0)
+),
+"""
+    + _rect_cover_sweep_sql("inter", "s_suppkey").lstrip()
+    + """
+SELECT r.s_suppkey,
+       2 * (SELECT s.r * s.r FROM sup2 s WHERE s.s_suppkey = r.s_suppkey)
+     - coalesce(c.covered_area, 0) // 2 AS kept_area_i
+FROM rects r LEFT JOIN covered c USING (s_suppkey)
+"""
+)
 
 
 def q_update_geometries(sf_dir: str):
@@ -1428,6 +1603,68 @@ def q_overlay_union(sf_dir: str):
     return pa.Table.from_pandas(agg, preserve_index=False)
 
 
+SQL_OVERLAY_UNION = (
+    "WITH pboxes AS (" + PART_SQL + "),\noboxes AS (" + ORD_SQL + "),\n"
+    """pairs AS (
+  SELECT p.p_partkey, o.o_orderkey,
+         greatest(p.minx, o.minx) AS x0, greatest(p.miny, o.miny) AS y0,
+         least(p.maxx, o.maxx) AS x1, least(p.maxy, o.maxy) AS y1
+  FROM pboxes p JOIN oboxes o
+    ON least(p.maxx, o.maxx) > greatest(p.minx, o.minx)
+   AND least(p.maxy, o.maxy) > greatest(p.miny, o.miny)
+),
+inter AS (SELECT p_partkey, x0, y0, x1, y1 FROM pairs),
+"""
+    + _rect_cover_sweep_sql("inter", "p_partkey").lstrip()
+    + """,
+inter_o AS (SELECT o_orderkey, x0, y0, x1, y1 FROM pairs),
+xs_o AS (
+  SELECT DISTINCT o_orderkey, u FROM (
+    SELECT o_orderkey, x0 AS u FROM inter_o
+    UNION ALL SELECT o_orderkey, x1 FROM inter_o)
+),
+slabs_o AS (
+  SELECT o_orderkey, u AS a,
+         lead(u) OVER (PARTITION BY o_orderkey ORDER BY u) AS b
+  FROM xs_o
+),
+cover_o AS (
+  SELECT s.o_orderkey, s.a, s.b, i.y0, i.y1
+  FROM slabs_o s JOIN inter_o i
+    ON i.o_orderkey = s.o_orderkey AND i.x0 <= s.a AND i.x1 >= s.b
+  WHERE s.b IS NOT NULL
+),
+merged_o AS (
+  SELECT o_orderkey, a, b, y0, y1,
+         max(y1) OVER (PARTITION BY o_orderkey, a ORDER BY y0, y1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM cover_o
+),
+pieces_o AS (
+  SELECT o_orderkey, a, b,
+         greatest(y1 - greatest(y0, coalesce(prev_max, y0)), 0) AS len
+  FROM merged_o
+),
+covered_o AS (
+  SELECT o_orderkey, CAST(sum((b - a) * len) AS BIGINT) AS covered_area
+  FROM pieces_o GROUP BY o_orderkey
+)
+SELECT 'inter' AS leg,
+       CAST(sum((x1 - x0) * (y1 - y0)) AS BIGINT) AS total_area FROM pairs
+UNION ALL
+SELECT 'left' AS leg,
+       CAST(sum((p.maxx - p.minx) * (p.maxy - p.miny)) AS BIGINT)
+     - (SELECT CAST(sum(covered_area) AS BIGINT) FROM covered)
+FROM pboxes p
+UNION ALL
+SELECT 'right' AS leg,
+       CAST(sum((o.maxx - o.minx) * (o.maxy - o.miny)) AS BIGINT)
+     - (SELECT CAST(sum(covered_area) AS BIGINT) FROM covered_o)
+FROM oboxes o
+"""
+)
+
+
 def q_events_sessions(sf_dir: str):
     """Session windows (30-min gap) per user over the events stream."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
@@ -1608,19 +1845,19 @@ REGISTRY: dict[str, tuple] = {
     "tile_assign": (q_tile_assign, SQL_TILE_ASSIGN),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),
     "overlay_intersection": (q_overlay_intersection, SQL_OVERLAY_INTERSECTION),
-    "overlay_difference_area": (q_overlay_difference_area, None),
+    "overlay_difference_area": (q_overlay_difference_area, SQL_OVERLAY_DIFFERENCE_AREA),
     "geom_area": (q_geom_area, SQL_GEOM_AREA),
     "bounds_agg": (q_bounds_agg, SQL_BOUNDS_AGG),
     "poly_clusters": (q_poly_clusters, SQL_POLY_CLUSTERS),
     "cluster_sizes": (q_cluster_sizes, SQL_CLUSTER_SIZES),
-    "dissolve_union_area": (q_dissolve_union_area, None),
+    "dissolve_union_area": (q_dissolve_union_area, SQL_DISSOLVE_UNION_AREA),
     # breadth: geometry types / sorts / buffered joins / self-overlay
     "geom_type_counts": (q_geom_type_counts, SQL_GEOM_TYPE_COUNTS),
     "explode_singlepart": (q_explode_singlepart, SQL_EXPLODE_SINGLEPART),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
     "size_rank": (q_size_rank, SQL_SIZE_RANK),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
-    "update_geometries": (q_update_geometries, None),
+    "update_geometries": (q_update_geometries, SQL_UPDATE_GEOMETRIES),
     "get_holes": (q_get_holes, SQL_GET_HOLES),
     "close_holes": (q_close_holes, SQL_CLOSE_HOLES),
     "cut_lines": (q_cut_lines, SQL_CUT_LINES),
@@ -1629,9 +1866,9 @@ REGISTRY: dict[str, tuple] = {
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
-    "dissexp_by_cat": (q_dissexp_by_cat, None),
+    "dissexp_by_cat": (q_dissexp_by_cat, SQL_DISSEXP_BY_CAT),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
-    "overlay_union": (q_overlay_union, None),
+    "overlay_union": (q_overlay_union, SQL_OVERLAY_UNION),
     "knn_ties": (q_knn_ties, SQL_KNN_TIES),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
