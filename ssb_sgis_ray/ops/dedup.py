@@ -110,19 +110,26 @@ def _band_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
-def minhash_candidate_pairs(docs_ds):
+def minhash_candidate_pairs(docs_ds, driver_merge_limit: int = 2_000_000):
     """documents Dataset -> deduplicated candidate pair Dataset (id_a<id_b).
 
     Shuffle key = (band_id, band_hash); bucket sizes are naturally bounded
     for non-pathological data, and a hot bucket (giant near-dup cluster)
     produces O(n²) pairs — callers cap bucket size upstream if needed.
+    The same pair can fire in several bands; small candidate streams are
+    deduplicated driver-side (Ray multi-key groupby fixed overhead),
+    larger ones with a distributed groupby.
     """
+    import ray.data as rd
+
     bands = docs_ds.map_batches(MinHashStage, batch_format="pandas",
                                 concurrency=(1, 8), batch_size=4096)
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _band_groups_to_pairs, batch_format="pandas"
-    )
-    # same pair can fire in several bands -> distinct
+    ).materialize()
+    if pairs.count() <= driver_merge_limit:
+        df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return rd.from_pandas(df.reset_index(drop=True))
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
