@@ -743,6 +743,31 @@ def q_langid(sf_dir: str):
     )
 
 
+def _langid_sql() -> str:
+    """Oracle recomputes the stopword-vote argmax: per language, count
+    lowercase [a-z]+ tokens in that language's stopword list; winner =
+    max count (> 0), ties to the lexicographically smallest code."""
+    scores = []
+    for lang, words in sorted(text_ops.LANG_STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            f"x -> x IN ({lst}))) AS score FROM documents"
+        )
+    union = "\nUNION ALL\n".join(scores)
+    return f"""
+WITH scores AS ({union}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scores
+)
+SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+FROM best WHERE rn = 1
+"""
+
+
 def q_fingerprint(sf_dir: str):
     return documents(sf_dir).map_batches(
         text_ops.Fingerprint, batch_format="pandas", concurrency=(1, 8), batch_size=2048
@@ -1884,7 +1909,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_bands": (q_minhash_bands, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash": (q_simhash, None),
-    "langid": (q_langid, None),
+    "langid": (q_langid, _langid_sql()),
     "fingerprint": (q_fingerprint, None),
     # embeddings / ANN
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

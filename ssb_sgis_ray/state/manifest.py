@@ -84,17 +84,22 @@ def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
         g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, final)  # atomic publish
-        return pd.DataFrame(
-            {
-                "stage": [stage],
-                "partition": [key],
-                "n_rows": [len(g)],
-                "n_bytes": [os.path.getsize(final)],
-                "input_hash": [partition_input_hash(g, id_col)],
-                "wall_s": [round(time.time() - t0, 4)],
-                "path": [final],
-            }
-        )
+        row = {
+            "stage": stage,
+            "partition": key,
+            "n_rows": len(g),
+            "n_bytes": os.path.getsize(final),
+            "input_hash": partition_input_hash(g, id_col),
+            "wall_s": round(time.time() - t0, 4),
+            "path": final,
+        }
+        # the WORKER records its own completion immediately (O_APPEND line
+        # writes are atomic for lines < PIPE_BUF), so a driver killed
+        # mid-job still leaves finished partitions resumable — true
+        # mid-pipeline checkpointing, not end-of-job bookkeeping
+        with open(manifest_path(out_dir), "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return pd.DataFrame({k: [v] for k, v in row.items()})
 
     return write_one
 
@@ -120,11 +125,12 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
             return batch[~batch[partition_col].astype(str).isin(done_keys)]
 
         ds = ds.map_batches(drop_done, batch_format="pandas")
+    os.makedirs(out_dir, exist_ok=True)
     writer = make_partition_writer(out_dir, partition_col, id_col, stage)
     metrics = ds.groupby(partition_col).map_groups(writer, batch_format="pandas")
-    rows = metrics.to_pandas().to_dict("records")  # small: one row/partition
-    append_manifest(out_dir, rows)
-    return rows
+    # workers already appended their own manifest rows (mid-job kill safe);
+    # the collected metrics are returned as this run's lineage record
+    return metrics.to_pandas().to_dict("records")
 
 
 def verify_manifest(out_dir: str) -> dict:
