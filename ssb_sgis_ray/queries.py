@@ -774,6 +774,19 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+# exact for ASCII corpora (UTF-8 bytes == codepoints); the engine hashes
+# raw UTF-8 bytes, the oracle per-character codepoints — identical here
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(string_split(text, ''), x -> CAST(unicode(x) AS HUGEINT))),
+    (a, b) -> (a * 1000003 + b) % 2305843009213693951
+  ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN / embeddings
 # ---------------------------------------------------------------------------
@@ -1910,7 +1923,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash": (q_simhash, None),
     "langid": (q_langid, _langid_sql()),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     # embeddings / ANN
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
