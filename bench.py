@@ -73,9 +73,10 @@ def run_bench() -> dict:
 
     bench_queries = [
         "pip_pairs", "pip_pairs_cell", "knn3", "tile_assign", "tile_cover",
-        "overlay_intersection", "lineitem_agg", "events_hourly",
-        "token_stats", "exact_dedup", "minhash_bands", "ann_topk",
-        "image_exact_dedup", "image_tiles",
+        "overlay_intersection", "overlay_concave_inter", "buffer_line_area",
+        "poly_clusters", "lineitem_agg", "events_hourly",
+        "token_stats", "exact_dedup", "minhash_bands", "minhash_pairs",
+        "simhash", "ann_topk", "image_exact_dedup", "image_tiles",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -179,17 +179,19 @@ def cover_bbox(
 
 
 def ssb_grid_id(x: np.ndarray, y: np.ndarray, gridsize: int) -> np.ndarray:
-    """Deterministic SSB-style grid cell id for points.
+    """Deterministic SSB grid cell id for points.
 
-    Mirrors the reference's ``add_grid_id`` math
-    (/root/reference/src/sgis/geopandas_tools/bounds.py:341-372): the id is
-    the string concatenation of the floored, grid-aligned x and y
-    coordinates (zero-padded to 7 digits each), i.e. the lower-left corner
-    of the containing cell.
+    Matches the reference's ``add_grid_id`` recipe exactly
+    (/root/reference/src/sgis/geopandas_tools/bounds.py:357-371):
+    east component = floor((x + 2_000_000) / gridsize) * gridsize,
+    north component = floor(y / gridsize) * gridsize, both rendered as
+    unpadded int strings and concatenated (Statistics-Norway SSBID).
     """
-    gx = (np.floor(np.asarray(x, np.float64) / gridsize) * gridsize).astype(np.int64)
+    gx = (
+        np.floor((np.asarray(x, np.float64) + 2_000_000) / gridsize) * gridsize
+    ).astype(np.int64)
     gy = (np.floor(np.asarray(y, np.float64) / gridsize) * gridsize).astype(np.int64)
-    return np.array([f"{a:07d}{b:07d}" for a, b in zip(gx, gy)], dtype=object)
+    return np.array([f"{a}{b}" for a, b in zip(gx, gy)], dtype=object)
 
 
 def tile_xy(x: np.ndarray, y: np.ndarray, gridsize: int) -> tuple[np.ndarray, np.ndarray]:

@@ -609,3 +609,157 @@ def rects_to_rings(boxes: np.ndarray) -> np.ndarray:
     rings[:, 3, 1] = boxes[:, 3]
     rings[:, 4] = rings[:, 0]
     return rings
+
+
+def decompose_rectilinear(pg: PolygonArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row slab decomposition of RECTILINEAR polygons into disjoint rects.
+
+    A row qualifies when every edge of every ring is axis-parallel (holes
+    and concavity welcome). Qualifying rows are decomposed by y-slab +
+    even-odd pairing of crossing vertical edges — the same interval-math
+    trick GEOS' rectangle fast path exploits, generalized to any
+    rectilinear shape so L-shapes / holed boxes keep vectorized overlay.
+
+    Returns (rects (N,4), offsets (n+1,), ok (n,) bool). Rows with
+    ok=False contribute zero rects and must use the generic engine.
+    """
+    n = len(pg)
+    ok = np.ones(n, dtype=bool)
+    all_rects: list[np.ndarray] = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        r0 = pg.poly_offsets[pg.geom_offsets[i]]
+        r1 = pg.poly_offsets[pg.geom_offsets[i + 1]]
+        vx, vylo, vyhi = [], [], []
+        rect_ok = True
+        for r in range(r0, r1):
+            ring = pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+            dx = np.diff(ring[:, 0])
+            dy = np.diff(ring[:, 1])
+            if not np.all((dx == 0) | (dy == 0)):
+                rect_ok = False
+                break
+            vert = dx == 0
+            if vert.any():
+                vx.append(ring[:-1, 0][vert])
+                y1 = ring[:-1, 1][vert]
+                y2 = ring[1:, 1][vert]
+                vylo.append(np.minimum(y1, y2))
+                vyhi.append(np.maximum(y1, y2))
+        if not rect_ok or not vx:
+            ok[i] = rect_ok and not vx  # degenerate empty stays "ok" w/ 0 rects
+            offsets[i + 1] = offsets[i]
+            if not rect_ok:
+                ok[i] = False
+            continue
+        ex = np.concatenate(vx)
+        eylo = np.concatenate(vylo)
+        eyhi = np.concatenate(vyhi)
+        ys = np.unique(np.concatenate([eylo, eyhi]))
+        rects = []
+        for s in range(len(ys) - 1):
+            y0, y1 = ys[s], ys[s + 1]
+            act = (eylo <= y0) & (eyhi >= y1)
+            xs = np.sort(ex[act])
+            # even-odd pairing
+            for j in range(0, len(xs) - 1, 2):
+                if xs[j + 1] > xs[j]:
+                    rects.append((xs[j], y0, xs[j + 1], y1))
+        if rects:
+            all_rects.append(np.array(rects, dtype=np.float64))
+            offsets[i + 1] = offsets[i] + len(rects)
+        else:
+            offsets[i + 1] = offsets[i]
+    rect_arr = (
+        np.concatenate(all_rects, axis=0) if all_rects else np.zeros((0, 4))
+    )
+    return rect_arr, offsets, ok
+
+
+def rect_sets_inter_areas(
+    lrects: np.ndarray, loffs: np.ndarray, li: np.ndarray,
+    rrects: np.ndarray, roffs: np.ndarray, ri: np.ndarray,
+) -> np.ndarray:
+    """Pairwise intersection area of two disjoint-rect sets, vectorized.
+
+    For candidate pairs (li[k], ri[k]): expands each pair to the cross
+    product of its member rects with repeat arithmetic (no Python loop)
+    and bincounts the clamped overlap products back per pair.
+    """
+    P = len(li)
+    if P == 0:
+        return np.zeros(0)
+    cl = (loffs[li + 1] - loffs[li]).astype(np.int64)
+    cr = (roffs[ri + 1] - roffs[ri]).astype(np.int64)
+    tot = cl * cr
+    T = int(tot.sum())
+    if T == 0:
+        return np.zeros(P)
+    pair_id = np.repeat(np.arange(P), tot)
+    base = np.concatenate([[0], np.cumsum(tot)])[:-1]
+    t = np.arange(T) - np.repeat(base, tot)
+    cr_e = np.repeat(cr, tot)
+    lidx = np.repeat(loffs[li], tot) + t // cr_e
+    ridx = np.repeat(roffs[ri], tot) + t % cr_e
+    a = lrects[lidx]
+    b = rrects[ridx]
+    w = np.minimum(a[:, 2], b[:, 2]) - np.maximum(a[:, 0], b[:, 0])
+    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 1], b[:, 1])
+    ov = np.where((w > 0) & (h > 0), w * h, 0.0)
+    return np.bincount(pair_id, weights=ov, minlength=P)
+
+
+def rect_sets_inter_boxes(
+    lrects: np.ndarray, loffs: np.ndarray, li: int,
+    rrects: np.ndarray, roffs: np.ndarray, ri: int,
+) -> np.ndarray:
+    """Disjoint overlap rects of ONE pair of rect sets (geometry output)."""
+    a = lrects[loffs[li] : loffs[li + 1]]
+    b = rrects[roffs[ri] : roffs[ri + 1]]
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((0, 4))
+    A = np.repeat(a, len(b), axis=0)
+    B = np.tile(b, (len(a), 1))
+    x0 = np.maximum(A[:, 0], B[:, 0])
+    y0 = np.maximum(A[:, 1], B[:, 1])
+    x1 = np.minimum(A[:, 2], B[:, 2])
+    y1 = np.minimum(A[:, 3], B[:, 3])
+    m = (x1 > x0) & (y1 > y0)
+    return np.stack([x0, y0, x1, y1], axis=1)[m]
+
+
+def shared_border_length(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> float:
+    """Total length of collinear boundary overlap between two ringsets.
+
+    The geometric core of eliminate_by_longest (reference
+    polygon_operations.py:240-259: to_lines overlay + length): for every
+    edge pair, if the segments are collinear, add their 1-D projected
+    overlap length. Fully vectorized over the edge cross product.
+    """
+    if not rings_a or not rings_b:
+        return 0.0
+    A = np.concatenate([np.stack([r[:-1], r[1:]], axis=1) for r in rings_a])
+    B = np.concatenate([np.stack([r[:-1], r[1:]], axis=1) for r in rings_b])
+    a1 = A[:, 0][:, None, :]
+    a2 = A[:, 1][:, None, :]
+    b1 = B[None, :, 0, :]
+    b2 = B[None, :, 1, :]
+    d = a2 - a1  # (na,1,2)
+    e = b2 - b1  # (1,nb,2)
+    # parallel AND collinear (b1 on line a)
+    parallel = d[..., 0] * e[..., 1] - d[..., 1] * e[..., 0] == 0
+    coll = (
+        d[..., 0] * (b1[..., 1] - a1[..., 1])
+        - d[..., 1] * (b1[..., 0] - a1[..., 0])
+    ) == 0
+    len2 = (d * d).sum(axis=-1)  # (na,1)
+    s1 = ((b1 - a1) * d).sum(axis=-1)
+    s2 = ((b2 - a1) * d).sum(axis=-1)
+    lo = np.minimum(s1, s2)
+    hi = np.maximum(s1, s2)
+    ov = np.minimum(hi, len2) - np.maximum(lo, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        seg_len = np.where(
+            parallel & coll & (ov > 0) & (len2 > 0), ov / np.sqrt(len2), 0.0
+        )
+    return float(seg_len.sum())

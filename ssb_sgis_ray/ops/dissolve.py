@@ -38,6 +38,24 @@ from ..geo.strtree import STRtree
 UNION_FIND_LIMIT = 5_000_000  # pairs; above this use distributed label prop
 
 
+def default_join_partitions(requested: int | None = None) -> int:
+    """Join/shuffle partition count bounded by the cluster's CPUs.
+
+    Ray hash joins spin up one aggregator actor per partition; asking for
+    32 partitions inside a 4-CPU test session just queues actors. Scale
+    requests down to the actual CPU count (floor 2).
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    cap = max(2, cpus)
+    return min(requested or cap, cap)
+
+
+
 def self_intersect_pairs(table: pa.Table, id_col: str) -> pd.DataFrame:
     """All (id_a, id_b) pairs of intersecting polygons (a < b), one table.
 
@@ -54,6 +72,112 @@ def self_intersect_pairs(table: pa.Table, id_col: str) -> pd.DataFrame:
         qi, pi = qi[keep], pi[keep]
     ids = table[id_col].to_numpy(zero_copy_only=False)
     return pd.DataFrame({"id_a": ids[qi], "id_b": ids[pi]})
+
+
+def self_intersect_pairs_ds(polys_ds, id_col: str, res: int = 8):
+    """Distributed self-join intersect pairs via cell co-partitioning.
+
+    Each polygon is tagged with every grid cell its bbox covers; pairs are
+    found per cell (STRtree + exact refine) and deduplicated WITHOUT a
+    second shuffle by the anchor-cell rule: a pair is emitted only by the
+    cell containing the min-corner of the two bboxes' intersection (every
+    intersecting pair has exactly one such cell in both covers).
+    Returns a Dataset (id_a, id_b) with id_a < id_b.
+    """
+    from ..geo import cells
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(batch["geometry_wkb"])
+        b = kernels.polygon_bounds(pg)
+        rows, cell = cells.cover_bbox(
+            b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "pid": batch[id_col].take(pa.array(rows, pa.int64())).cast(pa.int64()),
+                "minx": pa.array(b[rows, 0]),
+                "miny": pa.array(b[rows, 1]),
+                "geometry_wkb": batch["geometry_wkb"].take(pa.array(rows, pa.int64())),
+            }
+        )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        pg = wkb.decode_polygons(g["geometry_wkb"].to_numpy())
+        b = kernels.polygon_bounds(pg)
+        tree = STRtree(b)
+        qi, pi = tree.query_bbox(b)
+        mask = qi < pi
+        qi, pi = qi[mask], pi[mask]
+        if len(qi) == 0:
+            return empty
+        # anchor-cell dedup before the (more expensive) exact refine
+        ax = np.maximum(g["minx"].to_numpy()[qi], g["minx"].to_numpy()[pi])
+        ay = np.maximum(g["miny"].to_numpy()[qi], g["miny"].to_numpy()[pi])
+        anchor = cells.xy_to_cell(ax, ay, res)
+        here = int(g["cell"].iloc[0])
+        mask = anchor == here
+        qi, pi = qi[mask], pi[mask]
+        if len(qi) == 0:
+            return empty
+        keep = kernels.polygons_intersect_pairs(pg, pg, qi, pi)
+        qi, pi = qi[keep], pi[keep]
+        ids = g["pid"].to_numpy()
+        a = ids[qi]
+        bb = ids[pi]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, bb).astype(np.int64),
+             "id_b": np.maximum(a, bb).astype(np.int64)}
+        )
+
+    return polys_ds.map_batches(tag, batch_format="pyarrow").groupby("cell").map_groups(
+        per_cell, batch_format="pandas"
+    )
+
+
+def cluster_labels_ds(
+    polys_ds,
+    id_col: str,
+    res: int = 8,
+    num_partitions: int | None = None,
+    limit: int = UNION_FIND_LIMIT,
+):
+    """get_polygon_clusters, fully distributed: cell-partitioned pairs →
+    connected components → left join back (isolated rows label = own id).
+    Returns the input Dataset with a ``cluster_label`` int64 column.
+    """
+    num_partitions = default_join_partitions(num_partitions)
+    polys_ds = polys_ds.materialize()  # consumed twice: pairs + join-back
+    pairs = self_intersect_pairs_ds(polys_ds, id_col, res=res)
+    labels = connected_components(pairs, limit=limit, num_partitions=num_partitions)
+    if labels.count() == 0:  # no overlaps at all: every row its own cluster
+        # (Ray's hash join chokes on an entirely empty side)
+        def own_label(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column("cluster_label", pa.array(ids, pa.int64()))
+
+        return polys_ds.map_batches(own_label, batch_format="pyarrow")
+    joined = polys_ds.join(
+        labels,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("node",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lab = np.where(np.isnan(lab), ids, lab).astype(np.int64)
+        out = b.drop_columns([c for c in ("label", "node") if c in b.column_names])
+        return out.append_column("cluster_label", pa.array(lab, pa.int64()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def union_find_labels(ids: np.ndarray, pairs: pd.DataFrame) -> np.ndarray:
@@ -78,17 +202,26 @@ def union_find_labels(ids: np.ndarray, pairs: pd.DataFrame) -> np.ndarray:
     return lab[roots]
 
 
-def label_propagation(pairs_ds, max_rounds: int = 50):
-    """Distributed connected components: min-label propagation rounds.
+def label_propagation(pairs_ds, max_rounds: int = 50, num_partitions: int | None = None):
+    """Distributed connected components — stays in Ray Data end to end.
 
-    pairs_ds: Dataset of (id_a, id_b). Returns Dataset (node, label).
-    Each round: every node adopts the min label among itself and its
-    neighbors (groupby(node).min). Converges when a round changes nothing.
+    pairs_ds: Dataset of (id_a, id_b). Returns Dataset (node, label) with
+    label = min node id in the component.
+
+    Plan per round (no driver materialization, all vectorized):
+      1. ``edges ⋈ labels`` hash join on the *peer* endpoint → each edge
+         emits its peer's current label as a candidate for ``node``;
+      2. union with the current labels and ``groupby(node).min`` → new
+         labels, plus a per-row changed flag (vs a self-join on the old
+         label) whose global sum is the convergence test — the only value
+         that ever reaches the driver.
+    Min-label propagation converges in O(component diameter) rounds;
+    buffer/diamond overlap clusters are shallow. Raises RuntimeError when
+    ``max_rounds`` is exhausted before convergence (a truncated result is
+    *wrong*, not approximate — ADVICE r1).
     """
-    import ray.data as rd
     from ray.data.aggregate import Min
 
-    # edge list both directions + self edges
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
@@ -96,37 +229,125 @@ def label_propagation(pairs_ds, max_rounds: int = 50):
         peer = np.concatenate([b, a])
         return pa.table({"node": pa.array(node, pa.int64()), "peer": pa.array(peer, pa.int64())})
 
+    num_partitions = default_join_partitions(num_partitions)
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    # label(n) = n initially; each round label(n) = min(label(n), label(peers))
-    labels = edges.groupby("node").aggregate(Min("peer", alias_name="label")).materialize()
+    # label(n) = min(n, min peer) after round 0's groupby
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "cand": pa.array(
+                        np.minimum(
+                            b["node"].to_numpy(zero_copy_only=False),
+                            b["peer"].to_numpy(zero_copy_only=False),
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("cand", alias_name="label"))
+        .materialize()
+    )
 
-    def join_round(labels):
-        # peer labels: edges ⋈ labels on peer -> (node, peer_label)
-        lab_tbl = labels.to_pandas()
-        lab_map = dict(zip(lab_tbl["node"], lab_tbl["label"]))
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            node = batch["node"].to_numpy(zero_copy_only=False)
-            peer = batch["peer"].to_numpy(zero_copy_only=False)
-            pl = np.array([lab_map.get(int(p), int(p)) for p in peer], dtype=np.int64)
-            nl = np.array([lab_map.get(int(nd), int(nd)) for nd in node], dtype=np.int64)
-            return pa.table(
-                {"node": pa.array(node, pa.int64()),
-                 "cand": pa.array(np.minimum(pl, nl), pa.int64())}
-            )
-
-        return edges.map_batches(relabel, batch_format="pyarrow").groupby("node").aggregate(
-            Min("cand", alias_name="label")
-        ).materialize()
-
-    prev = None
     for _ in range(max_rounds):
-        labels = join_round(labels)
-        cur = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        if prev is not None and cur.equals(prev):
-            break
-        prev = cur
-    return labels
+        # candidates: each edge adopts its peer's label for its node
+        peer_lab = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("peer",),
+            right_on=("node",),
+            right_suffix="_r",
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            peer_lab.union(
+                labels.map_batches(
+                    lambda b: pa.table({"node": b["node"], "cand": b["label"]}),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # convergence: any label strictly decreased?
+        changed = (
+            new_labels.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("node",),
+                left_suffix="_new",
+                right_suffix="_old",
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "changed": pa.array(
+                            (
+                                b["label_new"].to_numpy(zero_copy_only=False)
+                                != b["label_old"].to_numpy(zero_copy_only=False)
+                            ).astype(np.int64),
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("changed")
+        )
+        labels = new_labels
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"label_propagation did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the round budget"
+    )
+
+
+def connected_components(
+    pairs_ds,
+    limit: int = UNION_FIND_LIMIT,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+):
+    """(id_a, id_b) pair Dataset -> (node, label) Dataset.
+
+    Driver-side union-find when the pair table is provably bounded
+    (single-process, like the reference's networkx call —
+    polygon_operations.py:31-188); join-based distributed label
+    propagation above the limit. Every caller that needs components
+    should go through this dispatcher so the scale path is uniform.
+    """
+    import ray.data as rd
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+    if n_pairs <= limit:
+        df = pairs_ds.to_pandas()
+        nodes = np.unique(
+            np.concatenate(
+                [df["id_a"].to_numpy(np.int64), df["id_b"].to_numpy(np.int64)]
+            )
+        )
+        labels = union_find_labels(nodes, df)
+        return rd.from_pandas(
+            pd.DataFrame({"node": nodes.astype(np.int64), "label": labels})
+        )
+    return label_propagation(
+        pairs_ds, max_rounds=max_rounds, num_partitions=num_partitions
+    )
 
 
 def rect_painter_union(boxes: np.ndarray) -> np.ndarray:
@@ -209,6 +430,62 @@ def painter_union_pieces(rings: list[np.ndarray], areas: np.ndarray) -> list[np.
     return pieces
 
 
+def painter_kept_areas_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """update_geometries' painter for ONE overlap cluster: rows sorted
+    area-desc (ties by id), each keeps area minus the union of earlier
+    rows (duplicates.py:15-127). Runs inside groupby(cluster).map_groups —
+    clusters never interact, so per-cluster painting equals the global
+    painting order restricted to the cluster.
+
+    Fast path: diamonds as axis rects in the 45° uv frame. Generic path:
+    accumulated-ring difference via the boolean engine (the accumulated
+    union is just the ring soup — the winding rule unions it for free).
+    """
+    from ..geo import booleans
+
+    pg = wkb.decode_polygons(g["geometry_wkb"].to_numpy())
+    ids = g[id_col].to_numpy().astype(np.int64)
+    areas = kernels.polygon_areas(pg)
+    rings = [
+        pg.coords[pg.ring_offsets[pg.poly_offsets[pg.geom_offsets[i]]] :
+                  pg.ring_offsets[pg.poly_offsets[pg.geom_offsets[i]] + 1]]
+        for i in range(len(pg))
+    ]
+    order = np.lexsort((ids, -areas))
+    kept = np.zeros(len(ids))
+    uv = _rings_as_uv_rects(rings)
+    if uv is not None:
+        pieces = np.empty((0, 4))
+        for i in order:
+            mine = uv[i : i + 1]
+            for p in pieces:
+                mine = kernels.subtract_rect_from_rects(mine, p)
+                if len(mine) == 0:
+                    break
+            if len(mine):
+                kept[i] = ((mine[:, 2] - mine[:, 0]) * (mine[:, 3] - mine[:, 1])).sum() / 2.0
+                pieces = np.concatenate([pieces, mine], axis=0)
+    else:
+        acc_rings: list[np.ndarray] = []
+        acc_holes: list[bool] = []
+        for i in order:
+            r_r, r_h = booleans.ringset_of_row(pg, i)
+            if not acc_rings:
+                kept[i] = booleans.ringset_area(r_r, r_h)
+            else:
+                kept[i] = booleans.boolean_area(
+                    r_r, acc_rings, "difference", r_h, acc_holes
+                )
+            acc_rings.extend(r_r)
+            acc_holes.extend(r_h)
+    return pd.DataFrame(
+        {
+            id_col: ids,
+            "kept_area_i": np.round(kept).astype(np.int64),
+        }
+    )
+
+
 def union_pieces_and_area(rings: list[np.ndarray], areas: np.ndarray):
     """(pieces, union_area) — fast rect/diamond paths, generic fallback."""
     xyr = _rings_as_xy_rects(rings)
@@ -270,4 +547,78 @@ def dissolve_groups(grouped_ds, by: list[str]):
 
     return grouped_ds.groupby(by[0] if len(by) == 1 else by).map_groups(
         agg, batch_format="pandas"
+    )
+
+
+class EliminateByLongest:
+    """Actor stage for eliminate_by_longest's host assignment
+    (reference polygon_operations.py:240-259: borders = to_lines overlay,
+    longest border wins, ties keep the first host in sort order — here
+    deterministically the smallest host id).
+
+    Broadcast hosts table (``ray.put`` once, STRtree in __init__); each
+    sliver batch finds bbox-candidate hosts, measures the collinear
+    shared-border length, and emits (sliver id, host id, border length)
+    for its argmax host. Slivers bordering no host are dropped
+    (remove_isolated=True semantics) — callers wanting keep-isolated
+    union them back.
+    """
+
+    def __init__(self, hosts_ref, id_col: str, host_id_col: str):
+        import ray
+
+        from ..geo.strtree import STRtree as _Tree
+
+        hosts: pa.Table = ray.get(hosts_ref)
+        self.hpg = wkb.decode_polygons(hosts["geometry_wkb"])
+        self.hids = hosts[host_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.tree = _Tree(kernels.polygon_bounds(self.hpg))
+        self.id_col = id_col
+        self.host_id_col = host_id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spg = wkb.decode_polygons(batch["geometry_wkb"])
+        sids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = kernels.polygon_bounds(spg)
+        qi, pi = self.tree.query_bbox(sb)
+        out_s, out_h, out_len = [], [], []
+        for s in np.unique(qi) if len(qi) else []:
+            cand = pi[qi == s]
+            s_rings = kernels._all_rings(spg, int(s))
+            best_h, best_len = -1, 0.0
+            for h in cand:
+                ln = kernels.shared_border_length(
+                    s_rings, kernels._all_rings(self.hpg, int(h))
+                )
+                hid = int(self.hids[h])
+                if ln > best_len or (ln == best_len and ln > 0 and hid < best_h):
+                    best_h, best_len = hid, ln
+            if best_len > 0:
+                out_s.append(int(sids[s]))
+                out_h.append(best_h)
+                out_len.append(best_len)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_s, pa.int64()),
+                self.host_id_col: pa.array(out_h, pa.int64()),
+                "border_len": pa.array(np.asarray(out_len, np.float64), pa.float64()),
+            }
+        )
+
+
+def eliminate_by_longest_assign(slivers_ds, hosts: pa.Table, id_col: str,
+                                host_id_col: str, concurrency=(1, 8),
+                                batch_size: int = 1024):
+    """Dataset-level host assignment for eliminate_by_longest."""
+    import ray
+
+    ref = ray.put(hosts)
+    return slivers_ds.map_batches(
+        EliminateByLongest,
+        fn_constructor_kwargs={
+            "hosts_ref": ref, "id_col": id_col, "host_id_col": host_id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

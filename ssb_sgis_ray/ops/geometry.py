@@ -103,6 +103,148 @@ def buff_points(x: np.ndarray, y: np.ndarray, distance: float,
     return out
 
 
+def _disc_ring(cx: float, cy: float, d: float, resolution: int) -> np.ndarray:
+    """Inscribed circle polygon, 4*resolution segments, world-frame angles
+    starting at 0 (symmetric about both axes when resolution is even —
+    needed by the closed-form oracles on axis-aligned fixtures)."""
+    ang = np.linspace(0.0, 2 * np.pi, 4 * resolution + 1)
+    ring = np.stack([cx + d * np.cos(ang), cy + d * np.sin(ang)], axis=1)
+    ring[-1] = ring[0]
+    return ring
+
+
+def _buffer_components(rings: list[np.ndarray], d: float, resolution: int,
+                       include_interior: bool, closed: bool = True):
+    """Minkowski-dilation component ringsets: the original region (for
+    polygons), one oriented rectangle per edge, one disc per vertex.
+    Union of all components == region ⊕ disc (exactly, for the polygonal
+    disc approximation). ``closed=False`` (open polylines) also caps the
+    final vertex with a disc."""
+    comps: list[tuple[list[np.ndarray], None]] = []
+    if include_interior:
+        comps.append((rings, None))
+    for ring in rings:
+        if not closed and len(ring) >= 2:
+            comps.append(
+                ([_disc_ring(ring[-1, 0], ring[-1, 1], d, resolution)], None)
+            )
+        p = ring[:-1]
+        q = ring[1:]
+        dx = q[:, 0] - p[:, 0]
+        dy = q[:, 1] - p[:, 1]
+        ln = np.hypot(dx, dy)
+        ok = ln > 0
+        nx = np.where(ok, -dy / np.where(ok, ln, 1), 0.0) * d
+        ny = np.where(ok, dx / np.where(ok, ln, 1), 0.0) * d
+        for i in np.nonzero(ok)[0]:
+            rect = np.array(
+                [
+                    [p[i, 0] + nx[i], p[i, 1] + ny[i]],
+                    [q[i, 0] + nx[i], q[i, 1] + ny[i]],
+                    [q[i, 0] - nx[i], q[i, 1] - ny[i]],
+                    [p[i, 0] - nx[i], p[i, 1] - ny[i]],
+                    [p[i, 0] + nx[i], p[i, 1] + ny[i]],
+                ]
+            )
+            comps.append(([rect], None))
+        for i in range(len(p)):
+            comps.append(([_disc_ring(p[i, 0], p[i, 1], d, resolution)], None))
+    return comps
+
+
+def buff_polygon_rings(rings: list[np.ndarray], distance: float,
+                       resolution: int = 50):
+    """Reference ``buff`` for a polygon ringset (any shape, holes shrink
+    toward dilation): region ∪ edge-tubes ∪ vertex-discs, unioned by the
+    boolean engine. Returns [ [shell, holes...], ... ]
+    (buffer_dissolve_explode.py:303-335; resolution = segments per
+    quarter circle, gpd default 50 in buff)."""
+    from ..geo import booleans
+
+    return booleans.union_all(
+        _buffer_components(rings, distance, resolution, include_interior=True)
+    )
+
+
+def buff_line_coords(coords: np.ndarray, distance: float,
+                     resolution: int = 50):
+    """Reference ``buff`` for one (poly)line: edge-tubes ∪ vertex-discs."""
+    from ..geo import booleans
+
+    ring = coords if len(coords) >= 2 else np.repeat(coords, 2, axis=0)
+    return booleans.union_all(
+        _buffer_components([ring], distance, resolution, include_interior=False,
+                           closed=False)
+    )
+
+
+def buff_lines_batch(batch: pa.Table, distance, resolution: int = 50,
+                     wkb_col: str = "geometry_wkb", emit: str = "geometry") -> pa.Table:
+    """map_batches stage: buffer every (multi)line row.
+
+    ``distance`` is a float or the name of an int column (per-row radius).
+    emit='area' skips WKB encode and emits buf_area instead."""
+    from ..geo import booleans
+    from ..ops.overlay import _polys_to_wkb
+
+    la = wkb.decode_lines(batch[wkb_col])
+    dists = (
+        batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
+        if isinstance(distance, str)
+        else np.full(len(la), float(distance))
+    )
+    out_geom, out_area = [], np.zeros(len(la))
+    for i in range(len(la)):
+        comps = []
+        for l in range(la.geom_offsets[i], la.geom_offsets[i + 1]):
+            coords = la.coords[la.line_offsets[l] : la.line_offsets[l + 1]]
+            comps.extend(
+                _buffer_components([coords], dists[i], resolution, False,
+                                   closed=False)
+            )
+        if emit == "area":
+            out_area[i] = booleans.union_all_area(comps)
+        else:
+            out_geom.append(_polys_to_wkb(booleans.union_all(comps)))
+    cols = {c: batch[c] for c in batch.column_names if c != wkb_col}
+    if emit == "area":
+        cols["buf_area"] = pa.array(out_area, pa.float64())
+    else:
+        cols["geometry_wkb"] = pa.array(out_geom, pa.binary())
+    return pa.table(cols)
+
+
+def buff_polygons_batch(batch: pa.Table, distance, resolution: int = 50,
+                        wkb_col: str = "geometry_wkb", emit: str = "geometry") -> pa.Table:
+    """map_batches stage: buffer every polygon row (holes included)."""
+    from ..geo import booleans
+    from ..ops.overlay import _polys_to_wkb
+
+    pg = wkb.decode_polygons(batch[wkb_col])
+    dists = (
+        batch[distance].to_numpy(zero_copy_only=False).astype(np.float64)
+        if isinstance(distance, str)
+        else np.full(len(pg), float(distance))
+    )
+    out_geom, out_area = [], np.zeros(len(pg))
+    for i in range(len(pg)):
+        rings, holes = booleans.ringset_of_row(pg, i)
+        comps = _buffer_components(rings, dists[i], resolution, True)
+        # hole rings contribute their tubes/discs (inward dilation) but
+        # the interior component must exclude them
+        comps[0] = (rings, holes)
+        if emit == "area":
+            out_area[i] = booleans.union_all_area(comps)
+        else:
+            out_geom.append(_polys_to_wkb(booleans.union_all(comps)))
+    cols = {c: batch[c] for c in batch.column_names if c != wkb_col}
+    if emit == "area":
+        cols["buf_area"] = pa.array(out_area, pa.float64())
+    else:
+        cols["geometry_wkb"] = pa.array(out_geom, pa.binary())
+    return pa.table(cols)
+
+
 class WithinDistanceJoin:
     """Actor stage: pairs (left point, right point) with L2 distance <= d.
 

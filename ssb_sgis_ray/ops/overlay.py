@@ -18,15 +18,14 @@ Reproduces the semantics of the reference's flagship operator
 
 Engine plan (broadcast right side): the right table is ``ray.put`` once;
 an actor pool decodes it + builds the STRtree in ``__init__``; each batch
-of the left side is processed vectorized-per-pair. Geometry math uses the
-convex kernels (Sutherland–Hodgman intersection; convex-complement
-difference decomposition) — right-side geometries must be convex (boxes,
-diamonds, tiles, grid cells); concave right sides raise. The pieces
-produced by successive convex subtraction remain convex (each piece is an
-intersection of half-planes with the original subject), so difference
-chains are exact.
+of the left side is processed vectorized-per-pair. Geometry math is
+tiered: axis-aligned rect×rect pairs use pure interval math; hole-free
+convex×convex pairs use the Sutherland–Hodgman / convex-complement
+kernels; everything else (concave, holed, multi-part — the general case
+the reference gets from GEOS) goes through the scanline boolean engine
+in geo/booleans.py, which emits polygons-with-holes.
 
-Unsupported in round 1: concave right operands, grid_size snapping.
+Unsupported: grid_size snapping (the integer-exact world needs none).
 """
 
 from __future__ import annotations
@@ -36,7 +35,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..geo import kernels, wkb
+from ..geo import booleans, kernels, wkb
 from ..geo.strtree import STRtree
 
 HOWS = ("intersection", "union", "identity", "symmetric_difference", "difference", "update")
@@ -59,16 +58,38 @@ def _pieces_to_wkb(pieces: list[np.ndarray]) -> bytes | None:
     return wkb.encode_multipolygon([[p] for p in pieces])
 
 
+def _polys_to_wkb(polys: list[list[np.ndarray]]) -> bytes | None:
+    """booleans.py output ([ [shell, holes...], ... ]) -> WKB."""
+    polys = [p for p in polys if p and abs(kernels.ring_area(p[0])) > 0]
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return wkb.encode_polygon(polys[0])
+    return wkb.encode_multipolygon(polys)
+
+
+def _row_fastpath(pg: wkb.PolygonArray, row: int) -> bool:
+    """True when every part is a hole-free convex single ring (eligible
+    for the Sutherland–Hodgman / convex-complement kernels)."""
+    for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+        r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+        if r1 - r0 != 1:
+            return False
+        ring = pg.coords[pg.ring_offsets[r0] : pg.ring_offsets[r0 + 1]]
+        if not kernels.is_convex_ring(ring):
+            return False
+    return True
+
+
 def _subtract_all(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray]) -> list[np.ndarray]:
     """subject − union(clips): successive convex-complement subtraction.
 
-    Each clip ring must be convex. Pieces stay convex throughout, so
+    Fast path for convex clip rings only (callers route holed/concave
+    operands through booleans.boolean_polygons). Pieces stay convex, so
     chained subtraction is exact and the resulting pieces are disjoint.
     """
     pieces = list(subject_rings)
     for clip in clip_rings:
-        if not kernels.is_convex_ring(clip):
-            raise NotImplementedError("concave right-side geometry in difference")
         nxt: list[np.ndarray] = []
         for p in pieces:
             nxt.extend(kernels.convex_difference_pieces(p, clip))
@@ -100,6 +121,10 @@ class OverlayActor:
         # rectangle fast path: axis-aligned boxes stay boxes under clip and
         # subtract, so rect×rect pairs use pure interval math (vectorized)
         self.r_is_rect = kernels.detect_axis_rects(self.rpg)
+        # rectilinear fast path: ANY axis-parallel polygon (L-shapes, holed
+        # boxes) decomposes once into disjoint rects; pair math stays
+        # vectorized interval arithmetic
+        self.r_rects, self.r_offs, self.r_rlin = kernels.decompose_rectilinear(self.rpg)
 
     # -- column plumbing ---------------------------------------------------
     def _suffix_plan(self, left_cols: list[str], with_suffix: bool):
@@ -132,14 +157,22 @@ class OverlayActor:
         return df
 
     # -- geometry legs -----------------------------------------------------
-    def _pairs(self, lpg: wkb.PolygonArray, l_is_rect: np.ndarray):
+    def _pairs(self, lpg: wkb.PolygonArray, l_is_rect: np.ndarray,
+               l_rlin: np.ndarray | None = None):
         lb = kernels.polygon_bounds(lpg)
         qi, pi = self.tree.query_bbox(lb)
         if len(qi):
             # rect×rect: bbox overlap IS the exact boundary-inclusive
-            # intersects test — skip the generic refine for those pairs
+            # intersects test — skip the generic refine for those pairs.
+            # rlin×rlin pairs also skip the (per-pair python) refine: the
+            # downstream legs are insensitive to false candidates — the
+            # vectorized area filter drops empty intersections, and
+            # subtracting a non-overlapping clip is a no-op.
             both_rect = l_is_rect[qi] & self.r_is_rect[pi]
-            gi = np.nonzero(~both_rect)[0]
+            skip = both_rect
+            if l_rlin is not None:
+                skip = skip | (l_rlin[qi] & self.r_rlin[pi])
+            gi = np.nonzero(~skip)[0]
             keep = np.ones(len(qi), dtype=bool)
             if len(gi):
                 keep[gi] = kernels.polygons_intersect_pairs(
@@ -149,8 +182,11 @@ class OverlayActor:
         return qi, pi
 
     def _intersection_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
-                          with_suffix=True) -> pd.DataFrame:
+                          with_suffix=True, l_decomp=None) -> pd.DataFrame:
         both_rect = l_is_rect[qi] & self.r_is_rect[pi] if len(qi) else np.zeros(0, bool)
+        if l_decomp is None:
+            l_decomp = kernels.decompose_rectilinear(lpg)
+        l_rects, l_offs, l_rlin = l_decomp
 
         # vectorized rect×rect leg: interval math (+WKB encode only when
         # geometry output is requested)
@@ -170,39 +206,81 @@ class OverlayActor:
         else:
             rect_geom = wkb.encode_boxes_arrow(rect_boxes).to_pylist()
 
+        # rectilinear×rectilinear leg: vectorized disjoint-rect interval math
+        both_rlin = (
+            l_rlin[qi] & self.r_rlin[pi] & ~both_rect if len(qi) else np.zeros(0, bool)
+        )
+        rl_idx = np.nonzero(both_rlin)[0]
+        rl_li, rl_ri, rl_area, rl_geom = (
+            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0), [],
+        )
+        if len(rl_idx):
+            areas = kernels.rect_sets_inter_areas(
+                l_rects, l_offs, qi[rl_idx], self.r_rects, self.r_offs, pi[rl_idx]
+            )
+            pos = areas > 0
+            rl_li, rl_ri, rl_area = qi[rl_idx][pos], pi[rl_idx][pos], areas[pos]
+            if not area_only:
+                for lrow, rrow in zip(rl_li, rl_ri):
+                    boxes = kernels.rect_sets_inter_boxes(
+                        l_rects, l_offs, int(lrow), self.r_rects, self.r_offs, int(rrow)
+                    )
+                    rl_geom.append(_pieces_to_wkb(list(kernels.rects_to_rings(boxes))))
+
         # generic leg (python per pair) for everything else
         out_li, out_ri, out_geom, out_area = [], [], [], []
-        for k in np.nonzero(~both_rect)[0]:
-            srings = _rings_of_row(lpg, int(qi[k]))
-            crings = _rings_of_row(self.rpg, int(pi[k]))
-            pieces = []
-            for s in srings:
-                for c in crings:
-                    if not kernels.is_convex_ring(c):
-                        raise NotImplementedError("concave right geometry")
-                    clipped = kernels.clip_ring_convex(s, c)
-                    if kernels.ring_area(clipped) > 0:
-                        pieces.append(clipped)
-            if not pieces:
-                continue
+        for k in np.nonzero(~both_rect & ~both_rlin)[0]:
+            l_row, r_row = int(qi[k]), int(pi[k])
+            if _row_fastpath(lpg, l_row) and _row_fastpath(self.rpg, r_row):
+                # hole-free convex×convex: Sutherland–Hodgman per ring pair
+                srings = _rings_of_row(lpg, l_row)
+                crings = _rings_of_row(self.rpg, r_row)
+                pieces = []
+                for s in srings:
+                    for c in crings:
+                        clipped = kernels.clip_ring_convex(s, c)
+                        if kernels.ring_area(clipped) > 0:
+                            pieces.append(clipped)
+                if not pieces:
+                    continue
+                area = sum(kernels.ring_area(p) for p in pieces)
+                geom = None if area_only else _pieces_to_wkb(pieces)
+            else:
+                # general case: concave / holed / multi-part operands
+                s_r, s_h = booleans.ringset_of_row(lpg, l_row)
+                c_r, c_h = booleans.ringset_of_row(self.rpg, r_row)
+                if area_only:
+                    area = booleans.boolean_area(s_r, c_r, "intersection", s_h, c_h)
+                    if area <= 0:
+                        continue
+                    geom = None
+                else:
+                    polys = booleans.boolean_polygons(s_r, c_r, "intersection", s_h, c_h)
+                    geom = _polys_to_wkb(polys)
+                    if geom is None:
+                        continue
+                    area = 0.0
             out_li.append(qi[k])
             out_ri.append(pi[k])
             if area_only:
-                out_area.append(sum(kernels.ring_area(p) for p in pieces))
+                out_area.append(area)
             else:
-                out_geom.append(_pieces_to_wkb(pieces))
-        li = np.concatenate([rect_li, np.array(out_li, np.int64)])
-        ri = np.concatenate([rect_ri, np.array(out_ri, np.int64)])
+                out_geom.append(geom)
+        li = np.concatenate([rect_li, rl_li, np.array(out_li, np.int64)])
+        ri = np.concatenate([rect_ri, rl_ri, np.array(out_ri, np.int64)])
         if area_only:
-            areas = np.concatenate([rect_area, np.array(out_area, np.float64)])
+            areas = np.concatenate([rect_area, rl_area, np.array(out_area, np.float64)])
             return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
                               areas, with_suffix, area_col=True)
         return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
-                          rect_geom + out_geom, with_suffix)
+                          rect_geom + rl_geom + out_geom, with_suffix)
 
     def _difference_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
-                        with_suffix=False) -> pd.DataFrame:
+                        with_suffix=False, l_decomp=None) -> pd.DataFrame:
         n = len(lpg)
+        if l_decomp is None:
+            l_decomp = kernels.decompose_rectilinear(lpg)
+        l_rects, l_offs, l_rlin = l_decomp
         out_li, out_geom = [], []
         # group matched right rows per left row (overlay.py:399-423 agg)
         by_left: dict[int, list[int]] = {}
@@ -211,20 +289,36 @@ class OverlayActor:
         for i in range(n):
             if i not in by_left:
                 g = _pieces_to_wkb(_rings_of_row(lpg, i))  # untouched rows
-            elif l_is_rect[i] and self.r_is_rect[by_left[i]].all():
-                # rect subject − rect clips: stay in interval math; the
-                # remainder is always a set of disjoint axis-aligned boxes
-                rects = lbounds[i : i + 1]
+            elif l_rlin[i] and self.r_rlin[by_left[i]].all():
+                # rectilinear subject − rectilinear clips: stay in interval
+                # math; the remainder is always disjoint axis-aligned boxes
+                rects = l_rects[l_offs[i] : l_offs[i + 1]]
                 for r in by_left[i]:
-                    rects = kernels.subtract_rect_from_rects(rects, self.rbounds[r])
+                    for cb in self.r_rects[self.r_offs[r] : self.r_offs[r + 1]]:
+                        rects = kernels.subtract_rect_from_rects(rects, cb)
+                        if len(rects) == 0:
+                            break
                     if len(rects) == 0:
                         break
                 g = _pieces_to_wkb(list(kernels.rects_to_rings(rects))) if len(rects) else None
-            else:
+            elif _row_fastpath(lpg, i) and all(
+                _row_fastpath(self.rpg, r) for r in by_left[i]
+            ):
                 clips = []
                 for r in by_left[i]:
                     clips.extend(_rings_of_row(self.rpg, r))
                 g = _pieces_to_wkb(_subtract_all(_rings_of_row(lpg, i), clips))
+            else:
+                s_r, s_h = booleans.ringset_of_row(lpg, i)
+                c_r, c_h = [], []
+                for r in by_left[i]:
+                    rr, hh = booleans.ringset_of_row(self.rpg, r)
+                    c_r.extend(rr)
+                    c_h.extend(hh)
+                # winding rule makes in_B the union of ALL clips at once
+                g = _polys_to_wkb(
+                    booleans.boolean_polygons(s_r, c_r, "difference", s_h, c_h)
+                )
             if g is not None:
                 out_li.append(i)
                 out_geom.append(g)
@@ -235,22 +329,27 @@ class OverlayActor:
         lpg = wkb.decode_polygons(batch["geometry_wkb"])
         l_is_rect = kernels.detect_axis_rects(lpg)
         lbounds = kernels.polygon_bounds(lpg)
-        qi, pi = self._pairs(lpg, l_is_rect)
+        l_decomp = kernels.decompose_rectilinear(lpg)
+        qi, pi = self._pairs(lpg, l_is_rect, l_rlin=l_decomp[2])
         how = self.how
         if how == "intersection":
-            return self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
+            return self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
+                                          l_decomp=l_decomp)
         if how == "difference":
-            return self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
+            return self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
+                                        l_decomp=l_decomp)
         if how == "identity":
             # intersection + left difference legs (overlay.py:310-317)
-            a = self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
+            a = self._intersection_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
+                                       l_decomp=l_decomp)
             b = self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
-                                     with_suffix=True)
+                                     with_suffix=True, l_decomp=l_decomp)
             return pd.concat([a, b], ignore_index=True)[list(a.columns)]
         if how == "update":
             # difference of left by right, then all right rows appended
             # (overlay.py:260-263)
-            a = self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds)
+            a = self._difference_leg(batch, lpg, qi, pi, l_is_rect, lbounds,
+                                     l_decomp=l_decomp)
             return a
         raise NotImplementedError(
             f"how={how!r} needs the distributed right-leg plan (union/symdiff "
@@ -307,21 +406,36 @@ def _right_diff_kernel(right_table: pa.Table):
         row = int(g["right_row"].iloc[0])
         rpg = wkb.decode_polygons(right_table["geometry_wkb"].slice(row, 1))
         lpg = wkb.decode_polygons(g["left_geom"].to_numpy())
-        # rect fast path: subject and all clips axis-aligned -> interval math
-        if kernels.detect_axis_rects(rpg)[0] and kernels.detect_axis_rects(lpg).all():
-            rects = kernels.polygon_bounds(rpg)[:1]
-            for cb in kernels.polygon_bounds(lpg):
+        # rectilinear fast path: subject and all clips axis-parallel ->
+        # disjoint-rect interval math (covers plain rects, L-shapes, holes)
+        s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(rpg)
+        c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(lpg)
+        if s_rlin[0] and c_rlin.all():
+            rects = s_rects[s_offs[0] : s_offs[1]]
+            for cb in c_rects:
                 rects = kernels.subtract_rect_from_rects(rects, cb)
                 if len(rects) == 0:
                     break
             gwkb = (_pieces_to_wkb(list(kernels.rects_to_rings(rects)))
                     if len(rects) else None)
-        else:
+        elif _row_fastpath(rpg, 0) and all(
+            _row_fastpath(lpg, i) for i in range(len(lpg))
+        ):
             subject = _rings_of_row(rpg, 0)
             clips = []
             for i in range(len(lpg)):
                 clips.extend(_rings_of_row(lpg, i))
             gwkb = _pieces_to_wkb(_subtract_all(subject, clips))
+        else:
+            s_r, s_h = booleans.ringset_of_row(rpg, 0)
+            c_r, c_h = [], []
+            for i in range(len(lpg)):
+                rr, hh = booleans.ringset_of_row(lpg, i)
+                c_r.extend(rr)
+                c_h.extend(hh)
+            gwkb = _polys_to_wkb(
+                booleans.boolean_polygons(s_r, c_r, "difference", s_h, c_h)
+            )
         out = {c: [right_table[c][row].as_py()] for c in right_table.column_names
                if c != "geometry_wkb"}
         out["geometry_wkb"] = [gwkb]
@@ -345,8 +459,8 @@ def overlay_union_legs(
     difference ⊎ untouched right rows (overlay.py:260-307). The
     right-difference leg shuffles (right_id, matching left geom) pairs and
     subtracts per right row in ``groupby(right_id).map_groups`` — the only
-    leg that needs global match state. Left geometries must be convex for
-    the right-leg subtraction. Returns a Dataset whose rows carry a
+    leg that needs global match state. Arbitrary (concave/holed) operands
+    are handled by the boolean engine. Returns a Dataset whose rows carry a
     ``leg`` column ('inter' | 'left' | 'right') plus the suffixed columns
     of the participating sides (absent side columns are null).
     """

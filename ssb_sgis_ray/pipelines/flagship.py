@@ -47,20 +47,21 @@ class FusedFlagshipStage:
     partitioned-write groupby.
     """
 
-    def __init__(self, regions_ref, copies: int = 1):
+    def __init__(self, regions_ref, copies: int = 1, prebuilt: bool = False):
         import ray
 
         from ..geo import kernels, wkb as wkb_mod
         from ..ops.spatial import _BroadcastIndex
 
         self.idx = _BroadcastIndex(regions_ref)
+        self.prebuilt = prebuilt  # input is already an image table (Lance)
         self.build = img_src.BuildImages(copies=copies)
         self.validate = img_src.DecodeValidate()
         self._wkb = wkb_mod
         self._kernels = kernels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        t = self.build(batch)
+        t = batch if self.prebuilt else self.build(batch)
         t = self.validate(t)
         t = img_src.add_footprints(t)
         slim = t.select(
@@ -80,34 +81,69 @@ class FusedFlagshipStage:
         return _cover_with_region(joined)
 
 
-def flagship(sf_dir: str, out_dir: str, concurrency=(1, 8), copies: int = 1) -> dict:
+def materialize_images(sf_dir: str, out_path: str, copies: int = 1,
+                       concurrency=(1, 8)) -> str:
+    """Materialize the image+caption table (input_hint schema) to a Lance
+    dataset — parquet fallback when pylance is absent (sources/lance_io).
+    Returns the format written. flagship(source_path=...) consumes it."""
+    from ..sources import lance_io
+
+    ds = img_src.images_dataset(sf_dir, concurrency=concurrency, copies=copies)
+    return lance_io.write_table(ds, out_path, prefer="lance")
+
+
+def flagship(sf_dir: str, out_dir: str, concurrency=(1, 8), copies: int = 1,
+             source_path: str | None = None, subparts: int = 2) -> dict:
     """Run the flagship job; returns summary metrics.
 
     ``copies`` multiplies the image count per document (bench scale knob —
-    the per-image work is identical, there is just more of it)."""
+    the per-image work is identical, there is just more of it).
+    ``source_path``: read the image table from a materialized Lance (or
+    fallback parquet) dataset instead of synthesizing from documents —
+    the north rule's Lance-first input path.
+    ``subparts``: the sink partitions by region × (tile_x, tile_y mod
+    subparts), giving 25·subparts² writer groups — writer parallelism is
+    no longer capped at the 25 regions (VERDICT r1 flagship scale note);
+    resume stays exact per sub-partition."""
     import ray
     import ray.data as rd
 
     regions_ref = ray.put(region_table(sf_dir))
-    tiled = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(
+    if source_path is not None:
+        from ..sources import lance_io
+
+        src = lance_io.read_dataset(source_path)
+    else:
+        src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tiled = src.map_batches(
         FusedFlagshipStage,
-        fn_constructor_kwargs={"regions_ref": regions_ref, "copies": copies},
+        fn_constructor_kwargs={
+            "regions_ref": regions_ref, "copies": copies,
+            "prebuilt": source_path is not None,
+        },
         batch_format="pyarrow",
         batch_size=32,
         concurrency=concurrency,
     )
+
+    def add_part_key(batch: pa.Table) -> pa.Table:
+        nat = batch["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = batch["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64) % subparts
+        by = batch["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64) % subparts
+        key = nat * (subparts * subparts) + bx * subparts + by
+        return batch.append_column("part_key", pa.array(key, pa.int64()))
+
+    tiled = tiled.map_batches(add_part_key, batch_format="pyarrow")
     rows = mf.write_partitioned_resumable(
-        tiled, out_dir, partition_col="n_nationkey", id_col="image_id",
+        tiled, out_dir, partition_col="part_key", id_col="image_id",
         stage="flagship_tiles",
     )
-    n_rows = int(sum(r["n_rows"] for r in rows))
-    n_bytes = int(sum(r["n_bytes"] for r in rows))
+    fresh = [r for r in rows if not r.get("resumed")]
     return {
-        "partitions_written": len(rows),
-        "rows_written": n_rows,
-        "bytes_written": n_bytes,
+        "partitions_written": len(fresh),
+        "rows_written": int(sum(r["n_rows"] for r in fresh)),
+        "bytes_written": int(sum(r["n_bytes"] for r in fresh)),
+        "partitions_total": len(rows),
     }
 
 

@@ -65,15 +65,30 @@ def partition_input_hash(g: pd.DataFrame, id_col: str) -> str:
 
 
 def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
-                          stage: str = "partitioned_write"):
+                          stage: str = "partitioned_write",
+                          done: dict[str, dict] | None = None):
     """Group kernel for ``groupby(partition_col).map_groups``: writes one
     partition atomically and RETURNS its manifest/metrics row (the tiny
     result Dataset is the lineage record; caller appends it to the
-    manifest file)."""
+    manifest file).
+
+    When ``done`` (a loaded manifest) is given, a partition whose stored
+    input_hash equals the current group's hash is NOT rewritten — the
+    stored row is returned instead; a hash mismatch (changed inputs)
+    invalidates just that partition and rewrites it. This is the resume
+    contract from the module docstring, enforced where the data actually
+    is (the group kernel) rather than trusted from keys alone."""
 
     def write_one(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         key = str(g[partition_col].iloc[0])
+        if done is not None and key in done:
+            prev = done[key]
+            cur_hash = partition_input_hash(g, id_col)
+            if prev.get("input_hash") == cur_hash and os.path.exists(prev["path"]):
+                row = {k: v for k, v in prev.items() if k != "resumed"}
+                row["resumed"] = True
+                return pd.DataFrame({k: [v] for k, v in row.items()})
         pdir = os.path.join(out_dir, f"part={key}")
         os.makedirs(pdir, exist_ok=True)
         final = os.path.join(pdir, "data.parquet")
@@ -92,6 +107,7 @@ def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
             "input_hash": partition_input_hash(g, id_col),
             "wall_s": round(time.time() - t0, 4),
             "path": final,
+            "resumed": False,
         }
         # the WORKER records its own completion immediately (O_APPEND line
         # writes are atomic for lines < PIPE_BUF), so a driver killed
@@ -105,20 +121,26 @@ def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
 
 
 def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
-                                id_col: str, stage: str = "partitioned_write"):
+                                id_col: str, stage: str = "partitioned_write",
+                                skip_by_key: bool = False):
     """Partitioned parquet sink with exact resume.
 
-    1. load manifest -> completed partition keys;
-    2. filter them out of the stream BEFORE the shuffle (skip finished
-       work at the read, not at the write);
-    3. ``groupby(partition).map_groups(write_one)`` writes each remaining
-       partition atomically and emits its manifest row;
-    4. append rows to the manifest.
+    1. load manifest -> completed partitions;
+    2. ``groupby(partition).map_groups(write_one)``: each group's kernel
+       compares its input_hash against the manifest row — matching
+       partitions return the stored row WITHOUT rewriting, changed inputs
+       invalidate just that partition (the documented resume contract);
+    3. workers append their own manifest rows (mid-job kill safe).
 
-    Returns the list of manifest rows written this run.
+    ``skip_by_key=True`` additionally drops completed partition keys
+    BEFORE the shuffle — cheaper (finished partitions never move), but
+    only sound when partition inputs are immutable between runs; the
+    hash check in the kernel still covers everything that remains.
+
+    Returns the list of manifest rows for partitions seen this run.
     """
     done = load_manifest(out_dir)
-    if done:
+    if skip_by_key and done:
         done_keys = set(done.keys())
 
         def drop_done(batch: pd.DataFrame) -> pd.DataFrame:
@@ -126,7 +148,8 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
 
         ds = ds.map_batches(drop_done, batch_format="pandas")
     os.makedirs(out_dir, exist_ok=True)
-    writer = make_partition_writer(out_dir, partition_col, id_col, stage)
+    writer = make_partition_writer(out_dir, partition_col, id_col, stage,
+                                   done=done or None)
     metrics = ds.groupby(partition_col).map_groups(writer, batch_format="pandas")
     # workers already appended their own manifest rows (mid-job kill safe);
     # the collected metrics are returned as this run's lineage record

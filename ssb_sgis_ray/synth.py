@@ -119,23 +119,26 @@ def lineitem_points(l_orderkey, l_linenumber) -> tuple[np.ndarray, np.ndarray]:
     """
     k = _i64(l_orderkey) * 131071 + _i64(l_linenumber) * 8191
     hot = (k % 10) < 5
-    ux = 4 * ((k * 2239) % 10000) + 2
-    uy = 4 * ((k * 3571) % 10000) + 2
-    hx = 20000 + 4 * ((k * 2239) % 500) + 2
-    hy = 20000 + 4 * ((k * 3571) % 500) + 2
+    # reduce k mod m BEFORE the second multiply: (k%m)*c ≡ k*c (mod m),
+    # identical values but intermediates stay < 2^35, so int64 never
+    # wraps at any scale factor and numpy/DuckDB BIGINT agree everywhere
+    ux = 4 * (((k % 10000) * 2239) % 10000) + 2
+    uy = 4 * (((k % 10000) * 3571) % 10000) + 2
+    hx = 20000 + 4 * (((k % 500) * 2239) % 500) + 2
+    hy = 20000 + 4 * (((k % 500) * 3571) % 500) + 2
     return np.where(hot, hx, ux), np.where(hot, hy, uy)
 
 
 LINEITEM_K_SQL = "(l_orderkey * 131071 + l_linenumber * 8191)"
 LINEITEM_PX_SQL = (
     f"CASE WHEN {LINEITEM_K_SQL} % 10 < 5 "
-    f"THEN 20000 + 4 * (({LINEITEM_K_SQL} * 2239) % 500) + 2 "
-    f"ELSE 4 * (({LINEITEM_K_SQL} * 2239) % 10000) + 2 END"
+    f"THEN 20000 + 4 * ((({LINEITEM_K_SQL} % 500) * 2239) % 500) + 2 "
+    f"ELSE 4 * ((({LINEITEM_K_SQL} % 10000) * 2239) % 10000) + 2 END"
 )
 LINEITEM_PY_SQL = (
     f"CASE WHEN {LINEITEM_K_SQL} % 10 < 5 "
-    f"THEN 20000 + 4 * (({LINEITEM_K_SQL} * 3571) % 500) + 2 "
-    f"ELSE 4 * (({LINEITEM_K_SQL} * 3571) % 10000) + 2 END"
+    f"THEN 20000 + 4 * ((({LINEITEM_K_SQL} % 500) * 3571) % 500) + 2 "
+    f"ELSE 4 * ((({LINEITEM_K_SQL} % 10000) * 3571) % 10000) + 2 END"
 )
 
 
@@ -152,6 +155,102 @@ def nation_diamonds(n_nationkey) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 NATION_SX_SQL = "4 * (1000 + (n_nationkey * 1993) % 8000)"
 NATION_SY_SQL = "4 * (1000 + (n_nationkey * 3089) % 8000)"
 NATION_R_SQL = "4 * ((n_nationkey * 613) % 1000) + 2001"
+
+
+def part_lshapes(p_partkey):
+    """Concave L-shaped rings: the part box minus its upper-right quadrant
+    [x1,x2]×[y1,y2], with the split corner (x1,y1) a key-derived interior
+    lattice point (≡0 mod 4). Decomposes into two disjoint rects for the
+    SQL oracle: A = [x0,x2]×[y0,y1], B = [x0,x1]×[y1,y2].
+
+    Returns (x0, y0, x1, y1, x2, y2).
+    """
+    x0, y0, x2, y2 = part_boxes(p_partkey)
+    k = _i64(p_partkey)
+    w4 = (x2 - x0) // 4  # >= 100 lattice steps
+    h4 = (y2 - y0) // 4
+    x1 = x0 + 4 * ((k * 29) % (w4 - 1) + 1)
+    y1 = y0 + 4 * ((k * 31) % (h4 - 1) + 1)
+    return x0, y0, x1, y1, x2, y2
+
+
+PART_L_SQL = {
+    "x1": "p.minx + 4 * ((p_partkey * 29) % ((p.maxx - p.minx) // 4 - 1) + 1)",
+    "y1": "p.miny + 4 * ((p_partkey * 31) % ((p.maxy - p.miny) // 4 - 1) + 1)",
+}
+
+
+def orders_holed(o_orderkey):
+    """Holed boxes: each orders box gains a strictly interior rectangular
+    hole (all coords ≡0 mod 4). Returns (minx, miny, maxx, maxy,
+    hx0, hy0, hx1, hy1)."""
+    minx, miny, maxx, maxy = orders_boxes(o_orderkey)
+    k = _i64(o_orderkey)
+    w4 = (maxx - minx) // 4  # >= 100
+    h4 = (maxy - miny) // 4
+    hx0 = minx + 4 * ((k * 19) % (w4 // 2 - 2) + 1)
+    hy0 = miny + 4 * ((k * 23) % (h4 // 2 - 2) + 1)
+    hx1 = hx0 + 4 * ((k * 13) % ((maxx - hx0) // 4 - 1) + 1)
+    hy1 = hy0 + 4 * ((k * 11) % ((maxy - hy0) // 4 - 1) + 1)
+    return minx, miny, maxx, maxy, hx0, hy0, hx1, hy1
+
+
+ORDERS_HOLE_SQL = {
+    "hx0": "o.minx + 4 * ((o_orderkey * 19) % ((o.maxx - o.minx) // 4 // 2 - 2) + 1)",
+    "hy0": "o.miny + 4 * ((o_orderkey * 23) % ((o.maxy - o.miny) // 4 // 2 - 2) + 1)",
+    # hx1/hy1 depend on hx0/hy0; expressed in a CTE layer in the queries
+    "hx1": "hx0 + 4 * ((o_orderkey * 13) % ((o.maxx - hx0) // 4 - 1) + 1)",
+    "hy1": "hy0 + 4 * ((o_orderkey * 11) % ((o.maxy - hy0) // 4 - 1) + 1)",
+}
+
+
+def supplier_slivers(s_suppkey):
+    """Sliver rectangles for eliminate_by_longest: each sliver sits in an
+    ODD checkerboard tile (tx odd, ty even → tx+ty odd), anchored at the
+    tile's lower-left corner, so it shares a vertical border of length h
+    with the (even) left-neighbor tile and a horizontal border of length
+    w with the (even) bottom-neighbor tile. w ≡ 0 (mod 8) and h ≡ 4
+    (mod 8) are never equal, so the longest-border winner is unambiguous:
+    left neighbor iff h > w. Returns (tx, ty, w, h)."""
+    k = _i64(s_suppkey)
+    tx = 2 * ((k * 7) % 19) + 1   # odd, 1..37
+    ty = 2 * ((k * 13) % 19) + 2  # even, 2..38
+    w = 8 * ((k * 11) % 100) + 8  # ≡0 mod 8, ≤ 800
+    h = 8 * ((k * 17) % 100) + 4  # ≡4 mod 8, ≤ 796
+    return tx, ty, w, h
+
+
+SLIVER_SQL = {
+    "tx": "2 * ((s_suppkey * 7) % 19) + 1",
+    "ty": "2 * ((s_suppkey * 13) % 19) + 2",
+    "w": "8 * ((s_suppkey * 11) % 100) + 8",
+    "h": "8 * ((s_suppkey * 17) % 100) + 4",
+}
+
+
+def checkerboard_hosts(tile: int = TILE, n_tiles: int = 40) -> "pa.Table":
+    """Host polygons for eliminate_by_longest: every EVEN (tx+ty)
+    checkerboard tile as a square polygon with host_id = tx*1000 + ty."""
+    txs, tys = np.meshgrid(np.arange(n_tiles), np.arange(n_tiles), indexing="ij")
+    txs, tys = txs.ravel(), tys.ravel()
+    keep = (txs + tys) % 2 == 0
+    txs, tys = txs[keep], tys[keep]
+    geo = box_wkb(txs * tile, tys * tile, (txs + 1) * tile, (tys + 1) * tile)
+    return pa.table(
+        {
+            "host_id": pa.array(txs * 1000 + tys, pa.int64()),
+            "geometry_wkb": pa.array(list(geo), pa.binary()),
+        }
+    )
+
+
+def supplier_bowties(s_suppkey):
+    """Self-intersecting 'bowtie' rings on the supplier centers: the ring
+    (sx−r,sy−r) → (sx+r,sy+r) → (sx+r,sy−r) → (sx−r,sy+r) crosses itself
+    at the center; make_valid (even-odd) yields two triangles of total
+    area 2·r² (r is odd, so the crossing is at an integer point)."""
+    sx, sy, r = supplier_diamonds(s_suppkey)
+    return sx, sy, r
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +292,61 @@ def box_wkb(minx, miny, maxx, maxy) -> np.ndarray:
     ring[:, 2, 1] = maxy
     ring[:, 3, 0] = minx
     ring[:, 3, 1] = maxy
+    ring[:, 4] = ring[:, 0]
+    for i in range(n):
+        out[i] = wkb.encode_polygon([ring[i]])
+    return out
+
+
+def lshape_wkb(x0, y0, x1, y1, x2, y2) -> np.ndarray:
+    """Concave L hexagon rings (CCW) -> WKB object array."""
+    n = len(x0)
+    out = np.empty(n, dtype=object)
+    ring = np.empty((n, 7, 2), dtype=np.float64)
+    for j, (xx, yy) in enumerate(
+        [(x0, y0), (x2, y0), (x2, y1), (x1, y1), (x1, y2), (x0, y2)]
+    ):
+        ring[:, j, 0] = xx
+        ring[:, j, 1] = yy
+    ring[:, 6] = ring[:, 0]
+    for i in range(n):
+        out[i] = wkb.encode_polygon([ring[i]])
+    return out
+
+
+def holed_box_wkb(minx, miny, maxx, maxy, hx0, hy0, hx1, hy1) -> np.ndarray:
+    """Box with interior rectangular hole -> WKB object array (hole CW)."""
+    n = len(minx)
+    out = np.empty(n, dtype=object)
+    shell = np.empty((n, 5, 2), dtype=np.float64)
+    hole = np.empty((n, 5, 2), dtype=np.float64)
+    for j, (xx, yy) in enumerate([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)]):
+        shell[:, j, 0] = xx
+        shell[:, j, 1] = yy
+    shell[:, 4] = shell[:, 0]
+    for j, (xx, yy) in enumerate([(hx0, hy0), (hx0, hy1), (hx1, hy1), (hx1, hy0)]):
+        hole[:, j, 0] = xx
+        hole[:, j, 1] = yy
+    hole[:, 4] = hole[:, 0]
+    for i in range(n):
+        out[i] = wkb.encode_polygon([shell[i], hole[i]])
+    return out
+
+
+def bowtie_wkb(sx, sy, r) -> np.ndarray:
+    """Self-intersecting bowtie rings -> WKB object array (invalid input
+    fixtures for make_valid)."""
+    n = len(sx)
+    out = np.empty(n, dtype=object)
+    ring = np.empty((n, 5, 2), dtype=np.float64)
+    ring[:, 0, 0] = sx - r
+    ring[:, 0, 1] = sy - r
+    ring[:, 1, 0] = sx + r
+    ring[:, 1, 1] = sy + r
+    ring[:, 2, 0] = sx + r
+    ring[:, 2, 1] = sy - r
+    ring[:, 3, 0] = sx - r
+    ring[:, 3, 1] = sy + r
     ring[:, 4] = ring[:, 0]
     for i in range(n):
         out[i] = wkb.encode_polygon([ring[i]])
@@ -249,6 +403,42 @@ def add_lineitem_points(batch: pa.Table) -> pa.Table:
     return t.append_column(
         "geometry_wkb", wkb.encode_points_arrow(px.astype(np.float64), py.astype(np.float64))
     )
+
+
+def add_part_lshapes(batch: pa.Table) -> pa.Table:
+    x0, y0, x1, y1, x2, y2 = part_lshapes(batch["p_partkey"].to_numpy(zero_copy_only=False))
+    for name, col in zip(("x0", "y0", "x1", "y1", "x2", "y2"), (x0, y0, x1, y1, x2, y2)):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column(
+        "geometry_wkb", pa.array(lshape_wkb(x0, y0, x1, y1, x2, y2), pa.binary())
+    )
+
+
+def add_orders_holed(batch: pa.Table) -> pa.Table:
+    cols = orders_holed(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+    names = ("minx", "miny", "maxx", "maxy", "hx0", "hy0", "hx1", "hy1")
+    for name, col in zip(names, cols):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column(
+        "geometry_wkb", pa.array(holed_box_wkb(*cols), pa.binary())
+    )
+
+
+def add_supplier_bowties(batch: pa.Table) -> pa.Table:
+    sx, sy, r = supplier_bowties(batch["s_suppkey"].to_numpy(zero_copy_only=False))
+    t = batch.append_column("sx", pa.array(sx, pa.int64()))
+    t = t.append_column("sy", pa.array(sy, pa.int64()))
+    t = t.append_column("r", pa.array(r, pa.int64()))
+    return t.append_column("geometry_wkb", pa.array(bowtie_wkb(sx, sy, r), pa.binary()))
+
+
+def add_supplier_slivers(batch: pa.Table) -> pa.Table:
+    tx, ty, w, h = supplier_slivers(batch["s_suppkey"].to_numpy(zero_copy_only=False))
+    x0, y0 = tx * TILE, ty * TILE
+    geo = box_wkb(x0, y0, x0 + w, y0 + h)
+    for name, col in zip(("tx", "ty", "w", "h"), (tx, ty, w, h)):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column("geometry_wkb", pa.array(list(geo), pa.binary()))
 
 
 def add_nation_diamonds(batch: pa.Table) -> pa.Table:

@@ -95,9 +95,11 @@ def test_flagship_resume_exact(ray_session, tmp_path):
 
     out = str(tmp_path / "flag")
     res1 = fl.flagship(SF, out)
-    assert res1["partitions_written"] == 25
+    # sink sub-partitions by region × tile-block: more writer groups than
+    # the 25 regions (exact count depends on which blocks have rows)
+    assert res1["partitions_written"] > 25
     done = mf.load_manifest(out)
-    assert len(done) == 25
+    assert len(done) == res1["partitions_written"]
 
     # full resume: nothing rewritten
     res2 = fl.flagship(SF, out)
@@ -120,3 +122,27 @@ def test_flagship_resume_exact(ray_session, tmp_path):
     # manifest rows carry lineage metrics
     row = next(iter(mf.load_manifest(out).values()))
     assert set(row) >= {"stage", "partition", "n_rows", "n_bytes", "input_hash", "wall_s", "path"}
+
+
+def test_flagship_from_materialized_lance_source(ray_session, tmp_path):
+    """Materialize the image table (Lance when pylance exists, parquet
+    fallback here) and run flagship end-to-end FROM it — the north rule's
+    Lance-first input path. Output must equal the synthesized-source run."""
+    from ssb_sgis_ray.pipelines import flagship as fl
+    from ssb_sgis_ray.sources import lance_io
+
+    src = str(tmp_path / "imgtable")
+    fmt = fl.materialize_images(SF, src)
+    assert fmt == ("lance" if lance_io.HAVE_LANCE else "parquet")
+    out_a = str(tmp_path / "flag_lance")
+    out_b = str(tmp_path / "flag_synth")
+    res_a = fl.flagship(SF, out_a, source_path=src)
+    res_b = fl.flagship(SF, out_b)
+    assert res_a["rows_written"] == res_b["rows_written"] > 0
+    # byte-identical partition files (deterministic sort inside writer)
+    done_a = mf.load_manifest(out_a)
+    done_b = mf.load_manifest(out_b)
+    assert set(done_a) == set(done_b)
+    for k in sorted(done_a)[:5]:
+        with open(done_a[k]["path"], "rb") as fa, open(done_b[k]["path"], "rb") as fb:
+            assert fa.read() == fb.read()

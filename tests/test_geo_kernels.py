@@ -269,9 +269,11 @@ def test_cover_bbox_halfopen():
 
 
 def test_ssb_grid_id():
+    # reference recipe (bounds.py:357-371): east offset +2_000_000,
+    # unpadded int concat
     ids = cells.ssb_grid_id(np.array([1500.0, 999.0]), np.array([2500.0, 0.0]), 1000)
-    assert ids[0] == "00010000002000"
-    assert ids[1] == "00000000000000"
+    assert ids[0] == "20010002000"
+    assert ids[1] == "20000000"
 
 
 # ---------------------------------------------------------------- STRtree
@@ -309,3 +311,91 @@ def test_strtree_empty_and_single():
     t1 = STRtree(np.array([[0, 0, 10, 10.0]]))
     qi, ii = t1.query_bbox(np.array([[5, 5, 6, 6.0], [20, 20, 21, 21.0]]))
     assert qi.tolist() == [0] and ii.tolist() == [0]
+
+
+# ---------------------------------------------------------------- buffer
+
+
+def test_buffer_line_closed_form():
+    from ssb_sgis_ray.geo import booleans
+    from ssb_sgis_ray.ops import geometry as G
+
+    d, L, res = 10.0, 100.0, 16
+    n = 4 * res
+    ngon = 0.5 * n * d * d * np.sin(2 * np.pi / n)
+    comps = G._buffer_components(
+        [np.array([[0.0, 0.0], [L, 0.0]])], d, res, False, closed=False
+    )
+    area = booleans.union_all_area(comps)
+    assert area == pytest.approx(2 * d * L + ngon, abs=1e-9)
+
+
+def test_buffer_box_closed_form():
+    from ssb_sgis_ray.geo import booleans
+    from ssb_sgis_ray.ops import geometry as G
+
+    d, w, h, res = 10.0, 80.0, 60.0, 16
+    n = 4 * res
+    ngon = 0.5 * n * d * d * np.sin(2 * np.pi / n)
+    ring = np.array([[0, 0], [w, 0], [w, h], [0, h], [0, 0]], float)
+    comps = G._buffer_components([ring], d, res, True)
+    area = booleans.union_all_area(comps)
+    assert area == pytest.approx(w * h + 2 * (w + h) * d + ngon, abs=1e-9)
+
+
+def test_buffer_holed_polygon_erodes_hole():
+    """Dilating a holed polygon shrinks the hole by d with sharp corners
+    (erosion of a square by a disc keeps the square corners)."""
+    import pyarrow as pa
+
+    from ssb_sgis_ray.ops import geometry as G
+
+    d, res = 10.0, 16
+    n = 4 * res
+    ngon = 0.5 * n * d * d * np.sin(2 * np.pi / n)
+    shell = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], float)
+    hole = np.array([[30, 30], [30, 70], [70, 70], [70, 30], [30, 30]], float)
+    t = pa.table(
+        {"id": pa.array([1], pa.int64()),
+         "geometry_wkb": pa.array([wkb.encode_polygon([shell, hole])], pa.binary())}
+    )
+    out = G.buff_polygons_batch(t, d, res, emit="area")
+    expect = (100 * 100 + 400 * d + ngon) - (40 - 2 * d) ** 2
+    assert out["buf_area"][0].as_py() == pytest.approx(expect, abs=1e-8)
+
+
+def test_buffer_overlapping_lines_union_not_double_counted():
+    """buffdissexp on lines: two crossing segments buffered and unioned
+    must cover less than the sum of the individual buffers."""
+    from ssb_sgis_ray.geo import booleans
+    from ssb_sgis_ray.ops import geometry as G
+
+    d, res = 5.0, 8
+    a = np.array([[0.0, 0.0], [100.0, 0.0]])
+    b = np.array([[50.0, -40.0], [50.0, 40.0]])
+    comps = (
+        G._buffer_components([a], d, res, False, closed=False)
+        + G._buffer_components([b], d, res, False, closed=False)
+    )
+    union = booleans.union_all_area(comps)
+    solo_a = booleans.union_all_area(G._buffer_components([a], d, res, False, closed=False))
+    solo_b = booleans.union_all_area(G._buffer_components([b], d, res, False, closed=False))
+    assert union < solo_a + solo_b
+    assert union > max(solo_a, solo_b)
+    # overlap is roughly the 2d x 2d crossing block
+    assert solo_a + solo_b - union == pytest.approx(4 * d * d, rel=0.05)
+
+
+def test_shared_border_length_cases():
+    sq = lambda x0, y0, x1, y1: np.array(
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float
+    )
+    assert kernels.shared_border_length([sq(0, 0, 10, 10)], [sq(10, 3, 20, 8)]) == 5
+    assert kernels.shared_border_length([sq(0, 0, 10, 10)], [sq(10, 10, 20, 20)]) == 0
+    assert kernels.shared_border_length([sq(0, 0, 10, 10)], [sq(3, 10, 7, 15)]) == 4
+    dia = lambda cx, cy, r: np.array(
+        [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r), (cx + r, cy)], float
+    )
+    assert kernels.shared_border_length([dia(0, 0, 10)], [dia(10, 10, 10)]) == (
+        pytest.approx(np.sqrt(200))
+    )

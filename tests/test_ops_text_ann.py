@@ -126,15 +126,14 @@ def test_minhash_pipeline_finds_planted_dup(ray_session):
             ],
         }
     )
-    pairs = dedup_ops.minhash_candidate_pairs(rd.from_pandas(docs)).to_pandas()
+    docs_ds = rd.from_pandas(docs)
+    pairs_ds = dedup_ops.minhash_candidate_pairs(docs_ds).materialize()
+    pairs = pairs_ds.to_pandas()
     assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
-    # verify stage keeps it at threshold 0.5
-    import ray
-
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-    ver = dedup_ops.JaccardVerify(ray.put(texts), threshold=0.5)
-    out = ver(pairs)
+    # join-based verify stage (no corpus broadcast) keeps it at 0.5
+    out = dedup_ops.verify_pairs_jaccard(pairs_ds, docs_ds, threshold=0.5).to_pandas()
     assert (1, 2) in set(zip(out["id_a"], out["id_b"]))
+    assert (out["jaccard"] >= 0.5).all()
 
 
 def _toy_vectors(n=200, d=16, seed=3):
@@ -191,3 +190,47 @@ def test_embedding_matrix_shapes():
     tbl = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float64()))})
     got = ann_ops.embedding_matrix(tbl)
     np.testing.assert_allclose(got, m)
+
+
+def test_embed_dedup_bucketed_matches_bruteforce(ray_session):
+    """IVF-bucketed near-dup pairs (multi-assign=2) equal the all-pairs
+    brute force on a corpus with planted near-duplicates."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.ann import _normalize, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(120, 16))
+    # plant 10 near-dup pairs (tiny perturbations)
+    dups = base[:10] + rng.normal(scale=1e-4, size=(10, 16))
+    m = np.vstack([base, dups])
+    ids = np.arange(len(m), dtype=np.int64)
+    mn = _normalize(m.astype(np.float64))
+    sims = mn @ mn.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.995, k=1))
+    expect = set(zip(ids[ii], ids[jj]))
+    assert len(expect) >= 10
+
+    tbl = pd.DataFrame({"vec_id": ids, "embedding": [row.tolist() for row in m]})
+    cent = kmeans_fit(m, n_lists=6)
+    got = (
+        dedup_ops.embed_dedup_pairs_bucketed(
+            rd.from_pandas(tbl), cent, threshold=0.995
+        )
+        .to_pandas()
+    )
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    assert got_set == expect
+
+
+def test_simhash_batch_properties(ray_session):
+    """Vectorized simhash: near-identical docs have tiny hamming distance,
+    unrelated docs a large one; empty docs hash to 0."""
+    base = "spark ray data engine shuffle partition actor pool batch " * 30
+    near = base + "tail difference"
+    other = "completely different vocabulary about gardening and soil " * 25
+    hs = dedup_ops.simhash64_batch([base, near, other, ""])
+    d_near = int(dedup_ops.hamming64(np.array([hs[0]]), np.array([hs[1]]))[0])
+    d_far = int(dedup_ops.hamming64(np.array([hs[0]]), np.array([hs[2]]))[0])
+    assert d_near <= 8 < d_far
+    assert hs[3] == 0
