@@ -574,3 +574,64 @@ def rings_to_polygons(rings: pd.DataFrame) -> pd.DataFrame:
     gwkb = (wkb.encode_polygon(parts[0]) if len(parts) == 1
             else wkb.encode_multipolygon(parts))
     return pd.DataFrame({"row_id": [g["row_id"].iloc[0]], "geometry_wkb": [gwkb]})
+
+
+def segmentize_coords(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds ``max_len`` (shapely
+    segmentize semantics, used by the reference's centerlines —
+    centerlines.py:55). Split counts use the same integer-exact sqrt
+    correction as cut_line_parts so oracles can reproduce them."""
+    out = [coords[:1]]
+    max2 = max_len * max_len
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        len2 = float((b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2)
+        k = int(np.ceil(np.sqrt(len2) / max_len)) if len2 > 0 else 1
+        if k > 1 and (k - 1) * (k - 1) * max2 >= len2:
+            k -= 1
+        k = max(k, 1)
+        ts = np.arange(1, k + 1) / k
+        out.append(a[None, :] + ts[:, None] * (b - a)[None, :])
+    return np.concatenate(out)
+
+
+def simplify_coords(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker simplification (shapely simplify semantics, used in
+    polygons_as_rings.py:45). Keeps endpoints; iterative stack, exact
+    perpendicular-distance test."""
+    n = len(coords)
+    if n < 3:
+        return coords.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tolerance * tolerance
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        a, b = coords[s], coords[e]
+        d = b - a
+        seg2 = float(d[0] * d[0] + d[1] * d[1])
+        pts = coords[s + 1 : e]
+        if seg2 == 0:
+            d2 = ((pts - a) ** 2).sum(axis=1)
+        else:
+            t = np.clip(((pts - a) @ d) / seg2, 0.0, 1.0)
+            proj = a[None, :] + t[:, None] * d[None, :]
+            d2 = ((pts - proj) ** 2).sum(axis=1)
+        j = int(np.argmax(d2))
+        if d2[j] > tol2:
+            idx = s + 1 + j
+            keep[idx] = True
+            stack.append((s, idx))
+            stack.append((idx, e))
+    return coords[keep]
+
+
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """DP on a closed ring (first==last kept as the anchor pair)."""
+    out = simplify_coords(ring, tolerance)
+    if len(out) < 4:  # degenerate: keep the ring's bbox triangle at least
+        return ring.copy()
+    return out

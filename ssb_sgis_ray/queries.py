@@ -738,6 +738,104 @@ FROM (
 """
 
 
+# -- segmentize / simplify / WKT io ----------------------------------------
+
+_SEG_MAX = 500  # max segment length for segmentize fixtures
+
+
+def q_segmentize_simplify(sf_dir: str):
+    """segmentize (centerlines.py:55) then Douglas–Peucker simplify
+    (polygons_as_rings.py:45) on the supplier diamond rings: simplify
+    recovers exactly the 5 original vertices; segmentize's vertex count
+    follows the integer-exact split rule (4 equal edges of length r√2)."""
+    from .ops import geometry as geom_ops
+
+    def stage(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        n_seg = np.zeros(len(pg), dtype=np.int64)
+        n_simp = np.zeros(len(pg), dtype=np.int64)
+        area = np.zeros(len(pg), dtype=np.int64)
+        for i in range(len(pg)):
+            r0 = pg.poly_offsets[pg.geom_offsets[i]]
+            ring = pg.coords[pg.ring_offsets[r0] : pg.ring_offsets[r0 + 1]]
+            seg = geom_ops.segmentize_coords(ring, float(_SEG_MAX))
+            simp = geom_ops.simplify_ring(seg, 0.01)
+            n_seg[i] = len(seg)
+            n_simp[i] = len(simp)
+            area[i] = round(abs(
+                0.5 * np.sum(simp[:-1, 0] * simp[1:, 1] - simp[1:, 0] * simp[:-1, 1])
+            ))
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "n_seg_points": pa.array(n_seg, pa.int64()),
+                "n_simp_points": pa.array(n_simp, pa.int64()),
+                "area_i": pa.array(area, pa.int64()),
+            }
+        )
+
+    return suppliers_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
+SQL_SEGMENTIZE_SIMPLIFY = f"""
+WITH s AS ({SUP_SQL}),
+k0 AS (
+  SELECT s_suppkey, 2 * r * r AS len2,
+         CAST(ceil(sqrt(CAST(2 * r * r AS DOUBLE)) / {_SEG_MAX}) AS BIGINT) AS k0
+  FROM s
+),
+kk AS (
+  SELECT s_suppkey, len2,
+         greatest(CASE WHEN k0 > 1 AND (k0 - 1) * (k0 - 1) * {_SEG_MAX * _SEG_MAX} >= len2
+                       THEN k0 - 1 ELSE k0 END, 1) AS k
+  FROM k0
+)
+SELECT kk.s_suppkey,
+       4 * k + 1 AS n_seg_points,
+       CAST(5 AS BIGINT) AS n_simp_points,
+       2 * s.r * s.r AS area_i
+FROM kk JOIN s USING (s_suppkey)
+"""
+
+
+def q_wkt_roundtrip(sf_dir: str):
+    """WKT io (reference round-trips geometry through GeoSeries.from_wkt /
+    .wkt — nodes.py:84, closing_network_holes.py:241-306): encode each
+    diamond as WKT, parse it back, recompute the area from the re-parsed
+    WKB. The WKT text itself is value-hashed against a DuckDB
+    string-concatenation oracle."""
+    from .geo import wkt as wkt_mod
+
+    def stage(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        texts = wkt_mod.polygons_to_wkt(pg)
+        back = np.array([wkt_mod.wkt_to_wkb(t) for t in texts], dtype=object)
+        pg2 = wkb.decode_polygons(back)
+        area = np.round(kernels.polygon_areas(pg2)).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "wkt": pa.array(list(texts), pa.string()),
+                "area_i": pa.array(area, pa.int64()),
+            }
+        )
+
+    return suppliers_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
+SQL_WKT_ROUNDTRIP = f"""
+SELECT s_suppkey,
+       'POLYGON ((' || CAST(sx + r AS VARCHAR) || ' ' || CAST(sy AS VARCHAR)
+       || ', ' || CAST(sx AS VARCHAR) || ' ' || CAST(sy + r AS VARCHAR)
+       || ', ' || CAST(sx - r AS VARCHAR) || ' ' || CAST(sy AS VARCHAR)
+       || ', ' || CAST(sx AS VARCHAR) || ' ' || CAST(sy - r AS VARCHAR)
+       || ', ' || CAST(sx + r AS VARCHAR) || ' ' || CAST(sy AS VARCHAR)
+       || '))' AS wkt,
+       2 * r * r AS area_i
+FROM ({SUP_SQL})
+"""
+
+
 def q_geom_area(sf_dir: str):
     """Shoelace area of each supplier diamond from its WKB (engine kernel
     path); closed form 2·r² on the oracle side."""
@@ -2239,8 +2337,8 @@ REGISTRY: dict[str, tuple] = {
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
-    "get_holes": (q_get_holes, SQL_GET_HOLES),
-    "cut_lines": (q_cut_lines, SQL_CUT_LINES),
+    "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
+    "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
@@ -2260,6 +2358,8 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
     # ---- beyond the ~50-query sweep cap (r1-pass or pytest-covered) ----
+    "get_holes": (q_get_holes, SQL_GET_HOLES),
+    "cut_lines": (q_cut_lines, SQL_CUT_LINES),
     "pip_pairs_cell": (q_pip_pairs_cell, SQL_PIP_PAIRS),
     "knn1_cellplan": (q_knn1_cellplan, SQL_KNN1),
     "tile_cover": (q_tile_cover, SQL_TILE_COVER),

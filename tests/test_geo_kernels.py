@@ -399,3 +399,44 @@ def test_shared_border_length_cases():
     assert kernels.shared_border_length([dia(0, 0, 10)], [dia(10, 10, 10)]) == (
         pytest.approx(np.sqrt(200))
     )
+
+
+# ------------------------------------------------------- segmentize / wkt
+
+
+def test_segmentize_max_length_and_simplify_roundtrip():
+    from ssb_sgis_ray.ops import geometry as G
+
+    dia = np.array([(10, 0), (5, 5), (0, 0), (5, -5), (10, 0)], float)
+    seg = G.segmentize_coords(dia, 1.5)
+    d = np.diff(seg, axis=0)
+    assert (np.hypot(d[:, 0], d[:, 1]) <= 1.5 + 1e-12).all()
+    np.testing.assert_allclose(G.simplify_ring(seg, 0.01), dia)
+    # simplify removes a genuine small bump within tolerance
+    bump = np.array([(0, 0), (5, 0.001), (10, 0)], float)
+    out = G.simplify_coords(bump, 0.01)
+    assert len(out) == 2
+    out2 = G.simplify_coords(bump, 0.0001)
+    assert len(out2) == 3
+
+
+def test_wkt_roundtrip_families():
+    from ssb_sgis_ray.geo import wkt
+
+    assert wkt.encode_point(3, -4.5) == "POINT (3 -4.5)"
+    line = np.array([(0, 0), (2.5, 1)], float)
+    k, c = wkt.decode(wkt.encode_linestring(line))
+    assert k == "line"
+    np.testing.assert_allclose(c, line)
+    shell = square(0, 0, 10)
+    hole = square(0, 0, 3)[::-1]
+    txt = wkt.encode_polygon([shell, hole])
+    k2, rings = wkt.decode(txt)
+    assert k2 == "polygon" and len(rings) == 2
+    np.testing.assert_allclose(rings[1], hole)
+    mp = wkt.encode_multipolygon([[shell], [square(50, 50, 2)]])
+    k3, polys = wkt.decode(mp)
+    assert k3 == "multipolygon" and len(polys) == 2
+    # wkb bridge preserves area incl. hole
+    pg = wkb.decode_polygons(np.array([wkt.wkt_to_wkb(txt)], dtype=object))
+    np.testing.assert_allclose(kernels.polygon_areas(pg), [400 - 36])
