@@ -635,3 +635,61 @@ def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
     if len(out) < 4:  # degenerate: keep the ring's bbox triangle at least
         return ring.copy()
     return out
+
+
+def rough_centerline(rings: list[np.ndarray], holes=None) -> np.ndarray:
+    """Cheap sliver centerline (the role of get_rough_centerlines,
+    reference centerlines.py:30-195, which segmentizes and midpoints
+    sliver polygons): slab-decompose the polygon along its SHORTER bbox
+    axis and connect the midline midpoints in sweep order. Exact for
+    rectangles (the segment joining the short ends); reasonable for
+    sliver-ish shapes; not meant for complex networks (the reference
+    says the same of its own).
+    Returns (n,2) line coords (n >= 2).
+    """
+    from ..geo import booleans
+
+    allc = np.concatenate([np.asarray(r, float) for r in rings])
+    w = allc[:, 0].max() - allc[:, 0].min()
+    h = allc[:, 1].max() - allc[:, 1].min()
+    swap = w > h  # sweep along the longer axis
+    use = [np.asarray(r, float)[:, ::-1] if swap else np.asarray(r, float)
+           for r in rings]
+    e = booleans._edges_of_ringset(use, holes)
+    e["src"] = np.zeros(len(e["ylo"]), np.int8)
+    y0, y1, xl0, xr0, xl1, xr1 = booleans.boolean_traps(e, "a")
+    if len(y0) == 0:
+        c = allc.mean(axis=0)
+        return np.stack([c, c])
+    order = np.argsort(0.5 * (y0 + y1), kind="stable")
+    y0, y1 = y0[order], y1[order]
+    xm = 0.25 * (xl0 + xr0 + xl1 + xr1)[order]
+    if len(y0) == 1:
+        pts = np.array([[0.5 * (xl0[0] + xr0[0]), y0[0]],
+                        [0.5 * (xl1[0] + xr1[0]), y1[0]]])
+    else:
+        pts = np.stack([xm, 0.5 * (y0 + y1)], axis=1)
+        # extend to the sweep extremes so endpoints sit at the "ends"
+        pts = np.vstack([[pts[0, 0], y0[0]], pts, [pts[-1, 0], y1[-1]]])
+    if swap:
+        pts = pts[:, ::-1]
+    return pts
+
+
+def rough_centerlines_batch(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Table:
+    """map_batches stage: polygon rows -> centerline rows (+ length)."""
+    from ..geo import booleans
+
+    pg = wkb.decode_polygons(batch[wkb_col])
+    out = np.empty(len(pg), dtype=object)
+    length = np.zeros(len(pg))
+    for i in range(len(pg)):
+        rings, holes = booleans.ringset_of_row(pg, i)
+        line = rough_centerline(rings, holes)
+        out[i] = wkb.encode_linestring(line)
+        d = np.diff(line, axis=0)
+        length[i] = float(np.hypot(d[:, 0], d[:, 1]).sum())
+    cols = {c: batch[c] for c in batch.column_names if c != wkb_col}
+    cols["geometry_wkb"] = pa.array(list(out), pa.binary())
+    cols["centerline_len"] = pa.array(length, pa.float64())
+    return pa.table(cols)

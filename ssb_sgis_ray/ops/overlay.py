@@ -544,6 +544,7 @@ def clean_overlay(
     concurrency: int | tuple = (1, 8),
     batch_size: int = 512,
     emit: str = "geometry",
+    left_crs: str | None = None,
 ):
     """Dataset-level clean_overlay (broadcast right side).
 
@@ -559,6 +560,9 @@ def clean_overlay(
     """
     if how not in HOWS:
         raise ValueError(f"how must be one of {HOWS}")
+    from ..geo import crs as crs_mod
+
+    crs_mod.check_crs_pair(left_crs, right_table)  # overlay.py:83-84 guard
     ref = ray.put(right_table)
     if how in ("intersection", "difference", "identity"):
         return left.map_batches(

@@ -738,6 +738,41 @@ FROM (
 """
 
 
+def q_rough_centerline(sf_dir: str):
+    """get_rough_centerlines (centerlines.py:30-195) on the sliver rects:
+    slab-midline sweep; for a rectangle the centerline is exactly the
+    long-axis segment, so length = max(w, h) in closed form."""
+    from .ops import geometry as geom_ops
+
+    out = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(synth.add_supplier_slivers, batch_format="pyarrow")
+        .map_batches(geom_ops.rough_centerlines_batch, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "centerline_len": pa.array(
+                    np.round(
+                        b["centerline_len"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ROUGH_CENTERLINE = f"""
+SELECT s_suppkey,
+       greatest({synth.SLIVER_SQL['w']}, {synth.SLIVER_SQL['h']}) AS centerline_len
+FROM supplier
+"""
+
+
 # -- segmentize / simplify / WKT io ----------------------------------------
 
 _SEG_MAX = 500  # max segment length for segmentize fixtures
@@ -2339,12 +2374,12 @@ REGISTRY: dict[str, tuple] = {
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP),
+    "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "dissexp_by_cat": (q_dissexp_by_cat, SQL_DISSEXP_BY_CAT),
-    "knn_ties": (q_knn_ties, SQL_KNN_TIES),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
@@ -2358,6 +2393,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
     # ---- beyond the ~50-query sweep cap (r1-pass or pytest-covered) ----
+    "knn_ties": (q_knn_ties, SQL_KNN_TIES),
     "get_holes": (q_get_holes, SQL_GET_HOLES),
     "cut_lines": (q_cut_lines, SQL_CUT_LINES),
     "pip_pairs_cell": (q_pip_pairs_cell, SQL_PIP_PAIRS),

@@ -440,3 +440,18 @@ def test_wkt_roundtrip_families():
     # wkb bridge preserves area incl. hole
     pg = wkb.decode_polygons(np.array([wkt.wkt_to_wkb(txt)], dtype=object))
     np.testing.assert_allclose(kernels.polygon_areas(pg), [400 - 36])
+
+
+def test_crs_tag_and_mismatch_guard():
+    from ssb_sgis_ray.geo import crs
+
+    t = pa.table({"a": pa.array([1])})
+    tagged = crs.tag_crs(t, "EPSG:4326")
+    assert crs.crs_of(tagged) == "EPSG:4326"
+    assert crs.crs_of(t) is None
+    crs.ensure_same_crs(t, tagged, default="EPSG:4326")  # untagged adopts default
+    with pytest.raises(ValueError, match="mismatch"):
+        crs.ensure_same_crs(crs.tag_crs(t, "EPSG:25833"), tagged)
+    with pytest.raises(ValueError, match="mismatch"):
+        crs.check_crs_pair("EPSG:25833", tagged)
+    crs.check_crs_pair(None, tagged)  # permissive when one side untagged
