@@ -244,6 +244,55 @@ def checkerboard_hosts(tile: int = TILE, n_tiles: int = 40) -> "pa.Table":
     )
 
 
+GRID_N = 41     # routing grid: nodes (i, j), 0 <= i, j < GRID_N
+GRID_HW = 2     # horizontal edge weight
+GRID_VW = 5     # vertical edge weight
+
+
+def grid_graph_edges() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic weighted grid network for the routing queries.
+
+    node_id = i*1000 + j. Horizontal edges cost GRID_HW, vertical edges
+    GRID_VW — with all-positive constant weights per direction the
+    shortest path cost is closed-form (2|di| + 5|dj|), so DuckDB can
+    oracle-check real Dijkstra output without running a graph algorithm.
+    Returns (node_a, node_b, weight) UNDIRECTED.
+    """
+    i, j = np.meshgrid(np.arange(GRID_N), np.arange(GRID_N), indexing="ij")
+    nid = (i * 1000 + j).ravel()
+    # horizontal: (i,j)-(i+1,j)
+    hmask = (i < GRID_N - 1).ravel()
+    ha = nid[hmask]
+    hb = ha + 1000
+    # vertical: (i,j)-(i,j+1)
+    vmask = (j < GRID_N - 1).ravel()
+    va = nid[vmask]
+    vb = va + 1
+    node_a = np.concatenate([ha, va])
+    node_b = np.concatenate([hb, vb])
+    w = np.concatenate(
+        [np.full(len(ha), GRID_HW, float), np.full(len(va), GRID_VW, float)]
+    )
+    return node_a.astype(np.int64), node_b.astype(np.int64), w
+
+
+def supplier_grid_origins(s_suppkey) -> np.ndarray:
+    """Origin node per supplier: (k*3 % N, k*19 % N)."""
+    k = _i64(s_suppkey)
+    return ((k * 3) % GRID_N) * 1000 + (k * 19) % GRID_N
+
+
+ORIGIN_SQL = f"((s_suppkey * 3) % {GRID_N}) * 1000 + (s_suppkey * 19) % {GRID_N}"
+
+
+def grid_dest_ids(n: int = 16) -> np.ndarray:
+    d = np.arange(1, n + 1, dtype=np.int64)
+    return ((d * 7) % GRID_N) * 1000 + (d * 31) % GRID_N
+
+
+DEST_SQL = f"SELECT ((d * 7) % {GRID_N}) * 1000 + (d * 31) % {GRID_N} AS dest, d FROM (SELECT unnest(generate_series(1, 16)) AS d)"
+
+
 def supplier_bowties(s_suppkey):
     """Self-intersecting 'bowtie' rings on the supplier centers: the ring
     (sx−r,sy−r) → (sx+r,sy+r) → (sx+r,sy−r) → (sx−r,sy+r) crosses itself
