@@ -83,20 +83,17 @@ def polygon_areas(pg: PolygonArray) -> np.ndarray:
     Assumes valid ring orientation-independent input: area of a polygon is
     |area(exterior)| − Σ|area(hole)|.
     """
-    ring_a = ring_signed_areas(pg)
+    ring_a = np.abs(ring_signed_areas(pg))
     n_polys = pg.n_polys()
-    # first ring of each polygon is the exterior
-    poly_area = np.zeros(n_polys, dtype=np.float64)
-    for q in range(n_polys):
-        r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
-        a = abs(ring_a[r0])
-        for r in range(r0 + 1, r1):
-            a -= abs(ring_a[r])
-        poly_area[q] = a
-    # sum member polygons per row
-    out = np.zeros(len(pg), dtype=np.float64)
-    np.add.at(out, np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets)), poly_area)
-    return out
+    # first ring of each polygon is the exterior (+), the rest holes (−)
+    n_rings_per_poly = np.diff(pg.poly_offsets)
+    poly_of_ring = np.repeat(np.arange(n_polys), n_rings_per_poly)
+    is_first = np.zeros(len(ring_a), dtype=bool)
+    is_first[pg.poly_offsets[:-1]] = True
+    contrib = np.where(is_first, ring_a, -ring_a)
+    poly_area = np.bincount(poly_of_ring, weights=contrib, minlength=n_polys)
+    row_of_poly = np.repeat(np.arange(len(pg)), np.diff(pg.geom_offsets))
+    return np.bincount(row_of_poly, weights=poly_area, minlength=len(pg))
 
 
 def polygon_perimeters(pg: PolygonArray) -> np.ndarray:
@@ -625,9 +622,22 @@ def decompose_rectilinear(pg: PolygonArray) -> tuple[np.ndarray, np.ndarray, np.
     """
     n = len(pg)
     ok = np.ones(n, dtype=bool)
-    all_rects: list[np.ndarray] = []
     offsets = np.zeros(n + 1, dtype=np.int64)
+    # vectorized majority case: plain axis rects decompose to their own
+    # bounds — the python slab loop below runs ONLY for the leftovers
+    # (actor __init__ decomposes the whole right table; a per-row loop
+    # over 100k+ rects would dominate the stage)
+    is_rect = detect_axis_rects(pg)
+    if is_rect.all():
+        b = polygon_bounds(pg)
+        return b.copy(), np.arange(n + 1, dtype=np.int64), ok
+    rect_bounds = polygon_bounds(pg)
+    all_rects: list[np.ndarray] = []
     for i in range(n):
+        if is_rect[i]:
+            all_rects.append(rect_bounds[i : i + 1])
+            offsets[i + 1] = offsets[i] + 1
+            continue
         r0 = pg.poly_offsets[pg.geom_offsets[i]]
         r1 = pg.poly_offsets[pg.geom_offsets[i + 1]]
         vx, vylo, vyhi = [], [], []
