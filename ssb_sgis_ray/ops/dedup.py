@@ -62,9 +62,15 @@ def minhash_signature(text: str, k: int = 5) -> np.ndarray:
 
 
 def band_hashes(sig: np.ndarray) -> np.ndarray:
-    """(N_BANDS,) int64 hash per band of the signature."""
+    """(N_BANDS,) int64 hash per band of the signature.
+
+    The band INDEX is folded into the hash, so band_hash alone is the
+    LSH bucket key — a single int64 groupby key instead of the composite
+    (band_id, band_hash) (Ray's multi-key groupby is ~15x slower than
+    single-key on this stack). Cross-band value collisions would only
+    merge two buckets (extra candidates, filtered by the verify)."""
     bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-    h = np.zeros(N_BANDS, dtype=np.uint64)
+    h = np.arange(N_BANDS, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     for j in range(ROWS_PER_BAND):
         h = h * np.uint64(1099511628211) + bands[:, j]
     return (h >> np.uint64(1)).astype(np.int64)  # keep positive in int64
@@ -131,24 +137,40 @@ def _band_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
 def minhash_candidate_pairs(docs_ds):
     """documents Dataset -> deduplicated candidate pair Dataset (id_a<id_b).
 
-    Shuffle key = (band_id, band_hash); hot buckets are star-capped in
-    the group kernel (see _band_groups_to_pairs). The same pair can fire
-    in several bands; dedup is a DISTRIBUTED groupby on (id_a, id_b) —
+    Shuffle key = band_hash (band index folded in, so ONE int64 key);
+    hot buckets are star-capped in the group kernel
+    (_band_groups_to_pairs). The same pair can fire in several bands;
+    dedup is a DISTRIBUTED single-key groupby on the packed pair key —
     no driver materialization at any size (VERDICT r1 scale-blocker #4).
+    Doc ids must fit in 31 bits for the packing (pk = id_a·2³¹ + id_b).
     """
     from ray.data.aggregate import Count
 
     bands = docs_ds.map_batches(MinHashStage, batch_format="pandas",
                                 concurrency=(1, 8), batch_size=4096)
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = bands.groupby("band_hash").map_groups(
         _band_groups_to_pairs, batch_format="pandas"
     )
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .map_batches(
-            lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(a * (1 << 31) + bb, pa.int64())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(pk >> 31, pa.int64()),
+                "id_b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+            }
         )
+
+    return (
+        pairs.map_batches(pack, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Count(alias_name="n_bands"))
+        .map_batches(unpack, batch_format="pyarrow")
     )
 
 
@@ -269,10 +291,27 @@ def embed_dedup_pairs_bucketed(
         .groupby("list_id")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+    # distinct via packed single-key groupby (multi-key is ~15x slower)
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(a * (1 << 31) + bb, pa.int64())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(pk >> 31, pa.int64()),
+                "id_b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+            }
+        )
+
     return (
-        pairs.groupby(["id_a", "id_b"])
+        pairs.map_batches(pack, batch_format="pyarrow")
+        .groupby("pk")
         .aggregate(Count(alias_name="n_lists"))
-        .map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+        .map_batches(unpack, batch_format="pyarrow")
     )
 
 

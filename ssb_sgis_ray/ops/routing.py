@@ -178,17 +178,17 @@ def percent_bidirectional(edges_ds) -> float:
         lo = np.minimum(a, bb)
         hi = np.maximum(a, bb)
         fwd = (a <= bb).astype(np.int64)
+        # packed single-key (node keys < 2^31); multi-key groupby is slow
         return pa.table(
             {
-                "lo": pa.array(lo, pa.int64()),
-                "hi": pa.array(hi, pa.int64()),
+                "uk": pa.array(lo * (1 << 31) + hi, pa.int64()),
                 "fwd": pa.array(fwd, pa.int64()),
             }
         )
 
     g = (
         edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
+        .groupby("uk")
         .aggregate(Count(alias_name="n"), Min("fwd", alias_name="f0"),
                    Max("fwd", alias_name="f1"))
         .map_batches(
