@@ -106,6 +106,8 @@ class OverlayActor:
                  emit: str = "geometry"):
         if how not in HOWS:
             raise ValueError(f"how must be one of {HOWS}, got {how!r}")
+        if emit == "area" and how not in ("intersection",):
+            raise ValueError("emit='area' is an intersection-only pushdown")
         # emit="area": projection pushdown — skip WKB encode and emit a
         # piece_area column instead of geometry (for area-only consumers)
         self.emit = emit
@@ -136,11 +138,22 @@ class OverlayActor:
         return lmap, rmap
 
     def _emit(self, left: pa.Table, li: np.ndarray, ri: np.ndarray | None,
-              geoms, with_suffix: bool, area_col: bool = False) -> pd.DataFrame:
+              geoms, with_suffix: bool, area_col: bool = False):
         left_cols = [c for c in left.column_names if c != "geometry_wkb"]
         lmap, rmap = self._suffix_plan(left_cols, with_suffix)
-        data = {}
         lt = left.take(pa.array(li, pa.int64()))
+        if area_col and (ri is None or (ri >= 0).all()):
+            # hot area path: stay zero-copy Arrow end to end (the pandas
+            # block-manager copies dominated the 27.8M-row bench output)
+            cols = {lmap[c]: lt[c] for c in left_cols}
+            if ri is not None:
+                rt = self.right.take(pa.array(ri, pa.int64()))
+                for c in self.right_cols:
+                    cols[rmap[c]] = rt[c]
+            cols["piece_area"] = pa.array(np.asarray(geoms, np.float64),
+                                          pa.float64())
+            return pa.table(cols)
+        data = {}
         for c in left_cols:
             data[lmap[c]] = lt[c].to_pandas()
         if ri is not None:

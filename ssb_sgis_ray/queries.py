@@ -303,16 +303,21 @@ def q_overlay_intersection(sf_dir: str):
         parts(sf_dir), orders_tbl(sf_dir), how="intersection", emit="area"
     )
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "p_partkey": b["p_partkey"].astype("int64"),
-                "o_orderkey": b["o_orderkey"].astype("int64"),
-                "inter_area": np.round(b["piece_area"].to_numpy()).astype(np.int64),
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "inter_area": pa.array(
+                    np.round(
+                        b["piece_area"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 SQL_OVERLAY_INTERSECTION = f"""
@@ -443,16 +448,21 @@ def q_overlay_concave_inter(sf_dir: str):
         parts_l(sf_dir), orders_tbl(sf_dir), how="intersection", emit="area"
     )
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "p_partkey": b["p_partkey"].astype("int64"),
-                "o_orderkey": b["o_orderkey"].astype("int64"),
-                "inter_area": np.round(b["piece_area"].to_numpy()).astype(np.int64),
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "inter_area": pa.array(
+                    np.round(
+                        b["piece_area"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 SQL_OVERLAY_CONCAVE_INTER = f"""
@@ -478,16 +488,21 @@ def q_overlay_holed_inter(sf_dir: str):
         parts(sf_dir), orders_holed_tbl(sf_dir), how="intersection", emit="area"
     )
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "p_partkey": b["p_partkey"].astype("int64"),
-                "o_orderkey": b["o_orderkey"].astype("int64"),
-                "inter_area": np.round(b["piece_area"].to_numpy()).astype(np.int64),
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "inter_area": pa.array(
+                    np.round(
+                        b["piece_area"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 SQL_OVERLAY_HOLED_INTER = f"""
