@@ -693,3 +693,26 @@ def rough_centerlines_batch(batch: pa.Table, wkb_col: str = "geometry_wkb") -> p
     cols["geometry_wkb"] = pa.array(list(out), pa.binary())
     cols["centerline_len"] = pa.array(length, pa.float64())
     return pa.table(cols)
+
+
+def reproject_points_batch(batch: pa.Table, direction: str = "to_utm33",
+                           x_col: str = "lon", y_col: str = "lat") -> pa.Table:
+    """get_utm33 / get_lonlat (reference conversion.py:59-72, via pyproj):
+    vectorized transverse-Mercator reprojection (geo/proj.py, Karney
+    series — pyproj absent in this environment)."""
+    from ..geo import proj
+
+    x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if direction == "to_utm33":
+        e, n = proj.lonlat_to_utm33(x, y)
+        out = {"easting": e, "northing": n}
+    elif direction == "to_lonlat":
+        lon, lat = proj.utm33_to_lonlat(x, y)
+        out = {"lon": lon, "lat": lat}
+    else:
+        raise ValueError(direction)
+    t = batch
+    for k, v in out.items():
+        t = t.append_column(k, pa.array(v, pa.float64()))
+    return t

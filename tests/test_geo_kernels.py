@@ -455,3 +455,48 @@ def test_crs_tag_and_mismatch_guard():
     with pytest.raises(ValueError, match="mismatch"):
         crs.check_crs_pair("EPSG:25833", tagged)
     crs.check_crs_pair(None, tagged)  # permissive when one side untagged
+
+
+# ---------------------------------------------------------------- proj
+
+
+def test_utm33_projection_roundtrip_and_anchors():
+    from ssb_sgis_ray.geo import proj
+
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(0, 30, 3000)
+    lat = rng.uniform(-80, 84, 3000)
+    e, n = proj.lonlat_to_utm33(lon, lat)
+    lon2, lat2 = proj.utm33_to_lonlat(e, n)
+    m_err = np.hypot(
+        (lon2 - lon) * 111320 * np.cos(np.radians(lat)), (lat2 - lat) * 110574
+    ).max()
+    assert m_err < 1e-6  # sub-micrometer round trip
+    # anchors: central meridian easting exact, equator northing 0
+    e0, n0 = proj.lonlat_to_utm33(np.array([15.0]), np.array([60.0]))
+    assert e0[0] == 500000.0
+    _, nq = proj.lonlat_to_utm33(np.array([15.0]), np.array([0.0]))
+    assert nq[0] == 0.0
+    # differential vs an independent numeric meridian arc: northing at
+    # lon0 must equal k0 * arc(phi)
+    a, f = 6378137.0, 1 / 298.257222101
+    e2 = f * (2 - f)
+    ph = np.linspace(0, np.radians(60.0), 200001)
+    arc = np.trapz(a * (1 - e2) / np.power(1 - e2 * np.sin(ph) ** 2, 1.5), ph)
+    assert abs(n0[0] - 0.9996 * arc) < 1e-4
+    # Oslo lands inside the reference's stated Oslo data extent
+    eo, no = proj.lonlat_to_utm33(np.array([10.7522]), np.array([59.9139]))
+    assert 230000 < eo[0] < 280000 and 6630000 < no[0] < 6670000
+
+
+def test_reproject_points_batch():
+    from ssb_sgis_ray.ops import geometry as G
+
+    t = pa.table({"lon": pa.array([10.75, 15.0]), "lat": pa.array([59.91, 60.0])})
+    out = G.reproject_points_batch(t, "to_utm33")
+    back = G.reproject_points_batch(
+        pa.table({"easting": out["easting"], "northing": out["northing"]}),
+        "to_lonlat", x_col="easting", y_col="northing",
+    )
+    np.testing.assert_allclose(back["lon"].to_numpy(), [10.75, 15.0], atol=1e-10)
+    np.testing.assert_allclose(back["lat"].to_numpy(), [59.91, 60.0], atol=1e-10)
