@@ -212,3 +212,80 @@ def percent_bidirectional(edges_ds) -> float:
     n = tot["sum(n)"] if isinstance(tot, dict) else tot
     b = tot["sum(bidir)"] if isinstance(tot, dict) else 0
     return float(b) / float(n) if n else 0.0
+
+
+def dijkstra_with_pred(indptr, indices, weights, source_pos: int):
+    """(dist, predecessor) arrays — ties broken toward the smaller
+    predecessor position, so paths are deterministic."""
+    n = len(indptr) - 1
+    dist = np.full(n, np.inf)
+    pred = np.full(n, -1, dtype=np.int64)
+    dist[source_pos] = 0.0
+    heap = [(0.0, source_pos)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for k in range(indptr[u], indptr[u + 1]):
+            v = indices[k]
+            nd = d + weights[k]
+            if nd < dist[v] or (nd == dist[v] and pred[v] > u):
+                dist[v] = nd
+                pred[v] = u
+                heapq.heappush(heap, (nd, v))
+    return dist, pred
+
+
+class RouteActor:
+    """get_route's decidable core (networkanalysis.py get_route): per
+    (origin) Dijkstra with predecessors; emits cost + hop count per
+    destination (path geometry assembly is a lookup over the emitted
+    predecessor chain, not a distributed concern)."""
+
+    def __init__(self, graph_ref, dest_ids: np.ndarray):
+        self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
+        self.dest_pos = np.searchsorted(self.nodes, np.asarray(dest_ids, np.int64))
+        self.dest_ids = np.asarray(dest_ids, np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"origin": [], "dest": [], "cost": [], "n_hops": []}
+        for o in origins:
+            pos = int(np.searchsorted(self.nodes, o))
+            if pos >= len(self.nodes) or self.nodes[pos] != o:
+                continue
+            dist, pred = dijkstra_with_pred(
+                self.indptr, self.indices, self.weights, pos
+            )
+            for did, dp in zip(self.dest_ids, self.dest_pos):
+                if np.isinf(dist[dp]):
+                    continue
+                hops = 0
+                cur = int(dp)
+                while cur != pos:
+                    cur = int(pred[cur])
+                    hops += 1
+                out["origin"].append(int(o))
+                out["dest"].append(int(did))
+                out["cost"].append(float(dist[dp]))
+                out["n_hops"].append(hops)
+        return pa.table(
+            {
+                "origin": pa.array(out["origin"], pa.int64()),
+                "dest": pa.array(out["dest"], pa.int64()),
+                "cost": pa.array(out["cost"], pa.float64()),
+                "n_hops": pa.array(out["n_hops"], pa.int64()),
+            }
+        )
+
+
+def get_route(origins_ds, graph: tuple, dest_ids: np.ndarray,
+              concurrency=(1, 8), batch_size: int = 64):
+    gref = ray.put(graph)
+    return origins_ds.map_batches(
+        RouteActor,
+        fn_constructor_kwargs={"graph_ref": gref, "dest_ids": dest_ids},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -100,3 +100,17 @@ def test_percent_bidirectional(ray_session):
     )  # (1,2) both ways, (3,4) both ways, (5,6) one way -> 4/5
     got = routing.percent_bidirectional(rd.from_pandas(edges))
     assert got == pytest.approx(0.8)
+
+
+def test_get_route_hops(ray_session):
+    import ray.data as rd
+
+    graph = routing.build_csr(*synth.grid_graph_edges())
+    origins = rd.from_arrow(pa.table({"origin": pa.array([3005], pa.int64())}))
+    out = routing.get_route(origins, graph, synth.grid_dest_ids(4)).to_pandas()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        di = abs(r["dest"] // 1000 - 3)
+        dj = abs(r["dest"] % 1000 - 5)
+        assert r["n_hops"] == di + dj
+        assert r["cost"] == synth.GRID_HW * di + synth.GRID_VW * dj
