@@ -289,3 +289,69 @@ def get_route(origins_ds, graph: tuple, dest_ids: np.ndarray,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class RouteFrequencyActor:
+    """Per-origin route-edge emission for route_frequency
+    (networkanalysis.py get_route_frequencies: count how many OD shortest
+    paths traverse each edge). Deterministic because
+    dijkstra_with_pred breaks ties toward the smaller predecessor.
+    Emits one row per traversed edge per OD pair; the caller aggregates
+    with a single-key groupby on the packed edge key."""
+
+    def __init__(self, graph_ref, dest_ids: np.ndarray):
+        self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
+        self.dest_pos = np.searchsorted(self.nodes, np.asarray(dest_ids, np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys: list[int] = []
+        for o in origins:
+            pos = int(np.searchsorted(self.nodes, o))
+            if pos >= len(self.nodes) or self.nodes[pos] != o:
+                continue
+            dist, pred = dijkstra_with_pred(
+                self.indptr, self.indices, self.weights, pos
+            )
+            for dp in self.dest_pos:
+                if np.isinf(dist[dp]):
+                    continue
+                cur = int(dp)
+                while cur != pos:
+                    prv = int(pred[cur])
+                    a = int(self.nodes[min(prv, cur)])
+                    b = int(self.nodes[max(prv, cur)])
+                    keys.append(a * (1 << 31) + b)
+                    cur = prv
+        return pa.table({"edge_key": pa.array(keys, pa.int64())})
+
+
+def route_frequencies(origins_ds, graph: tuple, dest_ids: np.ndarray,
+                      concurrency=(1, 8), batch_size: int = 64):
+    """(node_a, node_b, n_routes) — undirected edge traversal counts."""
+    from ray.data.aggregate import Count
+
+    gref = ray.put(graph)
+    hits = origins_ds.map_batches(
+        RouteFrequencyActor,
+        fn_constructor_kwargs={"graph_ref": gref, "dest_ids": dest_ids},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["edge_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node_a": pa.array(k >> 31, pa.int64()),
+                "node_b": pa.array(k & ((1 << 31) - 1), pa.int64()),
+                "n_routes": b["n_routes"],
+            }
+        )
+
+    return (
+        hits.groupby("edge_key")
+        .aggregate(Count(alias_name="n_routes"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )

@@ -114,3 +114,24 @@ def test_get_route_hops(ray_session):
         dj = abs(r["dest"] % 1000 - 5)
         assert r["n_hops"] == di + dj
         assert r["cost"] == synth.GRID_HW * di + synth.GRID_VW * dj
+
+
+def test_route_frequencies_deterministic_and_conserved(ray_session):
+    """Every OD shortest path of hop count h contributes h edge
+    traversals: sum of frequencies == sum of hops; repeated runs agree."""
+    import ray.data as rd
+
+    graph = routing.build_csr(*synth.grid_graph_edges())
+    origins = rd.from_arrow(
+        pa.table({"origin": pa.array([1002, 5030], pa.int64())})
+    )
+    dests = synth.grid_dest_ids(3)
+    freq = routing.route_frequencies(origins, graph, dests).to_pandas()
+    routes = routing.get_route(origins, graph, dests).to_pandas()
+    assert freq["n_routes"].sum() == routes["n_hops"].sum()
+    # determinism (tie-broken predecessors): identical on a second run
+    freq2 = routing.route_frequencies(origins, graph, dests).to_pandas()
+    key = ["node_a", "node_b"]
+    a = freq.sort_values(key).reset_index(drop=True)
+    b = freq2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
