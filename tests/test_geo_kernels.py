@@ -500,3 +500,44 @@ def test_reproject_points_batch():
     )
     np.testing.assert_allclose(back["lon"].to_numpy(), [10.75, 15.0], atol=1e-10)
     np.testing.assert_allclose(back["lat"].to_numpy(), [59.91, 60.0], atol=1e-10)
+
+
+# ---------------------------------------------------------------- voronoi
+
+
+def test_voronoi_partition_and_membership():
+    from ssb_sgis_ray.geo import voronoi
+
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 100, 50)
+    py = rng.uniform(0, 100, 50)
+    cells_ = voronoi.voronoi_cells(px, py, (0, 0, 100, 100))
+    areas = np.array([kernels.ring_area(c) if len(c) else 0.0 for c in cells_])
+    assert abs(areas.sum() - 10000) < 1e-6  # exact partition of the bbox
+    qx = rng.uniform(0, 100, 300)
+    qy = rng.uniform(0, 100, 300)
+    d2 = (qx[:, None] - px[None, :]) ** 2 + (qy[:, None] - py[None, :]) ** 2
+    nearest = d2.argmin(axis=1)
+    for k in range(300):
+        c = cells_[nearest[k]]
+        assert len(c) and kernels.points_in_one_polygon(
+            np.array([qx[k]]), np.array([qy[k]]), [c]
+        )[0]
+
+
+def test_voronoi_lattice_and_duplicates():
+    from ssb_sgis_ray.geo import voronoi
+
+    g = np.arange(5) * 20 + 10.0
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    cells_ = voronoi.voronoi_cells(gx.ravel(), gy.ravel(), (0, 0, 100, 100))
+    np.testing.assert_allclose(
+        [kernels.ring_area(c) for c in cells_], np.full(25, 400.0)
+    )
+    # duplicates: first site owns the cell, later twins own nothing
+    cells2 = voronoi.voronoi_cells(
+        np.array([10.0, 10.0, 50.0]), np.array([10.0, 10.0, 50.0]), (0, 0, 100, 100)
+    )
+    areas2 = [kernels.ring_area(c) if len(c) else 0.0 for c in cells2]
+    assert areas2[1] == 0.0
+    assert abs(sum(areas2) - 10000) < 1e-9
