@@ -99,11 +99,25 @@ def _subtract_all(subject_rings: list[np.ndarray], clip_rings: list[np.ndarray])
     return pieces
 
 
+def snap_polygon_coords(pg: wkb.PolygonArray, grid_size: float) -> wkb.PolygonArray:
+    """GEOS-style grid_size snapping (clean_overlay's ``grid_size`` arg):
+    every coordinate rounds to the nearest multiple of grid_size BEFORE
+    the geometry math, so near-coincident boundaries become exactly
+    coincident (the reference forwards this to shapely's overlay)."""
+    snapped = np.round(pg.coords / grid_size) * grid_size
+    return wkb.PolygonArray(
+        coords=snapped,
+        ring_offsets=pg.ring_offsets,
+        poly_offsets=pg.poly_offsets,
+        geom_offsets=pg.geom_offsets,
+    )
+
+
 class OverlayActor:
     """Actor-pool stage computing one ``how`` of clean_overlay per batch."""
 
     def __init__(self, right_ref, how: str, lsuffix="_1", rsuffix="_2",
-                 emit: str = "geometry"):
+                 emit: str = "geometry", grid_size: float | None = None):
         if how not in HOWS:
             raise ValueError(f"how must be one of {HOWS}, got {how!r}")
         if emit == "area" and how not in ("intersection",):
@@ -111,12 +125,15 @@ class OverlayActor:
         # emit="area": projection pushdown — skip WKB encode and emit a
         # piece_area column instead of geometry (for area-only consumers)
         self.emit = emit
+        self.grid_size = grid_size
         right: pa.Table = ray.get(right_ref)
         self.right = right
         self.how = how
         self.lsuffix = lsuffix
         self.rsuffix = rsuffix
         self.rpg = wkb.decode_polygons(right["geometry_wkb"])
+        if grid_size is not None:
+            self.rpg = snap_polygon_coords(self.rpg, grid_size)
         self.rbounds = kernels.polygon_bounds(self.rpg)
         self.tree = STRtree(self.rbounds)
         self.right_cols = [c for c in right.column_names if c != "geometry_wkb"]
@@ -340,6 +357,8 @@ class OverlayActor:
     # -- main --------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         lpg = wkb.decode_polygons(batch["geometry_wkb"])
+        if self.grid_size is not None:
+            lpg = snap_polygon_coords(lpg, self.grid_size)
         l_is_rect = kernels.detect_axis_rects(lpg)
         lbounds = kernels.polygon_bounds(lpg)
         l_decomp = kernels.decompose_rectilinear(lpg)
@@ -558,6 +577,7 @@ def clean_overlay(
     batch_size: int = 512,
     emit: str = "geometry",
     left_crs: str | None = None,
+    grid_size: float | None = None,
 ):
     """Dataset-level clean_overlay (broadcast right side).
 
@@ -580,7 +600,8 @@ def clean_overlay(
     if how in ("intersection", "difference", "identity"):
         return left.map_batches(
             OverlayActor,
-            fn_constructor_kwargs={"right_ref": ref, "how": how, "emit": emit},
+            fn_constructor_kwargs={"right_ref": ref, "how": how, "emit": emit,
+                                   "grid_size": grid_size},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,

@@ -356,3 +356,45 @@ def test_overlay_concave_holed_distributed(ray_session):
         c_r, c_h = booleans.ringset_of_row(rpg, rrow[int(row["o_orderkey"])])
         want = booleans.boolean_area(s_r, c_r, "intersection", s_h, c_h)
         assert row["piece_area"] == pytest.approx(want, abs=1e-9)
+
+
+def test_overlay_grid_size_snapping(ray_session):
+    """clean_overlay(grid_size=...) snaps near-coincident boundaries to
+    exact coincidence before the geometry math (GEOS grid_size arg)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def boxes(eps):
+        ring = np.array(
+            [[0 + eps, 0], [10 + eps, 0], [10 + eps, 10], [0 + eps, 10], [0 + eps, 0]],
+            float,
+        )
+        return pa.table(
+            {
+                "lid": pa.array([1], pa.int64()),
+                "geometry_wkb": pa.array([W.encode_polygon([ring])], pa.binary()),
+            }
+        )
+
+    right = pa.table(
+        {
+            "rid": pa.array([1], pa.int64()),
+            "geometry_wkb": pa.array(
+                [W.encode_polygon([np.array([[10, 0], [20, 0], [20, 10], [10, 10], [10, 0]], float)])],
+                pa.binary(),
+            ),
+        }
+    )
+    # left box ends at x=10.3: unsnapped overlap area 0.3; with
+    # grid_size=1 the boundary snaps to x=10 -> touching, zero area, no row
+    out_raw = ov.clean_overlay(
+        rd.from_arrow(boxes(0.3)), right, how="intersection", emit="area"
+    ).to_pandas()
+    assert len(out_raw) == 1 and abs(out_raw["piece_area"][0] - 3.0) < 1e-9
+    out_snap = ov.clean_overlay(
+        rd.from_arrow(boxes(0.3)), right, how="intersection", emit="area",
+        grid_size=1.0,
+    ).to_pandas()
+    assert len(out_snap) == 0
