@@ -119,3 +119,36 @@ def line_components(lines_ds, id_col: str, tolerance: float,
         ),
         batch_format="pyarrow",
     )
+
+
+def make_directed(lines_ds, id_col: str, tolerance: float, oneway_col: str):
+    """make_directed_network (reference directednetwork.py:50-130): expand
+    each line into directed edges by its oneway code — 'B' both ways,
+    'FT' from→to only, 'TF' to→from only (the reference's Norwegian road
+    codes). Pure flat-map over batches; no shuffle.
+    Emits (id, from_node, to_node, direction)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = add_node_keys(batch, id_col, tolerance)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["node_a"].to_numpy(zero_copy_only=False)
+        b = t["node_b"].to_numpy(zero_copy_only=False)
+        code = np.asarray(batch[oneway_col].to_pylist())
+        fwd = (code == "B") | (code == "FT")
+        rev = (code == "B") | (code == "TF")
+        out_id = np.concatenate([ids[fwd], ids[rev]])
+        out_from = np.concatenate([a[fwd], b[rev]])
+        out_to = np.concatenate([b[fwd], a[rev]])
+        out_dir = np.concatenate(
+            [np.zeros(fwd.sum(), np.int64), np.ones(rev.sum(), np.int64)]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "from_node": pa.array(out_from, pa.int64()),
+                "to_node": pa.array(out_to, pa.int64()),
+                "direction": pa.array(out_dir, pa.int64()),
+            }
+        )
+
+    return lines_ds.map_batches(expand, batch_format="pyarrow")
