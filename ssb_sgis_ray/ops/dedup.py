@@ -163,6 +163,11 @@ def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return empty
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
+    # a cross-band band_hash collision can land the same doc twice in one
+    # merged bucket → drop id_a == id_b self-pairs (they'd survive Jaccard
+    # verify at similarity 1.0)
+    keep = a != b
+    a, b = a[keep], b[keep]
     return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
 
 

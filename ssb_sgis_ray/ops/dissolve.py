@@ -453,7 +453,13 @@ def painter_kept_areas_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     ]
     order = np.lexsort((ids, -areas))
     kept = np.zeros(len(ids))
-    uv = _rings_as_uv_rects(rings)
+    # uv fast path is only valid when every row is a single-part single-ring
+    # polygon — `rings` holds just the FIRST ring of the FIRST part, so a
+    # multi-part/holed row would silently lose its extra rings here
+    simple = (np.diff(pg.geom_offsets) == 1).all() and (
+        np.diff(pg.poly_offsets) == 1
+    ).all()
+    uv = _rings_as_uv_rects(rings) if simple else None
     if uv is not None:
         pieces = np.empty((0, 4))
         for i in order:

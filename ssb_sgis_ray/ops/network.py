@@ -133,9 +133,21 @@ def make_directed(lines_ds, id_col: str, tolerance: float, oneway_col: str):
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         a = t["node_a"].to_numpy(zero_copy_only=False)
         b = t["node_b"].to_numpy(zero_copy_only=False)
-        code = np.asarray(batch[oneway_col].to_pylist())
+        code_list = batch[oneway_col].to_pylist()
+        code = np.asarray(code_list, dtype=object)
+        is_null = np.fromiter((v is None for v in code_list), bool, len(code_list))
         fwd = (code == "B") | (code == "FT")
         rev = (code == "B") | (code == "TF")
+        # reference validates direction codes and raises on bad values
+        # (directednetwork.py _validate_direction_args) — don't let data
+        # errors silently vanish as dropped rows
+        bad = ~(fwd | rev) & ~is_null
+        if bad.any():
+            bad_vals = sorted({str(v) for v in code[bad]})
+            raise ValueError(
+                f"make_directed: {int(bad.sum())} rows with oneway values "
+                f"outside {{B, FT, TF}}/null: {bad_vals[:10]}"
+            )
         out_id = np.concatenate([ids[fwd], ids[rev]])
         out_from = np.concatenate([a[fwd], b[rev]])
         out_to = np.concatenate([b[fwd], a[rev]])

@@ -68,6 +68,22 @@ def _polys_to_wkb(polys: list[list[np.ndarray]]) -> bytes | None:
     return wkb.encode_multipolygon(polys)
 
 
+def _row_passthrough_wkb(pg: wkb.PolygonArray, row: int) -> bytes | None:
+    """Re-encode a row with EVERY ring of every part (shells + holes).
+
+    Pass-through rows (no intersecting right row) must keep interior holes,
+    matching the reference's GEOS behavior where untouched geometries ride
+    through difference/identity/update unchanged (overlay.py:384-385)."""
+    polys = []
+    for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+        r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+        polys.append(
+            [pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+             for r in range(r0, r1)]
+        )
+    return _polys_to_wkb(polys)
+
+
 def _row_fastpath(pg: wkb.PolygonArray, row: int) -> bool:
     """True when every part is a hole-free convex single ring (eligible
     for the Sutherland–Hodgman / convex-complement kernels)."""
@@ -318,7 +334,7 @@ class OverlayActor:
             by_left.setdefault(int(qi[k]), []).append(int(pi[k]))
         for i in range(n):
             if i not in by_left:
-                g = _pieces_to_wkb(_rings_of_row(lpg, i))  # untouched rows
+                g = _row_passthrough_wkb(lpg, i)  # untouched rows, holes kept
             elif l_rlin[i] and self.r_rlin[by_left[i]].all():
                 # rectilinear subject − rectilinear clips: stay in interval
                 # math; the remainder is always disjoint axis-aligned boxes

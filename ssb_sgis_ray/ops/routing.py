@@ -72,6 +72,20 @@ def dijkstra(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
     return dist
 
 
+def _resolve_dest_pos(nodes: np.ndarray, dest_ids: np.ndarray):
+    """(positions, valid dest ids) — destinations absent from the graph are
+    DROPPED, mirroring the origin-side check (an unvalidated searchsorted
+    either raises IndexError at pos==len(nodes) or silently reads another
+    node's distance)."""
+    dest_ids = np.asarray(dest_ids, np.int64)
+    if len(nodes) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pos = np.searchsorted(nodes, dest_ids)
+    pos_c = np.minimum(pos, len(nodes) - 1)
+    ok = (pos < len(nodes)) & (nodes[pos_c] == dest_ids)
+    return pos[ok], dest_ids[ok]
+
+
 class OdCostActor:
     """Actor stage: per-origin Dijkstra against the broadcast CSR graph.
 
@@ -82,8 +96,7 @@ class OdCostActor:
 
     def __init__(self, graph_ref, dest_ids: np.ndarray, cutoff: float = np.inf):
         self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
-        self.dest_pos = np.searchsorted(self.nodes, np.asarray(dest_ids, np.int64))
-        self.dest_ids = np.asarray(dest_ids, np.int64)
+        self.dest_pos, self.dest_ids = _resolve_dest_pos(self.nodes, dest_ids)
         self.cutoff = cutoff
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -244,8 +257,7 @@ class RouteActor:
 
     def __init__(self, graph_ref, dest_ids: np.ndarray):
         self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
-        self.dest_pos = np.searchsorted(self.nodes, np.asarray(dest_ids, np.int64))
-        self.dest_ids = np.asarray(dest_ids, np.int64)
+        self.dest_pos, self.dest_ids = _resolve_dest_pos(self.nodes, dest_ids)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -301,7 +313,7 @@ class RouteFrequencyActor:
 
     def __init__(self, graph_ref, dest_ids: np.ndarray):
         self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
-        self.dest_pos = np.searchsorted(self.nodes, np.asarray(dest_ids, np.int64))
+        self.dest_pos, _ = _resolve_dest_pos(self.nodes, dest_ids)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)

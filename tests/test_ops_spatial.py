@@ -398,3 +398,57 @@ def test_overlay_grid_size_snapping(ray_session):
         grid_size=1.0,
     ).to_pandas()
     assert len(out_snap) == 0
+
+
+def test_overlay_difference_passthrough_keeps_holes(ray_session):
+    """ADVICE r2 (high): a holed left row with NO intersecting right row
+    must ride through difference with its interior holes intact (the
+    reference's GEOS pass-through keeps untouched geometries unchanged)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import kernels
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    shell = np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], float)
+    hole = np.array([[40, 40], [40, 60], [60, 60], [60, 40], [40, 40]], float)
+    left = pa.table(
+        {
+            "lid": pa.array([1], pa.int64()),
+            "geometry_wkb": pa.array([W.encode_polygon([shell, hole])], pa.binary()),
+        }
+    )
+    far = np.array(
+        [[500, 500], [510, 500], [510, 510], [500, 510], [500, 500]], float
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([1], pa.int64()),
+            "geometry_wkb": pa.array([W.encode_polygon([far])], pa.binary()),
+        }
+    )
+    out = ov.clean_overlay(rd.from_arrow(left), right, how="difference").to_pandas()
+    assert len(out) == 1
+    pg = W.decode_polygons(out["geometry_wkb"].to_numpy())
+    assert kernels.polygon_areas(pg)[0] == pytest.approx(100 * 100 - 20 * 20)
+
+
+def test_od_cost_matrix_invalid_destination(ray_session):
+    """ADVICE r2 (medium): destinations absent from the graph must be
+    dropped, not read out of another node's distance slot."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import routing
+
+    edges_a = np.array([1, 2, 3], np.int64)
+    edges_b = np.array([2, 3, 4], np.int64)
+    w = np.ones(3, float)
+    graph = routing.build_csr(edges_a, edges_b, w)
+    origins = rd.from_arrow(pa.table({"origin": pa.array([1], pa.int64())}))
+    # dest 99 is not in the graph; dest 9999 is past every node id
+    out = routing.od_cost_matrix(
+        origins, graph, np.array([2, 99, 4, 9999], np.int64)
+    ).to_pandas()
+    assert sorted(out["dest"]) == [2, 4]
+    got = dict(zip(out["dest"], out["cost"]))
+    assert got[2] == pytest.approx(1.0) and got[4] == pytest.approx(3.0)
