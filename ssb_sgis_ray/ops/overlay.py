@@ -129,11 +129,194 @@ def snap_polygon_coords(pg: wkb.PolygonArray, grid_size: float) -> wkb.PolygonAr
     )
 
 
+class RightGeoms:
+    """Decoded right-side geometry index: polygons + STRtree + the rect /
+    rectilinear fast-path state. Built once per broadcast actor OR once per
+    cell group in the co-partitioned plan — the same tiered math runs over
+    either."""
+
+    def __init__(self, right: pa.Table, grid_size: float | None = None):
+        self.table = right
+        self.rpg = wkb.decode_polygons(right["geometry_wkb"])
+        if grid_size is not None:
+            self.rpg = snap_polygon_coords(self.rpg, grid_size)
+        self.rbounds = kernels.polygon_bounds(self.rpg)
+        self.tree = STRtree(self.rbounds)
+        self.cols = [c for c in right.column_names if c != "geometry_wkb"]
+        # rectangle fast path: axis-aligned boxes stay boxes under clip and
+        # subtract, so rect×rect pairs use pure interval math (vectorized)
+        self.r_is_rect = kernels.detect_axis_rects(self.rpg)
+        # rectilinear fast path: ANY axis-parallel polygon (L-shapes, holed
+        # boxes) decomposes once into disjoint rects; pair math stays
+        # vectorized interval arithmetic
+        self.r_rects, self.r_offs, self.r_rlin = kernels.decompose_rectilinear(self.rpg)
+
+
+def find_candidate_pairs(lpg: wkb.PolygonArray, l_is_rect: np.ndarray,
+                         R: RightGeoms, l_rlin: np.ndarray | None = None):
+    """STRtree bbox query + exact refine -> (left rows, right rows).
+
+    rect×rect pairs skip the refine (bbox overlap IS the boundary-inclusive
+    intersects test); rlin×rlin pairs skip it too — downstream legs are
+    insensitive to false candidates (vectorized area filters drop empty
+    intersections, subtracting a non-overlapping clip is a no-op)."""
+    lb = kernels.polygon_bounds(lpg)
+    qi, pi = R.tree.query_bbox(lb)
+    if len(qi):
+        both_rect = l_is_rect[qi] & R.r_is_rect[pi]
+        skip = both_rect
+        if l_rlin is not None:
+            skip = skip | (l_rlin[qi] & R.r_rlin[pi])
+        gi = np.nonzero(~skip)[0]
+        keep = np.ones(len(qi), dtype=bool)
+        if len(gi):
+            keep[gi] = kernels.polygons_intersect_pairs(lpg, R.rpg, qi[gi], pi[gi])
+        qi, pi = qi[keep], pi[keep]
+    return qi, pi
+
+
+def intersection_pieces(lpg: wkb.PolygonArray, lbounds: np.ndarray,
+                        l_decomp, l_is_rect: np.ndarray, R: RightGeoms,
+                        qi: np.ndarray, pi: np.ndarray, area_only: bool):
+    """Tiered per-pair intersection math (rect interval → rectilinear
+    decomposition → Sutherland–Hodgman convex → scanline boolean engine).
+
+    Returns (li, ri, areas | None, geoms | None) — the geometry core of
+    the intersection leg, shared by the broadcast actor and the per-cell
+    co-partitioned kernel."""
+    both_rect = l_is_rect[qi] & R.r_is_rect[pi] if len(qi) else np.zeros(0, bool)
+    l_rects, l_offs, l_rlin = l_decomp
+
+    # vectorized rect×rect leg: interval math (+WKB encode only when
+    # geometry output is requested)
+    ri_idx = np.nonzero(both_rect)[0]
+    boxes, ok = kernels.rect_intersection_boxes(
+        lbounds[qi[ri_idx]], R.rbounds[pi[ri_idx]]
+    ) if len(ri_idx) else (np.empty((0, 4)), np.zeros(0, bool))
+    rect_li = qi[ri_idx][ok]
+    rect_ri = pi[ri_idx][ok]
+    rect_boxes = boxes[ok]
+    if area_only:
+        rect_geom: list = []
+        rect_area = (rect_boxes[:, 2] - rect_boxes[:, 0]) * (
+            rect_boxes[:, 3] - rect_boxes[:, 1]
+        )
+    else:
+        rect_area = np.zeros(0)
+        rect_geom = wkb.encode_boxes_arrow(rect_boxes).to_pylist()
+
+    # rectilinear×rectilinear leg: vectorized disjoint-rect interval math
+    both_rlin = (
+        l_rlin[qi] & R.r_rlin[pi] & ~both_rect if len(qi) else np.zeros(0, bool)
+    )
+    rl_idx = np.nonzero(both_rlin)[0]
+    rl_li, rl_ri, rl_area, rl_geom = (
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0), [],
+    )
+    if len(rl_idx):
+        areas = kernels.rect_sets_inter_areas(
+            l_rects, l_offs, qi[rl_idx], R.r_rects, R.r_offs, pi[rl_idx]
+        )
+        pos = areas > 0
+        rl_li, rl_ri, rl_area = qi[rl_idx][pos], pi[rl_idx][pos], areas[pos]
+        if not area_only:
+            for lrow, rrow in zip(rl_li, rl_ri):
+                boxes = kernels.rect_sets_inter_boxes(
+                    l_rects, l_offs, int(lrow), R.r_rects, R.r_offs, int(rrow)
+                )
+                rl_geom.append(_pieces_to_wkb(list(kernels.rects_to_rings(boxes))))
+
+    # generic leg (python per pair) for everything else
+    out_li, out_ri, out_geom, out_area = [], [], [], []
+    for k in np.nonzero(~both_rect & ~both_rlin)[0]:
+        l_row, r_row = int(qi[k]), int(pi[k])
+        if _row_fastpath(lpg, l_row) and _row_fastpath(R.rpg, r_row):
+            # hole-free convex×convex: Sutherland–Hodgman per ring pair
+            srings = _rings_of_row(lpg, l_row)
+            crings = _rings_of_row(R.rpg, r_row)
+            pieces = []
+            for s in srings:
+                for c in crings:
+                    clipped = kernels.clip_ring_convex(s, c)
+                    if kernels.ring_area(clipped) > 0:
+                        pieces.append(clipped)
+            if not pieces:
+                continue
+            area = sum(kernels.ring_area(p) for p in pieces)
+            geom = None if area_only else _pieces_to_wkb(pieces)
+        else:
+            # general case: concave / holed / multi-part operands
+            s_r, s_h = booleans.ringset_of_row(lpg, l_row)
+            c_r, c_h = booleans.ringset_of_row(R.rpg, r_row)
+            if area_only:
+                area = booleans.boolean_area(s_r, c_r, "intersection", s_h, c_h)
+                if area <= 0:
+                    continue
+                geom = None
+            else:
+                polys = booleans.boolean_polygons(s_r, c_r, "intersection", s_h, c_h)
+                geom = _polys_to_wkb(polys)
+                if geom is None:
+                    continue
+                area = 0.0
+        out_li.append(qi[k])
+        out_ri.append(pi[k])
+        if area_only:
+            out_area.append(area)
+        else:
+            out_geom.append(geom)
+    li = np.concatenate([rect_li, rl_li, np.array(out_li, np.int64)]).astype(np.int64)
+    ri = np.concatenate([rect_ri, rl_ri, np.array(out_ri, np.int64)]).astype(np.int64)
+    if area_only:
+        areas = np.concatenate([rect_area, rl_area, np.array(out_area, np.float64)])
+        return li, ri, areas, None
+    return li, ri, None, rect_geom + rl_geom + out_geom
+
+
+def subtract_union_wkb(spg: wkb.PolygonArray, srow: int,
+                       cpg: wkb.PolygonArray, crows) -> bytes | None:
+    """One subject row − union(clip rows) -> WKB | None (fully covered).
+
+    Tiered: rectilinear interval math → convex-complement chain → scanline
+    boolean engine (winding rule unions all clips in one pass). Shared by
+    the broadcast right-diff kernel and the co-partitioned difference."""
+    crows = [int(r) for r in crows]
+    if not crows:
+        return _row_passthrough_wkb(spg, srow)
+    s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(spg)
+    c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(cpg)
+    if s_rlin[srow] and c_rlin[crows].all():
+        rects = s_rects[s_offs[srow] : s_offs[srow + 1]]
+        for r in crows:
+            for cb in c_rects[c_offs[r] : c_offs[r + 1]]:
+                rects = kernels.subtract_rect_from_rects(rects, cb)
+                if len(rects) == 0:
+                    break
+            if len(rects) == 0:
+                break
+        return (_pieces_to_wkb(list(kernels.rects_to_rings(rects)))
+                if len(rects) else None)
+    if _row_fastpath(spg, srow) and all(_row_fastpath(cpg, r) for r in crows):
+        clips = []
+        for r in crows:
+            clips.extend(_rings_of_row(cpg, r))
+        return _pieces_to_wkb(_subtract_all(_rings_of_row(spg, srow), clips))
+    s_r, s_h = booleans.ringset_of_row(spg, srow)
+    c_r, c_h = [], []
+    for r in crows:
+        rr, hh = booleans.ringset_of_row(cpg, r)
+        c_r.extend(rr)
+        c_h.extend(hh)
+    return _polys_to_wkb(booleans.boolean_polygons(s_r, c_r, "difference", s_h, c_h))
+
+
 class OverlayActor:
     """Actor-pool stage computing one ``how`` of clean_overlay per batch."""
 
-    def __init__(self, right_ref, how: str, lsuffix="_1", rsuffix="_2",
-                 emit: str = "geometry", grid_size: float | None = None):
+    def __init__(self, right_ref=None, how: str = "intersection",
+                 lsuffix="_1", rsuffix="_2",
+                 emit: str = "geometry", grid_size: float | None = None,
+                 right_table: pa.Table | None = None):
         if how not in HOWS:
             raise ValueError(f"how must be one of {HOWS}, got {how!r}")
         if emit == "area" and how not in ("intersection",):
@@ -142,24 +325,20 @@ class OverlayActor:
         # piece_area column instead of geometry (for area-only consumers)
         self.emit = emit
         self.grid_size = grid_size
-        right: pa.Table = ray.get(right_ref)
+        right: pa.Table = right_table if right_table is not None else ray.get(right_ref)
         self.right = right
         self.how = how
         self.lsuffix = lsuffix
         self.rsuffix = rsuffix
-        self.rpg = wkb.decode_polygons(right["geometry_wkb"])
-        if grid_size is not None:
-            self.rpg = snap_polygon_coords(self.rpg, grid_size)
-        self.rbounds = kernels.polygon_bounds(self.rpg)
-        self.tree = STRtree(self.rbounds)
-        self.right_cols = [c for c in right.column_names if c != "geometry_wkb"]
-        # rectangle fast path: axis-aligned boxes stay boxes under clip and
-        # subtract, so rect×rect pairs use pure interval math (vectorized)
-        self.r_is_rect = kernels.detect_axis_rects(self.rpg)
-        # rectilinear fast path: ANY axis-parallel polygon (L-shapes, holed
-        # boxes) decomposes once into disjoint rects; pair math stays
-        # vectorized interval arithmetic
-        self.r_rects, self.r_offs, self.r_rlin = kernels.decompose_rectilinear(self.rpg)
+        self.R = RightGeoms(right, grid_size)
+        self.rpg = self.R.rpg
+        self.rbounds = self.R.rbounds
+        self.tree = self.R.tree
+        self.right_cols = self.R.cols
+        self.r_is_rect = self.R.r_is_rect
+        self.r_rects, self.r_offs, self.r_rlin = (
+            self.R.r_rects, self.R.r_offs, self.R.r_rlin
+        )
 
     # -- column plumbing ---------------------------------------------------
     def _suffix_plan(self, left_cols: list[str], with_suffix: bool):
@@ -205,121 +384,19 @@ class OverlayActor:
     # -- geometry legs -----------------------------------------------------
     def _pairs(self, lpg: wkb.PolygonArray, l_is_rect: np.ndarray,
                l_rlin: np.ndarray | None = None):
-        lb = kernels.polygon_bounds(lpg)
-        qi, pi = self.tree.query_bbox(lb)
-        if len(qi):
-            # rect×rect: bbox overlap IS the exact boundary-inclusive
-            # intersects test — skip the generic refine for those pairs.
-            # rlin×rlin pairs also skip the (per-pair python) refine: the
-            # downstream legs are insensitive to false candidates — the
-            # vectorized area filter drops empty intersections, and
-            # subtracting a non-overlapping clip is a no-op.
-            both_rect = l_is_rect[qi] & self.r_is_rect[pi]
-            skip = both_rect
-            if l_rlin is not None:
-                skip = skip | (l_rlin[qi] & self.r_rlin[pi])
-            gi = np.nonzero(~skip)[0]
-            keep = np.ones(len(qi), dtype=bool)
-            if len(gi):
-                keep[gi] = kernels.polygons_intersect_pairs(
-                    lpg, self.rpg, qi[gi], pi[gi]
-                )
-            qi, pi = qi[keep], pi[keep]
-        return qi, pi
+        return find_candidate_pairs(lpg, l_is_rect, self.R, l_rlin)
 
     def _intersection_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
                           with_suffix=True, l_decomp=None) -> pd.DataFrame:
-        both_rect = l_is_rect[qi] & self.r_is_rect[pi] if len(qi) else np.zeros(0, bool)
         if l_decomp is None:
             l_decomp = kernels.decompose_rectilinear(lpg)
-        l_rects, l_offs, l_rlin = l_decomp
-
-        # vectorized rect×rect leg: interval math (+WKB encode only when
-        # geometry output is requested)
-        ri_idx = np.nonzero(both_rect)[0]
-        boxes, ok = kernels.rect_intersection_boxes(
-            lbounds[qi[ri_idx]], self.rbounds[pi[ri_idx]]
-        ) if len(ri_idx) else (np.empty((0, 4)), np.zeros(0, bool))
-        rect_li = qi[ri_idx][ok]
-        rect_ri = pi[ri_idx][ok]
-        rect_boxes = boxes[ok]
         area_only = self.emit == "area"
-        if area_only:
-            rect_geom: list = []
-            rect_area = (rect_boxes[:, 2] - rect_boxes[:, 0]) * (
-                rect_boxes[:, 3] - rect_boxes[:, 1]
-            )
-        else:
-            rect_geom = wkb.encode_boxes_arrow(rect_boxes).to_pylist()
-
-        # rectilinear×rectilinear leg: vectorized disjoint-rect interval math
-        both_rlin = (
-            l_rlin[qi] & self.r_rlin[pi] & ~both_rect if len(qi) else np.zeros(0, bool)
+        li, ri, areas, geoms = intersection_pieces(
+            lpg, lbounds, l_decomp, l_is_rect, self.R, qi, pi, area_only
         )
-        rl_idx = np.nonzero(both_rlin)[0]
-        rl_li, rl_ri, rl_area, rl_geom = (
-            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0), [],
-        )
-        if len(rl_idx):
-            areas = kernels.rect_sets_inter_areas(
-                l_rects, l_offs, qi[rl_idx], self.r_rects, self.r_offs, pi[rl_idx]
-            )
-            pos = areas > 0
-            rl_li, rl_ri, rl_area = qi[rl_idx][pos], pi[rl_idx][pos], areas[pos]
-            if not area_only:
-                for lrow, rrow in zip(rl_li, rl_ri):
-                    boxes = kernels.rect_sets_inter_boxes(
-                        l_rects, l_offs, int(lrow), self.r_rects, self.r_offs, int(rrow)
-                    )
-                    rl_geom.append(_pieces_to_wkb(list(kernels.rects_to_rings(boxes))))
-
-        # generic leg (python per pair) for everything else
-        out_li, out_ri, out_geom, out_area = [], [], [], []
-        for k in np.nonzero(~both_rect & ~both_rlin)[0]:
-            l_row, r_row = int(qi[k]), int(pi[k])
-            if _row_fastpath(lpg, l_row) and _row_fastpath(self.rpg, r_row):
-                # hole-free convex×convex: Sutherland–Hodgman per ring pair
-                srings = _rings_of_row(lpg, l_row)
-                crings = _rings_of_row(self.rpg, r_row)
-                pieces = []
-                for s in srings:
-                    for c in crings:
-                        clipped = kernels.clip_ring_convex(s, c)
-                        if kernels.ring_area(clipped) > 0:
-                            pieces.append(clipped)
-                if not pieces:
-                    continue
-                area = sum(kernels.ring_area(p) for p in pieces)
-                geom = None if area_only else _pieces_to_wkb(pieces)
-            else:
-                # general case: concave / holed / multi-part operands
-                s_r, s_h = booleans.ringset_of_row(lpg, l_row)
-                c_r, c_h = booleans.ringset_of_row(self.rpg, r_row)
-                if area_only:
-                    area = booleans.boolean_area(s_r, c_r, "intersection", s_h, c_h)
-                    if area <= 0:
-                        continue
-                    geom = None
-                else:
-                    polys = booleans.boolean_polygons(s_r, c_r, "intersection", s_h, c_h)
-                    geom = _polys_to_wkb(polys)
-                    if geom is None:
-                        continue
-                    area = 0.0
-            out_li.append(qi[k])
-            out_ri.append(pi[k])
-            if area_only:
-                out_area.append(area)
-            else:
-                out_geom.append(geom)
-        li = np.concatenate([rect_li, rl_li, np.array(out_li, np.int64)])
-        ri = np.concatenate([rect_ri, rl_ri, np.array(out_ri, np.int64)])
         if area_only:
-            areas = np.concatenate([rect_area, rl_area, np.array(out_area, np.float64)])
-            return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
-                              areas, with_suffix, area_col=True)
-        return self._emit(left, li.astype(np.int64), ri.astype(np.int64),
-                          rect_geom + rl_geom + out_geom, with_suffix)
+            return self._emit(left, li, ri, areas, with_suffix, area_col=True)
+        return self._emit(left, li, ri, geoms, with_suffix)
 
     def _difference_leg(self, left, lpg, qi, pi, l_is_rect, lbounds,
                         with_suffix=False, l_decomp=None) -> pd.DataFrame:
@@ -454,36 +531,7 @@ def _right_diff_kernel(right_table: pa.Table):
         row = int(g["right_row"].iloc[0])
         rpg = wkb.decode_polygons(right_table["geometry_wkb"].slice(row, 1))
         lpg = wkb.decode_polygons(g["left_geom"].to_numpy())
-        # rectilinear fast path: subject and all clips axis-parallel ->
-        # disjoint-rect interval math (covers plain rects, L-shapes, holes)
-        s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(rpg)
-        c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(lpg)
-        if s_rlin[0] and c_rlin.all():
-            rects = s_rects[s_offs[0] : s_offs[1]]
-            for cb in c_rects:
-                rects = kernels.subtract_rect_from_rects(rects, cb)
-                if len(rects) == 0:
-                    break
-            gwkb = (_pieces_to_wkb(list(kernels.rects_to_rings(rects)))
-                    if len(rects) else None)
-        elif _row_fastpath(rpg, 0) and all(
-            _row_fastpath(lpg, i) for i in range(len(lpg))
-        ):
-            subject = _rings_of_row(rpg, 0)
-            clips = []
-            for i in range(len(lpg)):
-                clips.extend(_rings_of_row(lpg, i))
-            gwkb = _pieces_to_wkb(_subtract_all(subject, clips))
-        else:
-            s_r, s_h = booleans.ringset_of_row(rpg, 0)
-            c_r, c_h = [], []
-            for i in range(len(lpg)):
-                rr, hh = booleans.ringset_of_row(lpg, i)
-                c_r.extend(rr)
-                c_h.extend(hh)
-            gwkb = _polys_to_wkb(
-                booleans.boolean_polygons(s_r, c_r, "difference", s_h, c_h)
-            )
+        gwkb = subtract_union_wkb(rpg, 0, lpg, range(len(lpg)))
         out = {c: [right_table[c][row].as_py()] for c in right_table.column_names
                if c != "geometry_wkb"}
         out["geometry_wkb"] = [gwkb]
@@ -527,14 +575,32 @@ def overlay_union_legs(
         + ["leg", "geometry_wkb"]
     )
 
+    # explicit per-column Arrow types: every leg emits the SAME schema
+    # (absent side columns become typed nulls, not arrow null-type columns —
+    # schema-unstable RefBundles defeat the streaming executor's fusion)
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    target_types: dict[str, pa.DataType] = {}
+    for c in left_cols:
+        target_types[lmap[c]] = ltypes[c]
+    for c in right_cols:
+        target_types.setdefault(rmap[c], right_table.schema.field(c).type)
+    target_types["leg"] = pa.string()
+    target_types["geometry_wkb"] = pa.binary()
+
     def norm(leg_name: str, rename: dict):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def fn(df: pd.DataFrame) -> pa.Table:
             df = df.rename(columns=rename)
-            df["leg"] = leg_name
+            arrays = []
             for c in all_cols:
-                if c not in df.columns:
-                    df[c] = None
-            return df[all_cols]
+                if c == "leg":
+                    arrays.append(pa.array([leg_name] * len(df), pa.string()))
+                elif c in df.columns:
+                    arrays.append(
+                        pa.Array.from_pandas(df[c], type=target_types[c])
+                    )
+                else:
+                    arrays.append(pa.nulls(len(df), target_types[c]))
+            return pa.table(dict(zip(all_cols, arrays)))
 
         return fn
 
@@ -553,6 +619,12 @@ def overlay_union_legs(
     ).map_batches(norm("left", lmap), batch_format="pandas")
     legs.append(ldiff)
     if how in ("union", "symmetric_difference"):
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        from .dissolve import default_join_partitions
+
         pairs = left.map_batches(
             RightPairsEmitter,
             fn_constructor_kwargs={"right_ref": ref},
@@ -562,23 +634,46 @@ def overlay_union_legs(
             _right_diff_kernel(right_table), batch_format="pandas"
         ).map_batches(norm("right", rmap), batch_format="pandas")
         legs.append(rdiff)
-        # unmatched right rows ride through with original geometry
-        matched = set()
-        for b in pairs.select_columns(["right_row"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            matched.update(b["right_row"].to_pylist())
-        unmatched_rows = [i for i in range(len(right_table)) if i not in matched]
-        if unmatched_rows:
-            import ray.data as rd
-
-            um = right_table.take(pa.array(unmatched_rows, pa.int64())).to_pandas()
-            legs.append(rd.from_pandas(norm("right", rmap)(um)))
+        # unmatched right rows ride through with original geometry —
+        # distributed anti-join on right_row (no driver-side id set)
+        right_rows = rd.from_arrow(
+            right_table.append_column(
+                "right_row", pa.array(np.arange(len(right_table)), pa.int64())
+            )
+        )
+        if pairs.count() == 0:
+            legs.append(
+                right_rows.drop_columns(["right_row"])
+                .map_batches(norm("right", rmap), batch_format="pandas")
+            )
+        else:
+            matched_ids = (
+                pairs.select_columns(["right_row"])
+                .groupby("right_row")
+                .aggregate(Count(alias_name="__m"))
+            )
+            um = right_rows.join(
+                matched_ids,
+                join_type="left_outer",
+                num_partitions=default_join_partitions(None),
+                on=("right_row",),
+            ).map_batches(
+                lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(
+                    ["__m", "right_row"]
+                ),
+                batch_format="pyarrow",
+            )
+            legs.append(um.map_batches(norm("right", rmap), batch_format="pandas"))
     if how == "update":
         import ray.data as rd
 
-        um = right_table.to_pandas()
-        legs.append(rd.from_pandas(norm("right", rmap)(um)))
+        # ALL right rows ride through unchanged (overlay.py:260-263) — as a
+        # streamed Dataset, not a driver-side pandas materialization
+        legs.append(
+            rd.from_arrow(right_table).map_batches(
+                norm("right", rmap), batch_format="pandas"
+            )
+        )
     out = legs[0]
     for l in legs[1:]:
         out = out.union(l)
@@ -622,8 +717,235 @@ def clean_overlay(
             batch_size=batch_size,
             concurrency=concurrency,
         )
-    raise NotImplementedError(
-        "union/symmetric_difference/update compose intersection+difference "
-        "legs with a right-side match pass; use overlay_union_area() or the "
-        "per-how legs for now"
+    # union / symmetric_difference / update: composed legs (the reference
+    # accepts all six hows through one call, overlay.py:70-81); the internal
+    # 'leg' marker is dropped so the surface matches the other hows
+    return overlay_union_legs(
+        left, right_table, how=how, concurrency=concurrency,
+        batch_size=batch_size,
+    ).drop_columns(["leg"])
+
+
+# ---------------------------------------------------------------------------
+# Cell co-partitioned overlay (both sides LARGE) — the shuffle plan.
+#
+# The broadcast plan above assumes the right side fits the object store as
+# one Arrow table. When both sides are big, this plan instead co-partitions
+# the two datasets by covering grid cell (the reference's own gridloop
+# pattern, /root/reference/src/sgis/geopandas_tools/bounds.py:16-173, made
+# distributed): each polygon is replicated to every cell its bbox overlaps,
+# a groupby(cell) co-groups both sides, and pairs are deduplicated WITHOUT
+# a second shuffle by the anchor-cell rule (a pair is emitted only by the
+# cell containing the min-corner of the two bboxes' intersection — exactly
+# the rule proven by self_intersect_pairs_ds, ops/dissolve.py:77-140).
+# ---------------------------------------------------------------------------
+
+
+def _tag_overlay_side(batch: pa.Table, res: int, id_col: str, side: int) -> pa.Table:
+    """One side -> (cell, side, oid, minx, miny, geometry_wkb) cover rows."""
+    from ..geo import cells
+
+    pg = wkb.decode_polygons(batch["geometry_wkb"])
+    b = kernels.polygon_bounds(pg)
+    # +1e-9: footprints are closed sets — a bbox whose max edge lies exactly
+    # on a cell boundary can still touch the next cell (same padding as
+    # _tag_polys_with_cells / self_intersect_pairs_ds)
+    rows, cell = cells.cover_bbox(b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res)
+    take = pa.array(rows, pa.int64())
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            "side": pa.array(np.full(len(rows), side, dtype=np.int8)),
+            "oid": batch[id_col].take(take).cast(pa.int64()),
+            "minx": pa.array(b[rows, 0], pa.float64()),
+            "miny": pa.array(b[rows, 1], pa.float64()),
+            "geometry_wkb": batch["geometry_wkb"].take(take),
+        }
     )
+
+
+def _cell_overlay_kernel(how: str, emit: str, res: int):
+    """Per-cell group kernel: STRtree pairs + anchor dedup + tiered math."""
+    from ..geo import cells
+
+    area_only = emit == "area"
+
+    def empty_frame() -> pd.DataFrame:
+        if how == "intersection":
+            cols = {
+                "left_id": pd.Series([], dtype="int64"),
+                "right_id": pd.Series([], dtype="int64"),
+            }
+            if area_only:
+                cols["piece_area"] = pd.Series([], dtype="float64")
+            else:
+                cols["geometry_wkb"] = pd.Series([], dtype="object")
+            return pd.DataFrame(cols)
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series([], dtype="int64"),
+                "left_geom": pd.Series([], dtype="object"),
+                "right_geom": pd.Series([], dtype="object"),
+            }
+        )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        if len(l) == 0 or len(r) == 0:
+            return empty_frame()
+        lpg = wkb.decode_polygons(l["geometry_wkb"].to_numpy())
+        R = RightGeoms(
+            pa.table({"geometry_wkb": pa.array(list(r["geometry_wkb"]), pa.binary())})
+        )
+        l_is_rect = kernels.detect_axis_rects(lpg)
+        l_decomp = kernels.decompose_rectilinear(lpg)
+        qi, pi = find_candidate_pairs(lpg, l_is_rect, R, l_decomp[2])
+        if len(qi) == 0:
+            return empty_frame()
+        # anchor-cell dedup: only the cell containing the min-corner of the
+        # two bboxes' intersection emits the pair (exactly one such cell is
+        # in both covers). Anchor is a pure function of the bboxes, so
+        # even unrefined rect/rlin candidates dedup consistently.
+        ax = np.maximum(l["minx"].to_numpy()[qi], r["minx"].to_numpy()[pi])
+        ay = np.maximum(l["miny"].to_numpy()[qi], r["miny"].to_numpy()[pi])
+        anchor = cells.xy_to_cell(ax, ay, res)
+        m = anchor == int(g["cell"].iloc[0])
+        qi, pi = qi[m], pi[m]
+        if len(qi) == 0:
+            return empty_frame()
+        lids = l["oid"].to_numpy().astype(np.int64)
+        rids = r["oid"].to_numpy().astype(np.int64)
+        if how == "intersection":
+            lbounds = kernels.polygon_bounds(lpg)
+            li, ri, areas, geoms = intersection_pieces(
+                lpg, lbounds, l_decomp, l_is_rect, R, qi, pi, area_only
+            )
+            out = {"left_id": lids[li], "right_id": rids[ri]}
+            if area_only:
+                out["piece_area"] = areas
+            else:
+                out["geometry_wkb"] = geoms
+            return pd.DataFrame(out)
+        # difference: emit matched pairs with BOTH geometries; the actual
+        # subtraction needs the union of ALL matching rights per left row,
+        # which may live in different cells -> second stage groupby(left_id)
+        return pd.DataFrame(
+            {
+                "left_id": lids[qi],
+                "left_geom": l["geometry_wkb"].to_numpy()[qi],
+                "right_geom": r["geometry_wkb"].to_numpy()[pi],
+            }
+        )
+
+    return per_cell
+
+
+def overlay_pairs_cell(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    res: int = 7,
+    emit: str = "area",
+):
+    """Co-partitioned large×large intersection: (left_id, right_id, piece).
+
+    Both sides are Datasets — neither is broadcast. The shuffle carries
+    only (cell, id, bbox-min, geometry); attribute columns are the
+    caller's to hash-join back by id, keeping the all-to-all exchange
+    narrow. Result rows are identical to the broadcast
+    ``clean_overlay(how='intersection')`` path on the same inputs.
+    """
+    lt = left_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+    )
+    return (
+        lt.union(rt)
+        .groupby("cell")
+        .map_groups(_cell_overlay_kernel("intersection", emit, res),
+                    batch_format="pandas")
+    )
+
+
+def overlay_difference_cell(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    res: int = 7,
+    num_partitions: int | None = None,
+):
+    """Co-partitioned large×large difference: left rows minus the union of
+    every intersecting right row.
+
+    Three fully-distributed stages:
+    1. cell co-group emits matched (left_id, left_geom, right_geom) pairs
+       with anchor-cell dedup;
+    2. ``groupby(left_id)`` subtracts the union of all matched rights from
+       each left geometry (tiered math, holes preserved);
+    3. hash left-outer join back to ``left_ds``: unmatched rows pass
+       through with their original geometry, fully-covered rows drop.
+    """
+    import pyarrow.compute as pc
+
+    from .dissolve import default_join_partitions
+
+    lt = left_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+    )
+    pairs = (
+        lt.union(rt)
+        .groupby("cell")
+        .map_groups(_cell_overlay_kernel("difference", "geometry", res),
+                    batch_format="pandas")
+    )
+
+    def diff_group(g: pd.DataFrame) -> pd.DataFrame:
+        spg = wkb.decode_polygons(
+            np.asarray([g["left_geom"].iloc[0]], dtype=object)
+        )
+        cpg = wkb.decode_polygons(g["right_geom"].to_numpy())
+        gwkb = subtract_union_wkb(spg, 0, cpg, range(len(cpg)))
+        # keep the fully-covered (None) row: the join-back must distinguish
+        # "matched and consumed" from "never matched" (pass-through).
+        # has_diff is the match marker — Ray's join drops the right_on key
+        # column, and diff_geom alone is null for covered rows.
+        return pd.DataFrame(
+            {"__lid": [int(g["left_id"].iloc[0])], "diff_geom": [gwkb],
+             "has_diff": [np.int64(1)]}
+        )
+
+    rem = pairs.groupby("left_id").map_groups(
+        diff_group, batch_format="pandas"
+    ).materialize()
+    if rem.count() == 0:  # no intersecting pair anywhere: left unchanged
+        return left_ds
+    joined = left_ds.join(
+        rem,
+        join_type="left_outer",
+        num_partitions=default_join_partitions(num_partitions),
+        on=(left_id,),
+        right_on=("__lid",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # a matched row carries diff_geom (possibly null = fully covered);
+        # an unmatched row passes through with its original geometry.
+        is_match = pc.is_valid(b["has_diff"])
+        geom = pc.if_else(is_match, b["diff_geom"], b["geometry_wkb"])
+        keep = pc.or_(pc.invert(is_match), pc.is_valid(b["diff_geom"]))
+        out = b.drop_columns(
+            [c for c in ("__lid", "diff_geom", "has_diff", "geometry_wkb")
+             if c in b.column_names]
+        )
+        out = out.append_column("geometry_wkb", geom)
+        return out.filter(keep)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

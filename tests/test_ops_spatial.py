@@ -452,3 +452,102 @@ def test_od_cost_matrix_invalid_destination(ray_session):
     assert sorted(out["dest"]) == [2, 4]
     got = dict(zip(out["dest"], out["cost"]))
     assert got[2] == pytest.approx(1.0) and got[4] == pytest.approx(3.0)
+
+
+def test_overlay_cell_partitioned_matches_broadcast(ray_session):
+    """Co-partitioned large×large overlay (cell co-group + anchor-cell pair
+    dedup) must produce row-identical results to the broadcast plan —
+    intersection pairs AND per-row difference remainders — on a mixed
+    concave (L-shape) × holed-box corpus spanning many cells."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import kernels
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    keys = np.arange(1, 80, dtype=np.int64)
+    x0, y0, x1, y1, x2, y2 = synth.part_lshapes(keys)
+    left = pa.table(
+        {
+            "p_partkey": pa.array(keys, pa.int64()),
+            "geometry_wkb": pa.array(
+                list(synth.lshape_wkb(x0, y0, x1, y1, x2, y2)), pa.binary()
+            ),
+        }
+    )
+    rkeys = np.arange(1, 80, dtype=np.int64)
+    cols = synth.orders_holed(rkeys)
+    right = pa.table(
+        {
+            "o_orderkey": pa.array(rkeys, pa.int64()),
+            "geometry_wkb": pa.array(list(synth.holed_box_wkb(*cols)), pa.binary()),
+        }
+    )
+    b = ov.clean_overlay(
+        rd.from_arrow(left), right, how="intersection", emit="area"
+    ).to_pandas()
+    bset = sorted(zip(b["p_partkey"], b["o_orderkey"], np.round(b["piece_area"], 6)))
+    c = ov.overlay_pairs_cell(
+        rd.from_arrow(left), rd.from_arrow(right), "p_partkey", "o_orderkey",
+        res=7, emit="area",
+    ).to_pandas()
+    cset = sorted(zip(c["left_id"], c["right_id"], np.round(c["piece_area"], 6)))
+    assert len(bset) > 0 and bset == cset
+
+    bd = ov.clean_overlay(rd.from_arrow(left), right, how="difference").to_pandas()
+    pgb = W.decode_polygons(bd["geometry_wkb"].to_numpy())
+    bareas = dict(zip(bd["p_partkey"], np.round(kernels.polygon_areas(pgb), 6)))
+    cd = ov.overlay_difference_cell(
+        rd.from_arrow(left), rd.from_arrow(right), "p_partkey", "o_orderkey", res=7
+    ).to_pandas()
+    pgc = W.decode_polygons(cd["geometry_wkb"].to_numpy())
+    careas = dict(zip(cd["p_partkey"], np.round(kernels.polygon_areas(pgc), 6)))
+    assert len(careas) > 0 and bareas == careas
+
+
+def test_clean_overlay_all_six_hows(ray_session):
+    """clean_overlay accepts all six documented hows through one entry
+    point (reference overlay.py:70-81); union/symdiff/update compose legs
+    internally and drop the internal leg marker."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import kernels
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def box(x0, y0, x1, y1):
+        return W.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2], pa.int64()),
+            "geometry_wkb": pa.array(
+                [box(0, 0, 10, 10), box(100, 100, 110, 110)], pa.binary()
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([7, 8], pa.int64()),
+            "geometry_wkb": pa.array(
+                [box(5, 0, 15, 10), box(200, 200, 210, 210)], pa.binary()
+            ),
+        }
+    )
+    # (how, expected total area): inter 50 | left-diff 50+100 |
+    # right-diff 50 + unmatched right 100
+    wants = {
+        "intersection": 50.0,
+        "difference": 150.0,
+        "identity": 200.0,
+        "union": 350.0,
+        "symmetric_difference": 300.0,
+        "update": 350.0,
+    }
+    for how, want in wants.items():
+        out = ov.clean_overlay(rd.from_arrow(left), right, how=how).to_pandas()
+        assert "leg" not in out.columns
+        pg = W.decode_polygons(out["geometry_wkb"].to_numpy())
+        assert kernels.polygon_areas(pg).sum() == pytest.approx(want), how
