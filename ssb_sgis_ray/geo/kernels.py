@@ -701,22 +701,64 @@ def rect_sets_inter_areas(
         return np.zeros(0)
     cl = (loffs[li + 1] - loffs[li]).astype(np.int64)
     cr = (roffs[ri + 1] - roffs[ri]).astype(np.int64)
-    tot = cl * cr
-    T = int(tot.sum())
-    if T == 0:
+    # 1-D contiguous column copies — slicing a gathered (T,4) array reads
+    # strided memory, ~4× the traffic on this host
+    lx0 = np.ascontiguousarray(lrects[:, 0]); ly0 = np.ascontiguousarray(lrects[:, 1])
+    lx1 = np.ascontiguousarray(lrects[:, 2]); ly1 = np.ascontiguousarray(lrects[:, 3])
+    rx0 = np.ascontiguousarray(rrects[:, 0]); ry0 = np.ascontiguousarray(rrects[:, 1])
+    rx1 = np.ascontiguousarray(rrects[:, 2]); ry1 = np.ascontiguousarray(rrects[:, 3])
+    max_l = int(cl.max()) if P else 0
+    max_r = int(cr.max()) if P else 0
+    if max_l * max_r == 0:
         return np.zeros(P)
-    pair_id = np.repeat(np.arange(P), tot)
-    base = np.concatenate([[0], np.cumsum(tot)])[:-1]
-    t = np.arange(T) - np.repeat(base, tot)
-    cr_e = np.repeat(cr, tot)
-    lidx = np.repeat(loffs[li], tot) + t // cr_e
-    ridx = np.repeat(roffs[ri], tot) + t % cr_e
-    a = lrects[lidx]
-    b = rrects[ridx]
-    w = np.minimum(a[:, 2], b[:, 2]) - np.maximum(a[:, 0], b[:, 0])
-    h = np.minimum(a[:, 3], b[:, 3]) - np.maximum(a[:, 1], b[:, 1])
-    ov = np.where((w > 0) & (h > 0), w * h, 0.0)
-    return np.bincount(pair_id, weights=ov, minlength=P)
+    if max_l * max_r <= 64:
+        # slot-grid plan: member counts are tiny (an L-shape is 2 rects, a
+        # box 1), so loop over (left slot, right slot) combinations with
+        # P-sized vector math — NO T-sized expansion. The old repeat/arange
+        # expansion allocated ~10 arrays of T=Σ cl·cr elements; first-touch
+        # page faults on those dominated the whole overlay stage.
+        area = np.zeros(P)
+        lbase = loffs[li]
+        rbase = roffs[ri]
+        for sl in range(max_l):
+            ml = cl > sl
+            for sr in range(max_r):
+                m = ml & (cr > sr)
+                if not m.any():
+                    continue
+                a = lbase[m] + sl
+                b = rbase[m] + sr
+                w = np.minimum(lx1[a], rx1[b]) - np.maximum(lx0[a], rx0[b])
+                h = np.minimum(ly1[a], ry1[b]) - np.maximum(ly0[a], ry0[b])
+                area[m] += np.where((w > 0) & (h > 0), w * h, 0.0)
+        return area
+    # general fallback: chunked cross-product expansion (bounded allocs)
+    tot = cl * cr
+    area = np.zeros(P)
+    CHUNK = 1 << 20
+    s = 0
+    while s < P:
+        t_ = s
+        acc = 0
+        while t_ < P and (acc == 0 or acc + tot[t_] <= CHUNK):
+            acc += int(tot[t_])
+            t_ += 1
+        sel = slice(s, t_)
+        tc = tot[sel]
+        T = int(tc.sum())
+        if T:
+            pair_id = np.repeat(np.arange(t_ - s), tc)
+            base = np.concatenate([[0], np.cumsum(tc)])[:-1]
+            k = np.arange(T) - np.repeat(base, tc)
+            cr_e = np.repeat(cr[sel], tc)
+            lidx = np.repeat(loffs[li[sel]], tc) + k // cr_e
+            ridx = np.repeat(roffs[ri[sel]], tc) + k % cr_e
+            w = np.minimum(lx1[lidx], rx1[ridx]) - np.maximum(lx0[lidx], rx0[ridx])
+            h = np.minimum(ly1[lidx], ry1[ridx]) - np.maximum(ly0[lidx], ry0[ridx])
+            ov = np.where((w > 0) & (h > 0), w * h, 0.0)
+            area[sel] = np.bincount(pair_id, weights=ov, minlength=t_ - s)
+        s = t_
+    return area
 
 
 def rect_sets_inter_boxes(

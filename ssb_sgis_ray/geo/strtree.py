@@ -65,12 +65,23 @@ class STRtree:
             self.levels.append((node_boxes, starts))
             cur = node_boxes
         # levels[0] = leaf-group level (children are items), last = root level
+        # column-split contiguous copies: descent math gathers 1-D arrays
+        # instead of slicing (T,4) gathers — strided column reads are ~4×
+        # the memory traffic on this host and dominate fan-out-heavy joins
+        self._leaf_cols = tuple(
+            np.ascontiguousarray(sorted_boxes[:, k]) for k in range(4)
+        )
+        self._level_cols = [
+            tuple(np.ascontiguousarray(nb[:, k]) for k in range(4))
+            for nb, _ in self.levels
+        ]
 
     def query_bbox(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Candidate (query_idx, item_idx) pairs whose bboxes overlap.
 
         Vectorized breadth-first descent: maintains frontier (query, node)
         pairs per level, expanding each surviving node into its children.
+        All hot-path arithmetic runs on contiguous 1-D column arrays.
         """
         qboxes = np.asarray(qboxes, dtype=np.float64)
         nq = len(qboxes)
@@ -81,6 +92,10 @@ class STRtree:
             m = _overlaps(qboxes, self.item_boxes[0])
             qi = np.nonzero(m)[0]
             return qi, np.zeros(len(qi), dtype=np.int64)
+        qx0 = np.ascontiguousarray(qboxes[:, 0])
+        qy0 = np.ascontiguousarray(qboxes[:, 1])
+        qx1 = np.ascontiguousarray(qboxes[:, 2])
+        qy1 = np.ascontiguousarray(qboxes[:, 3])
 
         # start at the top level
         top_boxes, _ = self.levels[-1]
@@ -92,9 +107,11 @@ class STRtree:
         for lvl in range(len(self.levels) - 1, -1, -1):
             if len(n_idx) == 0:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-            node_boxes, starts = self.levels[lvl]
-            child_boxes = self.levels[lvl - 1][0] if lvl > 0 else self.item_boxes[self.perm]
-            n_children = len(child_boxes)
+            _, starts = self.levels[lvl]
+            cx0, cy0, cx1, cy1 = (
+                self._level_cols[lvl - 1] if lvl > 0 else self._leaf_cols
+            )
+            n_children = len(cx0)
             # expand each (q, node) into its children
             c0 = starts[n_idx]
             c1 = np.minimum(c0 + NODE_CAP, n_children)
@@ -104,7 +121,12 @@ class STRtree:
             base = np.concatenate(([0], np.cumsum(counts)[:-1]))
             within = np.arange(total) - np.repeat(base, counts)
             child_idx = np.repeat(c0, counts) + within
-            mask = _overlaps_pairs(qboxes[rep_q], child_boxes[child_idx])
+            mask = (
+                (qx0[rep_q] <= cx1[child_idx])
+                & (qx1[rep_q] >= cx0[child_idx])
+                & (qy0[rep_q] <= cy1[child_idx])
+                & (qy1[rep_q] >= cy0[child_idx])
+            )
             q_idx, n_idx = rep_q[mask], child_idx[mask]
         # n_idx are leaf-order item positions -> original indices
         return q_idx, self.perm[n_idx]
