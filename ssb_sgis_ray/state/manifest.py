@@ -34,6 +34,28 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.jsonl")
 
 
+# one explicit schema for every metrics row the sink emits — schema-stable
+# blocks keep the streaming executor's operator fusion happy
+_METRICS_SCHEMA = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("partition", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_bytes", pa.int64()),
+        ("input_hash", pa.string()),
+        ("wall_s", pa.float64()),
+        ("path", pa.string()),
+        ("resumed", pa.bool_()),
+    ]
+)
+
+
+def _metrics_row(row: dict) -> pa.Table:
+    return pa.table(
+        {f.name: [row[f.name]] for f in _METRICS_SCHEMA}, schema=_METRICS_SCHEMA
+    )
+
+
 def load_manifest(out_dir: str) -> dict[str, dict]:
     """partition -> manifest row, for completed (file-exists) partitions."""
     path = manifest_path(out_dir)
@@ -88,7 +110,7 @@ def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
             if prev.get("input_hash") == cur_hash and os.path.exists(prev["path"]):
                 row = {k: v for k, v in prev.items() if k != "resumed"}
                 row["resumed"] = True
-                return pd.DataFrame({k: [v] for k, v in row.items()})
+                return _metrics_row(row)
         pdir = os.path.join(out_dir, f"part={key}")
         os.makedirs(pdir, exist_ok=True)
         final = os.path.join(pdir, "data.parquet")
@@ -115,7 +137,7 @@ def make_partition_writer(out_dir: str, partition_col: str, id_col: str,
         # mid-pipeline checkpointing, not end-of-job bookkeeping
         with open(manifest_path(out_dir), "a") as f:
             f.write(json.dumps(row) + "\n")
-        return pd.DataFrame({k: [v] for k, v in row.items()})
+        return _metrics_row(row)
 
     return write_one
 
