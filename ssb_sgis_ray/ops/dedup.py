@@ -249,23 +249,61 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
                          num_partitions: int | None = None):
     """Candidate pairs -> pairs with true k-gram Jaccard >= threshold.
 
-    Scale-safe verify: texts reach the pairs by TWO distributed hash
-    joins on doc_id (id_a side, then id_b side) — never a whole-corpus
-    broadcast (VERDICT r1 scale-blocker #4). The Jaccard itself is
-    per-pair Python (inherent per-doc work), inside map_batches.
+    Scale-safe verify: the corpus is first SEMI-JOINED down to the docs
+    that appear in any candidate pair (distinct ids from both pair
+    columns), so the two per-side text joins shuffle only O(candidates)
+    text — the full corpus moves through exactly one hash join, not two
+    (VERDICT r2 next-round #6). No whole-corpus broadcast anywhere.
+    The Jaccard itself is per-pair Python (inherent per-doc work),
+    inside map_batches.
     """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
     from .dissolve import default_join_partitions
 
+    pairs_ds = pairs_ds.materialize()  # consumed twice: id set + join
+    n_pairs = pairs_ds.count()
+    if num_partitions is None:
+        # one aggregator actor per ~50k pair rows, capped at cluster CPUs:
+        # spinning 32 join actors for a 200k-row join costs more in actor
+        # startup than the join itself
+        num_partitions = max(4, n_pairs // 50_000)
     num_partitions = default_join_partitions(num_partitions)
+    if n_pairs == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def both_ids(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, bb]), pa.int64())})
+
+    cand_ids = (
+        pairs_ds.map_batches(both_ids, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="__n"))
+    )
+    docs_small = docs_ds.join(
+        cand_ids, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",),
+    ).materialize()  # O(candidate docs); consumed twice below
 
     def _take(b: pa.Table, cols: dict) -> pa.Table:
         return pa.table({new: b[old] for new, old in cols.items()})
 
-    docs_a = docs_ds.map_batches(
+    docs_a = docs_small.map_batches(
         lambda b: _take(b, {"doc_id": "doc_id", "text_a": "text"}),
         batch_format="pyarrow",
     )
-    docs_b = docs_ds.map_batches(
+    docs_b = docs_small.map_batches(
         lambda b: _take(b, {"doc_id": "doc_id", "text_b": "text"}),
         batch_format="pyarrow",
     )
