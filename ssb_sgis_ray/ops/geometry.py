@@ -716,3 +716,256 @@ def reproject_points_batch(batch: pa.Table, direction: str = "to_utm33",
     for k, v in out.items():
         t = t.append_column(k, pa.array(v, pa.float64()))
     return t
+
+
+# ---------------------------------------------------------------------------
+# Thresholded hole / gap operators (reference polygon_operations.py:491-825)
+# ---------------------------------------------------------------------------
+
+
+def _row_polys(pg: wkb.PolygonArray, row: int) -> list[list[np.ndarray]]:
+    """Row -> [[shell, holes...], ...] (all parts, all rings)."""
+    polys = []
+    for q in range(pg.geom_offsets[row], pg.geom_offsets[row + 1]):
+        r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+        polys.append(
+            [pg.coords[pg.ring_offsets[r] : pg.ring_offsets[r + 1]]
+             for r in range(r0, r1)]
+        )
+    return polys
+
+
+def _encode_polys(polys: list[list[np.ndarray]]) -> bytes:
+    if len(polys) == 1:
+        return wkb.encode_polygon(polys[0])
+    return wkb.encode_multipolygon(polys)
+
+
+class CloseSmallHoles:
+    """close_small_holes (polygon_operations.py:631-744): fill interior
+    rings whose area is below ``max_area``.
+
+    ``ignore_islands=True`` thresholds the raw ring area (the reference's
+    fast path). With ``ignore_islands=False`` the layer itself is
+    broadcast (``layer_ref``) and each hole's area is reduced by the area
+    of layer polygons nested inside it (the reference computes the same
+    via ``hole.difference(unary_union(layer))``) — an island-filled hole
+    can stay open even when its gross ring area is under the threshold.
+    """
+
+    def __init__(self, max_area: float, id_col: str = "id",
+                 ignore_islands: bool = True, layer_ref=None):
+        from ..geo import booleans, kernels
+        from ..geo.strtree import STRtree
+
+        self.max_area = max_area
+        self.id_col = id_col
+        self.ignore_islands = ignore_islands
+        self._kernels = kernels
+        self._booleans = booleans
+        self.layer = None
+        if not ignore_islands:
+            if layer_ref is None:
+                raise ValueError("ignore_islands=False needs layer_ref")
+            layer_tbl = ray.get(layer_ref)
+            lpg = wkb.decode_polygons(layer_tbl["geometry_wkb"])
+            self.layer = (lpg, STRtree(kernels.polygon_bounds(lpg)))
+
+    def _net_hole_area(self, hole_ring: np.ndarray) -> float:
+        k = self._kernels
+        gross = k.ring_area(hole_ring)
+        if self.ignore_islands or self.layer is None:
+            return gross
+        lpg, tree = self.layer
+        hb = np.array([[hole_ring[:, 0].min(), hole_ring[:, 1].min(),
+                        hole_ring[:, 0].max(), hole_ring[:, 1].max()]])
+        qi, pi = tree.query_bbox(hb)
+        if len(pi) == 0:
+            return gross
+        c_r, c_h = [], []
+        for r in pi:
+            rr, hh = self._booleans.ringset_of_row(lpg, int(r))
+            c_r.extend(rr)
+            c_h.extend(hh)
+        covered = self._booleans.boolean_area(
+            [hole_ring], c_r, "intersection", [False], c_h
+        )
+        return gross - covered
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(batch["geometry_wkb"])
+        from ..geo import kernels
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_geom = np.empty(len(pg), dtype=object)
+        out_area = np.zeros(len(pg))
+        for row in range(len(pg)):
+            polys = _row_polys(pg, row)
+            kept = []
+            for rings in polys:
+                shell, holes = rings[0], rings[1:]
+                keep = [shell]
+                for h in holes:
+                    if self._net_hole_area(h) >= self.max_area:
+                        keep.append(h)
+                kept.append(keep)
+            out_geom[row] = _encode_polys(kept)
+            out_area[row] = sum(
+                kernels.ring_area(p[0]) - sum(kernels.ring_area(h) for h in p[1:])
+                for p in kept
+            )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "closed_area": pa.array(np.round(out_area).astype(np.int64), pa.int64()),
+                "geometry_wkb": pa.array(list(out_geom), pa.binary()),
+            }
+        )
+
+
+def _convex_erosion_empty(ring: np.ndarray, d: float) -> bool:
+    """True if a CONVEX ring's inward offset by ``d`` is empty.
+
+    Successive half-plane clipping: each edge moved inward by d; the
+    erosion is the intersection of the offset half-planes (exact for
+    convex rings — the engine's holes are convex; concave holes raise)."""
+    from ..geo import kernels
+
+    r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    # ensure CCW
+    sa = 0.5 * float(np.sum(r[:, 0] * np.roll(r[:, 1], -1)
+                            - np.roll(r[:, 0], -1) * r[:, 1]))
+    if sa < 0:
+        r = r[::-1]
+    pts = np.concatenate([r, r[:1]])
+    poly = pts.copy()
+    for i in range(len(r)):
+        a, b = pts[i], pts[i + 1]
+        e = b - a
+        ln = float(np.hypot(e[0], e[1]))
+        if ln == 0:
+            continue
+        # inward (left) normal for CCW ring
+        nx, ny = -e[1] / ln, e[0] / ln
+        ao = a + d * np.array([nx, ny])
+        # clip poly to the inward half-plane of the offset edge:
+        # f(p) = (p - ao) . n_hat >= 0
+        out = []
+        P = poly[:-1] if len(poly) > 1 and np.array_equal(poly[0], poly[-1]) else poly
+        n_p = len(P)
+        if n_p == 0:
+            return True
+
+        def fval(p):
+            return (p[0] - ao[0]) * nx + (p[1] - ao[1]) * ny
+
+        for j in range(n_p):
+            cur, nxt = P[j], P[(j + 1) % n_p]
+            fc, fn = fval(cur), fval(nxt)
+            cin, nin = fc >= -1e-12, fn >= -1e-12
+            if cin:
+                out.append(cur)
+            if cin != nin:
+                dd = fc / (fc - fn)
+                out.append(cur + dd * (nxt - cur))
+        if len(out) < 3:
+            return True
+        poly = np.array(out + [out[0]])
+    area = abs(0.5 * float(np.sum(poly[:-1, 0] * poly[1:, 1]
+                                  - poly[1:, 0] * poly[:-1, 1])))
+    return area <= 1e-9
+
+
+def close_thin_holes(batch: pa.Table, tolerance: float, id_col: str = "id") -> pa.Table:
+    """close_thin_holes (polygon_operations.py:491-511): fill interior
+    rings whose inward offset by tolerance/2 is empty (no inscribed disc
+    of diameter >= tolerance fits). Exact for convex holes via half-plane
+    erosion; concave holes raise (the synthetic world's holes are
+    rectangles)."""
+    from ..geo import kernels
+
+    pg = wkb.decode_polygons(batch["geometry_wkb"])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_geom = np.empty(len(pg), dtype=object)
+    out_area = np.zeros(len(pg))
+    half = tolerance / 2.0
+    for row in range(len(pg)):
+        polys = _row_polys(pg, row)
+        kept = []
+        for rings in polys:
+            shell, holes = rings[0], rings[1:]
+            keep = [shell]
+            for h in holes:
+                if not kernels.is_convex_ring(h):
+                    raise NotImplementedError(
+                        "close_thin_holes: concave holes need a medial-axis "
+                        "inscribed-radius test"
+                    )
+                if not _convex_erosion_empty(h, half):
+                    keep.append(h)
+            kept.append(keep)
+        out_geom[row] = _encode_polys(kept)
+        out_area[row] = sum(
+            kernels.ring_area(p[0]) - sum(kernels.ring_area(h) for h in p[1:])
+            for p in kept
+        )
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "closed_area": pa.array(np.round(out_area).astype(np.int64), pa.int64()),
+            "geometry_wkb": pa.array(list(out_geom), pa.binary()),
+        }
+    )
+
+
+def get_gaps(table: pa.Table, wkb_col: str = "geometry_wkb") -> list[dict]:
+    """get_gaps (polygon_operations.py:797-825): enclosed empty pockets
+    between the layer's polygons.
+
+    Engine plan mirrors the reference's: (total-bounds box buffered by 1)
+    − union(layer) via the scanline boolean engine, then the piece
+    touching the outer boundary (the surrounding area) is dropped. The
+    layer is one broadcast table — the reference materializes the same
+    unary_union; a cell-partitioned variant would split gap pieces at
+    cell borders and re-merge with connected components.
+    Returns [{gap_no, gap_area, geometry_wkb}] rows.
+    """
+    from ..geo import booleans, kernels
+
+    pg = wkb.decode_polygons(table[wkb_col])
+    if len(pg) == 0:
+        return []
+    b = kernels.polygon_bounds(pg)
+    minx, miny = b[:, 0].min() - 1, b[:, 1].min() - 1
+    maxx, maxy = b[:, 2].max() + 1, b[:, 3].max() + 1
+    bbox_ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+    )
+    c_r, c_h = [], []
+    for row in range(len(pg)):
+        rr, hh = booleans.ringset_of_row(pg, row)
+        c_r.extend(rr)
+        c_h.extend(hh)
+    pieces = booleans.boolean_polygons([bbox_ring], c_r, "difference", [False], c_h)
+    out = []
+    gap_no = 0
+    for rings in pieces:
+        shell = rings[0]
+        touches_outer = (
+            (shell[:, 0].min() <= minx) or (shell[:, 1].min() <= miny)
+            or (shell[:, 0].max() >= maxx) or (shell[:, 1].max() >= maxy)
+        )
+        if touches_outer:
+            continue  # the surrounding area, not a gap
+        area = kernels.ring_area(shell) - sum(
+            kernels.ring_area(h) for h in rings[1:]
+        )
+        out.append(
+            {
+                "gap_no": gap_no,
+                "gap_area": int(round(area)),
+                "geometry_wkb": wkb.encode_polygon(rings),
+            }
+        )
+        gap_no += 1
+    return out

@@ -100,22 +100,36 @@ class LangId:
         self.id_col = id_col
         self.text_col = text_col
         self.tok = re.compile(r"[a-z]+")
-        self.tables = {
-            lang: frozenset(words) for lang, words in LANG_STOPWORDS.items()
-        }
-        self.langs = sorted(self.tables)
+        self.langs = sorted(LANG_STOPWORDS)
+        # stopwords as fixed-width numpy arrays for vectorized np.isin —
+        # all stopwords are <= 8 chars, so a '<U16' token view can only
+        # match on true equality (truncation can't fabricate a stopword)
+        self.word_arrs = [
+            np.array(sorted(LANG_STOPWORDS[lang]), dtype="<U16")
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in batch[self.text_col].astype(str):
-            toks = self.tok.findall(t.lower())
-            best_lang, best_n = "und", 0
-            for lang in self.langs:
-                tab = self.tables[lang]
-                n = sum(1 for w in toks if w in tab)
-                if n > best_n:
-                    best_lang, best_n = lang, n
-            preds.append(best_lang)
+        n = len(batch)
+        all_tokens: list[str] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for d, t in enumerate(batch[self.text_col].astype(str)):
+            toks = self.tok.findall(t.lower())  # one C-level pass per doc
+            all_tokens.extend(toks)
+            counts[d] = len(toks)
+        doc_of = np.repeat(np.arange(n), counts)
+        tok_arr = np.array(all_tokens, dtype="<U16") if all_tokens else np.empty(0, "<U16")
+        # votes[d, li] = stopword occurrences; 5 vectorized isin passes
+        # replace the old per-doc × per-token × per-language Python loops
+        votes = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            m = np.isin(tok_arr, self.word_arrs[li])
+            if m.any():
+                votes[:, li] = np.bincount(doc_of[m], minlength=n)
+        best = votes.argmax(axis=1)  # first max = lexicographically smallest
+        best_n = votes[np.arange(n), best] if n else np.zeros(0, np.int64)
+        lang_arr = np.array(self.langs, dtype=object)
+        preds = np.where(best_n > 0, lang_arr[best], "und")
         return pd.DataFrame({self.id_col: batch[self.id_col], "pred_lang": preds})
 
 

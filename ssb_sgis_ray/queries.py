@@ -1914,6 +1914,197 @@ SELECT p_partkey, 4 * {_HW_SQL} * {_HH_SQL} AS closed_area FROM part
 """
 
 
+def _hole_islands_tbl(sf_dir: str) -> pa.Table:
+    """Island boxes nested inside the _holed_boxes holes for keys k%3==0:
+    centered, half the hole's dimensions (area = hw*hh/4, closed form)."""
+    from .geo import wkb as W
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = t["p_partkey"].to_numpy().astype(np.int64)
+    k = k[k % 3 == 0]
+    x0, y0, hw, hh = _grid_hole_geom(k)
+    cx = x0 + hw  # hole center (gridded fixture)
+    cy = y0 + hh
+    ew = hw // 4  # island half-width = hole quarter-width
+    eh = hh // 4
+    out = np.empty(len(k), dtype=object)
+    for i in range(len(k)):
+        out[i] = W.encode_polygon(
+            [np.array(
+                [[cx[i] - ew[i], cy[i] - eh[i]], [cx[i] + ew[i], cy[i] - eh[i]],
+                 [cx[i] + ew[i], cy[i] + eh[i]], [cx[i] - ew[i], cy[i] + eh[i]],
+                 [cx[i] - ew[i], cy[i] - eh[i]]], dtype=float)]
+        )
+    return pa.table(
+        {"island_key": pa.array(k, pa.int64()),
+         "geometry_wkb": pa.array(list(out), pa.binary())}
+    )
+
+
+def _grid_hole_geom(k: np.ndarray):
+    """Non-overlapping gridded holed boxes: pitch-8000 grid positions so
+    no box (or island) of one key can touch another key's hole — the
+    closed-form island oracle needs disjointness. Same hw/hh size
+    formulas as _holed_boxes (_HW_SQL/_HH_SQL)."""
+    hw = 4 * (50 + (k * 37) % 400)
+    hh = 4 * (50 + (k * 53) % 400)
+    x0 = 8000 * (k % 500)
+    y0 = 8000 * (k // 500)
+    return x0, y0, hw, hh
+
+
+def _holed_boxes_grid(sf_dir: str):
+    """Gridded holed boxes: outer 2hw × 2hh at (x0, y0), centered hole
+    hw × hh — same closed forms as _holed_boxes but guaranteed disjoint
+    across keys."""
+    from .geo import wkb as W
+
+    def stage(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0, y0, hw, hh = _grid_hole_geom(k)
+        out = np.empty(len(k), dtype=object)
+        for i in range(len(k)):
+            ox0, oy0 = float(x0[i]), float(y0[i])
+            ox1, oy1 = ox0 + 2 * hw[i], oy0 + 2 * hh[i]
+            cx, cy = ox0 + hw[i], oy0 + hh[i]
+            outer = np.array([[ox0, oy0], [ox1, oy0], [ox1, oy1], [ox0, oy1],
+                              [ox0, oy0]])
+            hole = np.array(
+                [[cx - hw[i] / 2, cy - hh[i] / 2], [cx - hw[i] / 2, cy + hh[i] / 2],
+                 [cx + hw[i] / 2, cy + hh[i] / 2], [cx + hw[i] / 2, cy - hh[i] / 2],
+                 [cx - hw[i] / 2, cy - hh[i] / 2]]
+            )
+            out[i] = W.encode_polygon([outer, hole])
+        return pa.table(
+            {"p_partkey": batch["p_partkey"],
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+
+
+_SMALL_HOLE_T = 1_000_000
+
+
+def q_close_small_holes(sf_dir: str):
+    """close_small_holes, ISLAND-AWARE (polygon_operations.py:631-744):
+    holes of keys k%3==0 contain an island box, so their net area is
+    hole − island; the island layer is broadcast and each hole's covered
+    area is subtracted before thresholding (the reference's
+    ``hole.difference(unary_union(layer))``)."""
+    import ray as _ray
+
+    from .ops import geometry as geom_ops
+
+    islands_ref = _ray.put(_hole_islands_tbl(sf_dir))
+    out = _holed_boxes_grid(sf_dir).map_batches(
+        geom_ops.CloseSmallHoles,
+        fn_constructor_kwargs={
+            "max_area": float(_SMALL_HOLE_T), "id_col": "p_partkey",
+            "ignore_islands": False, "layer_ref": islands_ref,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["p_partkey", "closed_area"])
+
+
+SQL_CLOSE_SMALL_HOLES = f"""
+WITH h AS (
+  SELECT p_partkey, {_HW_SQL} AS hw, {_HH_SQL} AS hh FROM part
+),
+net AS (
+  SELECT p_partkey, hw, hh,
+         hw * hh - CASE WHEN p_partkey % 3 = 0 THEN hw * hh // 4 ELSE 0 END AS net_hole
+  FROM h
+)
+SELECT p_partkey,
+       CASE WHEN net_hole >= {_SMALL_HOLE_T} THEN 3 * hw * hh
+            ELSE 4 * hw * hh END AS closed_area
+FROM net
+"""
+
+
+_THIN_TOL = 600
+
+
+def q_close_thin_holes(sf_dir: str):
+    """close_thin_holes (polygon_operations.py:491-511): a hole closes iff
+    its inward offset by tolerance/2 is empty — for the rectangular holes,
+    iff min(hw, hh) <= tolerance."""
+    from .ops import geometry as geom_ops
+
+    out = _holed_boxes(sf_dir).map_batches(
+        lambda b: geom_ops.close_thin_holes(b, float(_THIN_TOL), "p_partkey"),
+        batch_format="pyarrow",
+    )
+    return out.select_columns(["p_partkey", "closed_area"])
+
+
+SQL_CLOSE_THIN_HOLES = f"""
+WITH h AS (
+  SELECT p_partkey, {_HW_SQL} AS hw, {_HH_SQL} AS hh FROM part
+)
+SELECT p_partkey,
+       CASE WHEN least(hw, hh) <= {_THIN_TOL} THEN 4 * hw * hh
+            ELSE 3 * hw * hh END AS closed_area
+FROM h
+"""
+
+
+_FRAME_CAP = 200  # frames in the gap fixture (bounded boolean-engine input)
+
+
+def q_get_gaps(sf_dir: str):
+    """get_gaps (polygon_operations.py:797-825): each supplier key builds
+    a 4-box rectangular frame enclosing a courtyard; the courtyards are
+    exactly the gaps (the outer piece is dropped)."""
+    from .geo import wkb as W
+    from .ops import geometry as geom_ops
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    k = t["s_suppkey"].to_numpy().astype(np.int64)
+    k = k[k <= _FRAME_CAP]
+    x0 = 20000.0 * (k % 256)
+    y0 = 20000.0 * (k // 256)
+    S = 8000.0 + 8 * ((k * 7) % 500)
+    w = 400.0
+    geoms, parts = [], []
+    for i in range(len(k)):
+        xa, ya, s = x0[i], y0[i], S[i]
+        boxes = [
+            (xa, ya, xa + s, ya + w),              # bottom
+            (xa, ya + s - w, xa + s, ya + s),      # top
+            (xa, ya + w, xa + w, ya + s - w),      # left
+            (xa + s - w, ya + w, xa + s, ya + s - w),  # right
+        ]
+        for bx0, by0, bx1, by1 in boxes:
+            geoms.append(W.encode_polygon(
+                [np.array([[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1],
+                           [bx0, by0]])]
+            ))
+            parts.append(int(k[i]))
+    frames = pa.table(
+        {"fk": pa.array(parts, pa.int64()),
+         "geometry_wkb": pa.array(geoms, pa.binary())}
+    )
+    rows = geom_ops.get_gaps(frames)
+    return pa.table(
+        {"gap_area": pa.array(sorted(int(r["gap_area"]) for r in rows), pa.int64())}
+    )
+
+
+SQL_GET_GAPS = f"""
+SELECT CAST((8000 + 8 * ((s_suppkey * 7) % 500) - 800)
+          * (8000 + 8 * ((s_suppkey * 7) % 500) - 800) AS BIGINT) AS gap_area
+FROM supplier WHERE s_suppkey <= {_FRAME_CAP}
+"""
+
+
 _LINE_X1 = "CAST(4 * ((p_partkey * 71) % 10000) + 2 AS BIGINT)"
 _LINE_Y1 = "CAST(4 * ((p_partkey * 83) % 10000) + 2 AS BIGINT)"
 _LINE_X2 = "CAST(4 * ((p_partkey * 89) % 10000) + 2 AS BIGINT)"
@@ -2668,6 +2859,9 @@ REGISTRY: dict[str, tuple] = {
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),
     "overlay_symdiff": (q_overlay_symdiff, SQL_OVERLAY_SYMDIFF),
+    "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
+    "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
+    "get_gaps": (q_get_gaps, SQL_GET_GAPS),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
     "phash_dedup": (q_phash_dedup, None),
@@ -2676,10 +2870,8 @@ REGISTRY: dict[str, tuple] = {
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
     "overlay_concave_inter": (q_overlay_concave_inter, SQL_OVERLAY_CONCAVE_INTER),
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
-    "overlay_concave_diff": (q_overlay_concave_diff, SQL_OVERLAY_CONCAVE_DIFF),
     "make_valid_bowtie": (q_make_valid_bowtie, SQL_MAKE_VALID_BOWTIE),
     "buffer_line_area": (q_buffer_line_area, SQL_BUFFER_LINE_AREA),
-    "buffer_poly_area": (q_buffer_poly_area, SQL_BUFFER_POLY_AREA),
     "eliminate_by_longest_assign": (q_eliminate_by_longest, SQL_ELIMINATE_LONGEST),
     "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
@@ -2719,6 +2911,8 @@ REGISTRY: dict[str, tuple] = {
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
     "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
+    "buffer_poly_area": (q_buffer_poly_area, SQL_BUFFER_POLY_AREA),
+    "overlay_concave_diff": (q_overlay_concave_diff, SQL_OVERLAY_CONCAVE_DIFF),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),

@@ -388,3 +388,75 @@ def test_boundary_lines_lengths():
     )
     out = geom_ops.boundary_lines(t, "pid").to_pandas()
     assert out["ring_len_i"].tolist() == [80]
+
+
+def test_convex_erosion_empty():
+    """Inward offset emptiness drives close_thin_holes: a w×h rect erodes
+    to empty iff min(w, h) <= 2d."""
+    from ssb_sgis_ray.ops.geometry import _convex_erosion_empty
+
+    def rect(w, h):
+        return np.array([[0, 0], [w, 0], [w, h], [0, h], [0, 0]], float)
+
+    assert _convex_erosion_empty(rect(200, 1000), 300)      # 200 <= 600
+    assert _convex_erosion_empty(rect(600, 1000), 300)      # boundary: empty
+    assert not _convex_erosion_empty(rect(601, 1000), 300)
+    assert not _convex_erosion_empty(rect(1000, 1000), 300)
+    # CW orientation (hole convention) must behave identically
+    assert _convex_erosion_empty(rect(200, 1000)[::-1], 300)
+    # diamond: inscribed radius = s/sqrt(2) for half-diagonal s
+    s = 500.0
+    dia = np.array([[s, 0], [2 * s, s], [s, 2 * s], [0, s], [s, 0]])
+    assert not _convex_erosion_empty(dia, s / np.sqrt(2) - 1)
+    assert _convex_erosion_empty(dia, s / np.sqrt(2) + 1)
+
+
+def test_close_small_holes_island_aware(ray_session):
+    """Island-aware thresholding: net = gross hole − islands inside it,
+    and the hole closes iff net < max_area (reference
+    _close_small_holes_no_islands semantics)."""
+    import ray
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import geometry as geom_ops
+
+    shell = np.array([[0, 0], [400, 0], [400, 400], [0, 400], [0, 0]], float)
+    hole = np.array([[100, 100], [100, 300], [300, 300], [300, 100], [100, 100]], float)
+    host = pa.table(
+        {"id": pa.array([1], pa.int64()),
+         "geometry_wkb": pa.array([W.encode_polygon([shell, hole])], pa.binary())}
+    )
+    island = pa.table(
+        {"k": pa.array([1], pa.int64()),
+         "geometry_wkb": pa.array(
+             [W.encode_polygon([np.array(
+                 [[150, 150], [250, 150], [250, 250], [150, 250], [150, 150]],
+                 float)])], pa.binary())}
+    )
+    ref = ray.put(island)
+    # gross hole = 40000, island = 10000, net = 30000
+    # T = 35000: net < T -> hole closes (area 160000)
+    out = rd.from_arrow(host).map_batches(
+        geom_ops.CloseSmallHoles,
+        fn_constructor_kwargs={"max_area": 35000.0, "id_col": "id",
+                               "ignore_islands": False, "layer_ref": ref},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert int(out["closed_area"][0]) == 160000
+    # T = 25000: net >= T -> hole stays (area 120000)
+    out2 = rd.from_arrow(host).map_batches(
+        geom_ops.CloseSmallHoles,
+        fn_constructor_kwargs={"max_area": 25000.0, "id_col": "id",
+                               "ignore_islands": False, "layer_ref": ref},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert int(out2["closed_area"][0]) == 120000
+    # ignore_islands: gross 40000 >= 35000 -> stays open
+    out3 = rd.from_arrow(host).map_batches(
+        geom_ops.CloseSmallHoles,
+        fn_constructor_kwargs={"max_area": 35000.0, "id_col": "id",
+                               "ignore_islands": True},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert int(out3["closed_area"][0]) == 120000
