@@ -121,12 +121,21 @@ def line_components(lines_ds, id_col: str, tolerance: float,
     )
 
 
-def make_directed(lines_ds, id_col: str, tolerance: float, oneway_col: str):
-    """make_directed_network (reference directednetwork.py:50-130): expand
+def make_directed(lines_ds, id_col: str, tolerance: float, oneway_col: str,
+                  minute_cols: tuple[str, str] | None = None,
+                  dropna: bool = True, dropnegative: bool = True):
+    """make_directed_network (reference directednetwork.py:85-202): expand
     each line into directed edges by its oneway code — 'B' both ways,
     'FT' from→to only, 'TF' to→from only (the reference's Norwegian road
     codes). Pure flat-map over batches; no shuffle.
-    Emits (id, from_node, to_node, direction)."""
+
+    With ``minute_cols=(min_f, min_t)`` the two per-direction minute
+    columns are unified into ONE ``minutes`` column: forward edges (B
+    forward + FT) carry min_f, backward edges (B reversed + TF) carry
+    min_t — the reference's rename-per-leg concat. ``dropna`` /
+    ``dropnegative`` drop rows where BOTH minute values are missing /
+    negative (directednetwork.py:168-171).
+    Emits (id, from_node, to_node, direction[, minutes])."""
 
     def expand(batch: pa.Table) -> pa.Table:
         t = add_node_keys(batch, id_col, tolerance)
@@ -148,19 +157,38 @@ def make_directed(lines_ds, id_col: str, tolerance: float, oneway_col: str):
                 f"make_directed: {int(bad.sum())} rows with oneway values "
                 f"outside {{B, FT, TF}}/null: {bad_vals[:10]}"
             )
+        min_f = min_t = None
+        if minute_cols is not None:
+            min_f = batch[minute_cols[0]].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            min_t = batch[minute_cols[1]].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            keep = np.ones(len(min_f), dtype=bool)
+            if dropna:
+                keep &= ~(np.isnan(min_f) & np.isnan(min_t))
+            if dropnegative:
+                keep &= ~((min_f < 0) & (min_t < 0))
+            fwd &= keep
+            rev &= keep
         out_id = np.concatenate([ids[fwd], ids[rev]])
         out_from = np.concatenate([a[fwd], b[rev]])
         out_to = np.concatenate([b[fwd], a[rev]])
         out_dir = np.concatenate(
             [np.zeros(fwd.sum(), np.int64), np.ones(rev.sum(), np.int64)]
         )
-        return pa.table(
-            {
-                id_col: pa.array(out_id, pa.int64()),
-                "from_node": pa.array(out_from, pa.int64()),
-                "to_node": pa.array(out_to, pa.int64()),
-                "direction": pa.array(out_dir, pa.int64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(out_id, pa.int64()),
+            "from_node": pa.array(out_from, pa.int64()),
+            "to_node": pa.array(out_to, pa.int64()),
+            "direction": pa.array(out_dir, pa.int64()),
+        }
+        if minute_cols is not None:
+            # forward legs carry min_f, backward legs min_t
+            cols["minutes"] = pa.array(
+                np.concatenate([min_f[fwd], min_t[rev]]), pa.float64()
+            )
+        return pa.table(cols)
 
     return lines_ds.map_batches(expand, batch_format="pyarrow")

@@ -367,3 +367,122 @@ def route_frequencies(origins_ds, graph: tuple, dest_ids: np.ndarray,
         .aggregate(Count(alias_name="n_routes"))
         .map_batches(unpack, batch_format="pyarrow")
     )
+
+
+def dijkstra_multi(indptr: np.ndarray, indices: np.ndarray, weights: np.ndarray,
+                   seed_pos: np.ndarray, seed_cost: np.ndarray,
+                   cutoff: float = np.inf) -> np.ndarray:
+    """Multi-source Dijkstra: dist[v] = min over seeds of (seed_cost +
+    path cost). Used for point origins connected to several candidate
+    nodes with per-connection weights."""
+    n = len(indptr) - 1
+    dist = np.full(n, np.inf)
+    heap = []
+    for p, c in zip(seed_pos, seed_cost):
+        p, c = int(p), float(c)
+        if c < dist[p]:
+            dist[p] = c
+            heapq.heappush(heap, (c, p))
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u] or d > cutoff:
+            continue
+        for k in range(indptr[u], indptr[u + 1]):
+            v = indices[k]
+            nd = d + weights[k]
+            if nd < dist[v] and nd <= cutoff:
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def connection_candidates(node_x: np.ndarray, node_y: np.ndarray,
+                          px: float, py: float,
+                          search_tolerance: float, search_factor: float):
+    """NetworkAnalysisRules point→node connection (reference
+    networkanalysisrules.py:14-298 + _points.py:66-137): keep nodes with
+    distance <= search_tolerance AND
+    distance <= dmin * (1 + search_factor/100) + search_factor.
+    Returns (node positions, connection distances)."""
+    d = np.hypot(node_x - px, node_y - py)
+    dmin = float(d.min()) if len(d) else np.inf
+    keep = (d <= search_tolerance) & (
+        d <= dmin * (1.0 + search_factor / 100.0) + search_factor
+    )
+    pos = np.nonzero(keep)[0]
+    return pos, d[pos]
+
+
+class OdCostPointsActor:
+    """od_cost_matrix with POINT origins and destinations.
+
+    Points are connected to graph nodes by the search_tolerance /
+    search_factor rules; the connection legs carry their straight-line
+    distance as weight (the reference's weight='meters' conversion,
+    _points.py:57-60). Per origin: multi-source Dijkstra seeded with the
+    candidate connections; per destination: min over its candidates of
+    (node distance + connection weight). Origins/destinations whose
+    candidate set is empty (beyond tolerance) produce no rows — matching
+    the reference, where unconnected points simply get no results."""
+
+    def __init__(self, graph_ref, node_xy_ref, dest_points: np.ndarray,
+                 search_tolerance: float, search_factor: float = 0.0):
+        self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
+        self.node_x, self.node_y = ray.get(node_xy_ref)
+        self.tol = search_tolerance
+        self.sf = search_factor
+        # dest_points rows: (dest_id, x, y)
+        self.dests = []
+        for did, dx, dy in dest_points:
+            pos, w = connection_candidates(
+                self.node_x, self.node_y, float(dx), float(dy), self.tol, self.sf
+            )
+            if len(pos):
+                self.dests.append((int(did), pos, w))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oid = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch["px"].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch["py"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_o, out_d, out_c = [], [], []
+        for i in range(len(oid)):
+            pos, w = connection_candidates(
+                self.node_x, self.node_y, px[i], py[i], self.tol, self.sf
+            )
+            if len(pos) == 0:
+                continue
+            dist = dijkstra_multi(self.indptr, self.indices, self.weights, pos, w)
+            for did, dpos, dw in self.dests:
+                c = float(np.min(dist[dpos] + dw))
+                if np.isinf(c):
+                    continue
+                out_o.append(int(oid[i]))
+                out_d.append(did)
+                out_c.append(c)
+        return pa.table(
+            {
+                "origin": pa.array(out_o, pa.int64()),
+                "dest": pa.array(out_d, pa.int64()),
+                "cost": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
+                          dest_points: np.ndarray, search_tolerance: float,
+                          search_factor: float = 0.0,
+                          concurrency=(1, 8), batch_size: int = 64):
+    """Point-origin OD matrix: origins stream as (origin, px, py) rows;
+    the graph AND the node coordinate table are broadcast once."""
+    gref = ray.put(graph)
+    xyref = ray.put(node_xy)
+    return origins_ds.map_batches(
+        OdCostPointsActor,
+        fn_constructor_kwargs={
+            "graph_ref": gref, "node_xy_ref": xyref, "dest_points": dest_points,
+            "search_tolerance": search_tolerance, "search_factor": search_factor,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -827,6 +827,148 @@ def _origins_ds(sf_dir: str):
     )
 
 
+_GRID_SPACING = 100  # meters between adjacent grid nodes (point-snap fixture)
+_SNAP_TOL = 40.0     # search_tolerance for the point-connection rule
+
+
+def q_od_cost_points(sf_dir: str):
+    """od_cost_matrix with POINT origins/destinations: each point sits a
+    (3t, 4t) offset from its home grid node (distance exactly 5t), the
+    NetworkAnalysisRules connection keeps only nodes within
+    search_tolerance=40 and within dmin·(1+sf/100)+sf of the nearest
+    (sf=0 → exactly the nearest node), and the connection legs carry
+    their straight-line distance (weight='meters', _points.py:57-137).
+    Points with 5t > 40 are beyond tolerance and produce no rows —
+    all integer closed forms for the oracle."""
+    from .ops import routing
+
+    graph = _grid_graph()
+    nodes = graph[0]
+    node_xy = (
+        (nodes // 1000).astype(np.float64) * _GRID_SPACING,
+        (nodes % 1000).astype(np.float64) * _GRID_SPACING,
+    )
+    d = np.arange(1, 5, dtype=np.int64)
+    di = (d * 7) % synth.GRID_N
+    dj = (d * 31) % synth.GRID_N
+    u = (d * 11) % 12
+    dest_points = np.stack(
+        [d.astype(np.float64), di * _GRID_SPACING + 3.0 * u,
+         dj * _GRID_SPACING + 4.0 * u], axis=1,
+    )
+
+    def stage(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i0 = (k * 3) % synth.GRID_N
+        j0 = (k * 19) % synth.GRID_N
+        t = (k * 13) % 12
+        return pa.table(
+            {
+                "origin": pa.array(k, pa.int64()),
+                "px": pa.array((i0 * _GRID_SPACING + 3 * t).astype(np.float64)),
+                "py": pa.array((j0 * _GRID_SPACING + 4 * t).astype(np.float64)),
+            }
+        )
+
+    origins = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    out = routing.od_cost_matrix_points(
+        origins, graph, node_xy, dest_points,
+        search_tolerance=_SNAP_TOL, search_factor=0.0,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "origin": b["origin"],
+                "dest": b["dest"],
+                "cost": pa.array(
+                    np.round(b["cost"].to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OD_COST_POINTS = f"""
+WITH o AS (
+  SELECT s_suppkey AS origin,
+         (s_suppkey * 3) % {synth.GRID_N} AS i0,
+         (s_suppkey * 19) % {synth.GRID_N} AS j0,
+         (s_suppkey * 13) % 12 AS t
+  FROM supplier
+),
+d AS (
+  SELECT d AS dest, (d * 7) % {synth.GRID_N} AS i1,
+         (d * 31) % {synth.GRID_N} AS j1, (d * 11) % 12 AS u
+  FROM (SELECT unnest(generate_series(1, 4)) AS d)
+)
+SELECT o.origin, d.dest,
+       5 * o.t + {synth.GRID_HW} * abs(d.i1 - o.i0)
+     + {synth.GRID_VW} * abs(d.j1 - o.j0) + 5 * d.u AS cost
+FROM o CROSS JOIN d
+WHERE 5 * o.t <= {int(_SNAP_TOL)} AND 5 * d.u <= {int(_SNAP_TOL)}
+"""
+
+
+def q_directed_minutes(sf_dir: str):
+    """make_directed_network with per-direction minute columns
+    (directednetwork.py:85-202): B rows expand into two edges carrying
+    ft_minutes forward / tf_minutes backward, FT keeps ft_minutes, TF
+    keeps tf_minutes; rows where both minutes are negative drop."""
+    from .ops import network as net_ops
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = np.array(["B", "FT", "TF"], dtype=object)[k % 3]
+        ft = np.where(k % 7 == 0, -1.0, (k % 50).astype(np.float64) + 1.0)
+        tf = np.where(k % 7 == 0, -1.0, (k % 60).astype(np.float64) + 2.0)
+        t = b.append_column("oneway", pa.array(list(code), pa.string()))
+        t = t.append_column("ft_minutes", pa.array(ft, pa.float64()))
+        return t.append_column("tf_minutes", pa.array(tf, pa.float64()))
+
+    lines = _part_lines(sf_dir).map_batches(add_cols, batch_format="pyarrow")
+    out = net_ops.make_directed(
+        lines, "p_partkey", float(_NODE_TOL), "oneway",
+        minute_cols=("ft_minutes", "tf_minutes"), dropna=True, dropnegative=True,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "direction": b["direction"],
+                "minutes_i": pa.array(
+                    np.round(
+                        b["minutes"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DIRECTED_MINUTES = """
+WITH base AS (
+  SELECT p_partkey, p_partkey % 3 AS code,
+         CASE WHEN p_partkey % 7 = 0 THEN -1 ELSE (p_partkey % 50) + 1 END AS ft,
+         CASE WHEN p_partkey % 7 = 0 THEN -1 ELSE (p_partkey % 60) + 2 END AS tf
+  FROM part
+),
+kept AS (SELECT * FROM base WHERE NOT (ft < 0 AND tf < 0))
+SELECT p_partkey, 0 AS direction, CAST(ft AS BIGINT) AS minutes_i
+FROM kept WHERE code IN (0, 1)
+UNION ALL
+SELECT p_partkey, 1 AS direction, CAST(tf AS BIGINT) AS minutes_i
+FROM kept WHERE code IN (0, 2)
+"""
+
+
 def q_od_cost_matrix(sf_dir: str):
     """NetworkAnalysis.od_cost_matrix (networkanalysis.py:145-320): real
     per-origin Dijkstra over the broadcast CSR grid graph; the structured
@@ -2862,6 +3004,8 @@ REGISTRY: dict[str, tuple] = {
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),
+    "od_cost_points": (q_od_cost_points, SQL_OD_COST_POINTS),
+    "directed_minutes": (q_directed_minutes, SQL_DIRECTED_MINUTES),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
     "phash_dedup": (q_phash_dedup, None),
@@ -2870,11 +3014,7 @@ REGISTRY: dict[str, tuple] = {
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
     "overlay_concave_inter": (q_overlay_concave_inter, SQL_OVERLAY_CONCAVE_INTER),
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
-    "make_valid_bowtie": (q_make_valid_bowtie, SQL_MAKE_VALID_BOWTIE),
     "buffer_line_area": (q_buffer_line_area, SQL_BUFFER_LINE_AREA),
-    "eliminate_by_longest_assign": (q_eliminate_by_longest, SQL_ELIMINATE_LONGEST),
-    "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
-    "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
     "knn3": (q_knn3, SQL_KNN3),
     "overlay_intersection": (q_overlay_intersection, SQL_OVERLAY_INTERSECTION),
@@ -2913,6 +3053,10 @@ REGISTRY: dict[str, tuple] = {
     "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
     "buffer_poly_area": (q_buffer_poly_area, SQL_BUFFER_POLY_AREA),
     "overlay_concave_diff": (q_overlay_concave_diff, SQL_OVERLAY_CONCAVE_DIFF),
+    "make_valid_bowtie": (q_make_valid_bowtie, SQL_MAKE_VALID_BOWTIE),
+    "eliminate_by_longest_assign": (q_eliminate_by_longest, SQL_ELIMINATE_LONGEST),
+    "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
+    "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
