@@ -969,3 +969,129 @@ def get_gaps(table: pa.Table, wkb_col: str = "geometry_wkb") -> list[dict]:
         )
         gap_no += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Line cutting / splitting (reference cutting_lines.py:33-402)
+# ---------------------------------------------------------------------------
+
+
+def cut_lines_at_distance(batch: pa.Table, id_col: str, dist_col: str,
+                          wkb_col: str = "geometry_wkb") -> pa.Table:
+    """cut_lines_once with an ARBITRARY per-row distance column
+    (cutting_lines.py:300-402): each 2-point line is cut at ``dist``
+    meters from its start — two parts when 0 < dist < length, one
+    untouched part otherwise. Emits (id, part_no, part_len, geometry)."""
+    la = wkb.decode_lines(batch[wkb_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dist = batch[dist_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    out_id, out_no, out_len, out_geom = [], [], [], []
+    for i in range(len(la)):
+        l0 = la.geom_offsets[i]
+        a = la.coords[la.line_offsets[l0]]
+        b = la.coords[la.line_offsets[l0 + 1] - 1]
+        L = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+        d = float(dist[i])
+        if d <= 0 or d >= L or L == 0:
+            out_id.append(ids[i]); out_no.append(0); out_len.append(L)
+            out_geom.append(wkb.encode_linestring(np.stack([a, b])))
+            continue
+        t = d / L
+        m = a + t * (b - a)
+        out_id.extend([ids[i], ids[i]])
+        out_no.extend([0, 1])
+        out_len.extend([d, L - d])
+        out_geom.append(wkb.encode_linestring(np.stack([a, m])))
+        out_geom.append(wkb.encode_linestring(np.stack([m, b])))
+    return pa.table(
+        {
+            id_col: pa.array(out_id, pa.int64()),
+            "part_no": pa.array(out_no, pa.int64()),
+            "part_len": pa.array(np.asarray(out_len), pa.float64()),
+            "geometry_wkb": pa.array(out_geom, pa.binary()),
+        }
+    )
+
+
+class SplitLinesByNearestPoint:
+    """split_lines_by_nearest_point (cutting_lines.py:33-189): split each
+    line at the projection of its nearest point (from a broadcast point
+    set) when that point lies within ``max_distance`` of the line.
+
+    The point table is ``ray.put`` once; each actor builds an STRtree
+    over the points in ``__init__`` and queries it with the line bbox
+    padded by max_distance. Nearest point chosen by exact point→segment
+    distance, ties by smaller point index."""
+
+    def __init__(self, points_ref, id_col: str, max_distance: float,
+                 wkb_col: str = "geometry_wkb"):
+        from ..geo import kernels  # noqa: F401  (parity with sibling actors)
+        from ..geo.strtree import STRtree
+
+        px, py = ray.get(points_ref)
+        self.px = np.asarray(px, np.float64)
+        self.py = np.asarray(py, np.float64)
+        boxes = np.stack([self.px, self.py, self.px, self.py], axis=1)
+        self.tree = STRtree(boxes)
+        self.id_col = id_col
+        self.wkb_col = wkb_col
+        self.maxd = max_distance
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = wkb.decode_lines(batch[self.wkb_col])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_no, out_len, out_geom = [], [], [], []
+        # bbox query for ALL lines at once
+        n = len(la)
+        boxes = np.empty((n, 4))
+        A = np.empty((n, 2)); B = np.empty((n, 2))
+        for i in range(n):
+            l0 = la.geom_offsets[i]
+            a = la.coords[la.line_offsets[l0]]
+            b = la.coords[la.line_offsets[l0 + 1] - 1]
+            A[i] = a; B[i] = b
+            boxes[i] = [min(a[0], b[0]) - self.maxd, min(a[1], b[1]) - self.maxd,
+                        max(a[0], b[0]) + self.maxd, max(a[1], b[1]) + self.maxd]
+        qi, pi = self.tree.query_bbox(boxes)
+        # exact point->segment distances for the candidates, vectorized
+        ax, ay = A[qi, 0], A[qi, 1]
+        dx, dy = B[qi, 0] - ax, B[qi, 1] - ay
+        L2 = dx * dx + dy * dy
+        t = np.clip(
+            np.where(L2 > 0, ((self.px[pi] - ax) * dx + (self.py[pi] - ay) * dy)
+                     / np.where(L2 > 0, L2, 1.0), 0.0),
+            0.0, 1.0,
+        )
+        cx = ax + t * dx
+        cy = ay + t * dy
+        d = np.hypot(self.px[pi] - cx, self.py[pi] - cy)
+        ok = d <= self.maxd
+        qi, pi, t, d = qi[ok], pi[ok], t[ok], d[ok]
+        # argmin per line: (distance, point index) lexicographic
+        best: dict[int, int] = {}
+        order = np.lexsort((pi, d))
+        for j in order[::-1]:
+            best[int(qi[j])] = j  # reversed: smallest (d, pi) wins last
+        for i in range(n):
+            a, b = A[i], B[i]
+            L = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+            j = best.get(i)
+            tt = float(t[j]) if j is not None else None
+            if j is None or tt <= 0.0 or tt >= 1.0:
+                out_id.append(ids[i]); out_no.append(0); out_len.append(L)
+                out_geom.append(wkb.encode_linestring(np.stack([a, b])))
+                continue
+            m = a + tt * (b - a)
+            out_id.extend([ids[i], ids[i]])
+            out_no.extend([0, 1])
+            out_len.extend([tt * L, (1 - tt) * L])
+            out_geom.append(wkb.encode_linestring(np.stack([a, m])))
+            out_geom.append(wkb.encode_linestring(np.stack([m, b])))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "part_no": pa.array(out_no, pa.int64()),
+                "part_len": pa.array(np.asarray(out_len), pa.float64()),
+                "geometry_wkb": pa.array(out_geom, pa.binary()),
+            }
+        )

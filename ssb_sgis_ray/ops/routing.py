@@ -486,3 +486,58 @@ def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ServiceAreaLengthActor:
+    """precice_service_area's decidable core (reference
+    _service_area.py:15-150): the reference dissolves fully-reached edges
+    and CUTS boundary edges at the exact remaining budget. The scalar
+    invariant of that geometry is the total covered road length:
+    per edge (u,v,w), covered = min(w, relu(B - dist[u]) + relu(B -
+    dist[v])) — full edges contribute w, boundary edges their cut
+    lengths from both ends. Vectorized over the edge list per origin."""
+
+    def __init__(self, graph_ref, budget: float):
+        self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
+        self.budget = budget
+        # canonical undirected edge list (u < v) from the CSR
+        n = len(self.indptr) - 1
+        src = np.repeat(np.arange(n), np.diff(self.indptr))
+        dst = self.indices
+        keep = src < dst
+        self.eu = src[keep]
+        self.ev = dst[keep]
+        self.ew = self.weights[keep]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_o, out_l = [], []
+        B = self.budget
+        for o in origins:
+            pos = int(np.searchsorted(self.nodes, o))
+            if pos >= len(self.nodes) or self.nodes[pos] != o:
+                continue
+            dist = dijkstra(self.indptr, self.indices, self.weights, pos, B)
+            ru = np.maximum(0.0, B - dist[self.eu])
+            rv = np.maximum(0.0, B - dist[self.ev])
+            covered = np.minimum(self.ew, ru + rv)
+            out_o.append(int(o))
+            out_l.append(float(covered.sum()))
+        return pa.table(
+            {
+                "origin": pa.array(out_o, pa.int64()),
+                "covered_len": pa.array(out_l, pa.float64()),
+            }
+        )
+
+
+def service_area_length(origins_ds, graph: tuple, budget: float,
+                        concurrency=(1, 8), batch_size: int = 64):
+    gref = ray.put(graph)
+    return origins_ds.map_batches(
+        ServiceAreaLengthActor,
+        fn_constructor_kwargs={"graph_ref": gref, "budget": budget},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

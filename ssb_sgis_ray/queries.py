@@ -969,6 +969,195 @@ FROM kept WHERE code IN (0, 2)
 """
 
 
+def q_service_area_len(sf_dir: str):
+    """precice_service_area's decidable core (_service_area.py:15-150):
+    total covered road length per origin — full edges count whole,
+    boundary edges are CUT at the exact remaining budget from both ends
+    (covered = min(w, relu(B−du) + relu(B−dv))). Closed-form on the
+    weighted grid."""
+    from .ops import routing
+
+    out = routing.service_area_length(_origins_ds(sf_dir), _grid_graph(), 37.0)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "origin": b["origin"],
+                "covered_len": pa.array(
+                    np.round(
+                        b["covered_len"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SERVICE_AREA_LEN = f"""
+WITH o AS (
+  SELECT s_suppkey, (s_suppkey * 3) % {synth.GRID_N} AS oi,
+         (s_suppkey * 19) % {synth.GRID_N} AS oj
+  FROM supplier
+),
+gi AS (SELECT unnest(generate_series(0, {synth.GRID_N - 1})) AS v),
+e AS (
+  SELECT a.v AS i, b.v AS j, a.v + 1 AS i2, b.v AS j2, {synth.GRID_HW} AS w
+  FROM gi a, gi b WHERE a.v < {synth.GRID_N - 1}
+  UNION ALL
+  SELECT a.v, b.v, a.v, b.v + 1, {synth.GRID_VW}
+  FROM gi a, gi b WHERE b.v < {synth.GRID_N - 1}
+),
+per AS (
+  SELECT o.s_suppkey, o.oi * 1000 + o.oj AS origin,
+         least(e.w,
+               greatest(0, 37 - ({synth.GRID_HW} * abs(e.i - o.oi)
+                               + {synth.GRID_VW} * abs(e.j - o.oj)))
+             + greatest(0, 37 - ({synth.GRID_HW} * abs(e.i2 - o.oi)
+                               + {synth.GRID_VW} * abs(e.j2 - o.oj)))) AS cov
+  FROM o CROSS JOIN e
+)
+SELECT origin, CAST(sum(cov) AS BIGINT) AS covered_len
+FROM per GROUP BY s_suppkey, origin
+"""
+
+
+def q_cut_lines_dist(sf_dir: str):
+    """cut_lines_once with an arbitrary per-row distance column
+    (cutting_lines.py:300-402): (3m, 4m) lines have exact integer length
+    5m, the per-row cut distance m·((k%7)+1)/2 is an integer, so both
+    part lengths are integer closed forms."""
+    from .geo import wkb as W
+    from .ops import geometry as geom_ops
+
+    def stage(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = 4 * ((k * 7) % 500) + 4
+        x0 = (40000 * (k % 200)).astype(np.float64)
+        y0 = (40000 * (k // 200)).astype(np.float64)
+        d = m * ((k % 7) + 1) // 2
+        out = np.empty(len(k), dtype=object)
+        for i in range(len(k)):
+            out[i] = W.encode_linestring(
+                np.array([[x0[i], y0[i]], [x0[i] + 3 * m[i], y0[i] + 4 * m[i]]])
+            )
+        t = pa.table(
+            {"p_partkey": b["p_partkey"],
+             "cut_dist": pa.array(d.astype(np.float64), pa.float64()),
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+        return geom_ops.cut_lines_at_distance(t, "p_partkey", "cut_dist")
+
+    out = (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "part_no": b["part_no"],
+                "part_len": pa.array(
+                    np.round(
+                        b["part_len"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUT_LINES_DIST = """
+WITH c AS (
+  SELECT p_partkey, 5 * (4 * ((p_partkey * 7) % 500) + 4) AS L,
+         (4 * ((p_partkey * 7) % 500) + 4) * ((p_partkey % 7) + 1) // 2 AS d
+  FROM part
+)
+SELECT p_partkey, 0 AS part_no, CAST(d AS BIGINT) AS part_len FROM c
+UNION ALL
+SELECT p_partkey, 1, CAST(L - d AS BIGINT) FROM c
+"""
+
+
+def q_split_lines_nearest(sf_dir: str):
+    """split_lines_by_nearest_point (cutting_lines.py:33-189): one point
+    per line at parameter s=((k%5)+1)/8 with an exact perpendicular
+    offset of 5 (< max_distance 10); the projection splits the 5m-long
+    line into integer parts s·L and (1−s)·L."""
+    import ray as _ray
+
+    from .geo import wkb as W
+    from .ops import geometry as geom_ops
+
+    keys = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = keys["p_partkey"].to_numpy().astype(np.int64)
+    m = 8 * ((k * 7) % 250) + 8
+    x0 = (40000 * (k % 200)).astype(np.float64)
+    y0 = (40000 * (k // 200)).astype(np.float64)
+    s8 = (k % 5) + 1
+    px = x0 + s8 * 3 * m / 8.0 - 4.0
+    py = y0 + s8 * 4 * m / 8.0 + 3.0
+    pref = _ray.put((px, py))
+
+    def stage(b: pa.Table) -> pa.Table:
+        kk = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mm = 8 * ((kk * 7) % 250) + 8
+        xx = (40000 * (kk % 200)).astype(np.float64)
+        yy = (40000 * (kk // 200)).astype(np.float64)
+        out = np.empty(len(kk), dtype=object)
+        for i in range(len(kk)):
+            out[i] = W.encode_linestring(
+                np.array([[xx[i], yy[i]], [xx[i] + 3 * mm[i], yy[i] + 4 * mm[i]]])
+            )
+        return pa.table(
+            {"p_partkey": b["p_partkey"],
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+
+    lines = (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    out = lines.map_batches(
+        geom_ops.SplitLinesByNearestPoint,
+        fn_constructor_kwargs={"points_ref": pref, "id_col": "p_partkey",
+                               "max_distance": 10.0},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "part_no": b["part_no"],
+                "part_len": pa.array(
+                    np.round(
+                        b["part_len"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SPLIT_LINES_NEAREST = """
+WITH c AS (
+  SELECT p_partkey, 5 * (8 * ((p_partkey * 7) % 250) + 8) AS L,
+         (p_partkey % 5) + 1 AS s8
+  FROM part
+)
+SELECT p_partkey, 0 AS part_no, CAST(s8 * L // 8 AS BIGINT) AS part_len FROM c
+UNION ALL
+SELECT p_partkey, 1, CAST((8 - s8) * L // 8 AS BIGINT) FROM c
+"""
+
+
 def q_od_cost_matrix(sf_dir: str):
     """NetworkAnalysis.od_cost_matrix (networkanalysis.py:145-320): real
     per-origin Dijkstra over the broadcast CSR grid graph; the structured
@@ -3006,6 +3195,9 @@ REGISTRY: dict[str, tuple] = {
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),
     "od_cost_points": (q_od_cost_points, SQL_OD_COST_POINTS),
     "directed_minutes": (q_directed_minutes, SQL_DIRECTED_MINUTES),
+    "service_area_len": (q_service_area_len, SQL_SERVICE_AREA_LEN),
+    "cut_lines_dist": (q_cut_lines_dist, SQL_CUT_LINES_DIST),
+    "split_lines_nearest": (q_split_lines_nearest, SQL_SPLIT_LINES_NEAREST),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
     "phash_dedup": (q_phash_dedup, None),
@@ -3026,13 +3218,10 @@ REGISTRY: dict[str, tuple] = {
     "update_geometries": (q_update_geometries, SQL_UPDATE_GEOMETRIES),
     "buffdissexp_clusters": (q_buffdissexp_clusters, SQL_BUFFDISSEXP_CLUSTERS),
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
-    "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
-    "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
     "od_cost_matrix": (q_od_cost_matrix, SQL_OD_COST),
     "service_area": (q_service_area, SQL_SERVICE_AREA),
     "get_route": (q_get_route, SQL_GET_ROUTE),
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
-    "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP),
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
@@ -3057,6 +3246,9 @@ REGISTRY: dict[str, tuple] = {
     "eliminate_by_longest_assign": (q_eliminate_by_longest, SQL_ELIMINATE_LONGEST),
     "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
+    "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
+    "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
+    "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
