@@ -319,18 +319,93 @@ def _all_rings(pg: PolygonArray, row: int) -> list[np.ndarray]:
     return out
 
 
+_SAT_MAX_VERTS = 16
+
+
+def _convex_ring_table(pg: PolygonArray, rows: np.ndarray):
+    """Per-unique-row (padded ring matrix, eligible flag) for the SAT fast
+    path: eligible rows are single-part single-ring convex with <=
+    _SAT_MAX_VERTS vertices. Padding repeats the first vertex (zero-length
+    edges project degenerately and never separate)."""
+    n = len(rows)
+    ok = np.zeros(n, dtype=bool)
+    rings: list = [None] * n
+    maxm = 0
+    for t, r in enumerate(rows):
+        r = int(r)
+        if pg.geom_offsets[r + 1] - pg.geom_offsets[r] != 1:
+            continue
+        q = pg.geom_offsets[r]
+        if pg.poly_offsets[q + 1] - pg.poly_offsets[q] != 1:
+            continue
+        ring = pg.coords[pg.ring_offsets[pg.poly_offsets[q]] :
+                         pg.ring_offsets[pg.poly_offsets[q] + 1]]
+        m = len(ring) - 1
+        if m > _SAT_MAX_VERTS or m < 3 or not is_convex_ring(ring):
+            continue
+        ok[t] = True
+        rings[t] = ring[:-1]
+        maxm = max(maxm, m)
+    if maxm == 0:
+        return None, ok
+    V = np.zeros((n, maxm, 2))
+    for t in range(n):
+        if ok[t]:
+            m = len(rings[t])
+            V[t, :m] = rings[t]
+            V[t, m:] = rings[t][0]
+        # ineligible rows left zero; masked out by callers
+    return V, ok
+
+
+def _sat_convex_pairs(VA: np.ndarray, VB: np.ndarray) -> np.ndarray:
+    """Batched separating-axis test for convex pairs (touching counts as
+    intersecting). VA: (P, Ma, 2), VB: (P, Mb, 2)."""
+    P = len(VA)
+    sep = np.zeros(P, dtype=bool)
+    for V_from, V_a, V_b in ((VA, VA, VB), (VB, VB, VA)):
+        M = V_from.shape[1]
+        for j in range(M):
+            e = V_from[:, (j + 1) % M] - V_from[:, j]
+            nx, ny = -e[:, 1], e[:, 0]
+            degen = (nx == 0) & (ny == 0)
+            pa_ = V_a[:, :, 0] * nx[:, None] + V_a[:, :, 1] * ny[:, None]
+            pb_ = V_b[:, :, 0] * nx[:, None] + V_b[:, :, 1] * ny[:, None]
+            s = (pb_.max(axis=1) < pa_.min(axis=1)) | (
+                pb_.min(axis=1) > pa_.max(axis=1)
+            )
+            sep |= s & ~degen
+    return ~sep
+
+
 def polygons_intersect_pairs(
     a: PolygonArray, b: PolygonArray, ai: np.ndarray, bi: np.ndarray
 ) -> np.ndarray:
     """Exact 'intersects' (touching counts) for candidate row pairs.
 
-    Test: any vertex of A inside B, or any vertex of B inside A, or any
-    edge pair crosses/touches. Candidate pairs should already be bbox-
-    prefiltered. Per-pair python loop over pairs, numpy within each pair —
-    intended for the refine step on small candidate sets per partition.
+    Fast path: pairs where BOTH rows are single-ring convex (<=16 verts)
+    run through one batched separating-axis test — vectorized over the
+    whole pair list (the flagship's rect×diamond region join is 100%
+    this shape). The generic vertex-in-polygon + edge-crossing refine
+    remains for concave/holed/multi-part rows.
     """
     out = np.zeros(len(ai), dtype=bool)
-    for k in range(len(ai)):
+    if len(ai) == 0:
+        return out
+    ua, inv_a = np.unique(ai, return_inverse=True)
+    ub, inv_b = np.unique(bi, return_inverse=True)
+    VA_u, ok_a = _convex_ring_table(a, ua)
+    VB_u, ok_b = _convex_ring_table(b, ub)
+    if VA_u is not None and VB_u is not None:
+        fast = ok_a[inv_a] & ok_b[inv_b]
+        if fast.any():
+            out[fast] = _sat_convex_pairs(
+                VA_u[inv_a[fast]], VB_u[inv_b[fast]]
+            )
+        rest = np.nonzero(~fast)[0]
+    else:
+        rest = np.arange(len(ai))
+    for k in rest:
         ra = _all_rings(a, int(ai[k]))
         rb = _all_rings(b, int(bi[k]))
         pa = np.concatenate(ra)
