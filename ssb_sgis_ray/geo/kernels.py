@@ -890,3 +890,35 @@ def shared_border_length(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -
             parallel & coll & (ov > 0) & (len2 > 0), ov / np.sqrt(len2), 0.0
         )
     return float(seg_len.sum())
+
+
+def rects_union_area(rects: np.ndarray) -> float:
+    """Union area of possibly-overlapping axis rects (Klee sweep).
+
+    Slab loop over distinct x-cuts with a numpy interval merge per slab —
+    O(n · slabs) with vectorized inner math; no sequential painter
+    subtraction (whose piece lists grow quadratically)."""
+    if len(rects) == 0:
+        return 0.0
+    xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
+    x0s, x1s = rects[:, 0], rects[:, 2]
+    y0s, y1s = rects[:, 1], rects[:, 3]
+    total = 0.0
+    for i in range(len(xs) - 1):
+        a, b = xs[i], xs[i + 1]
+        act = (x0s <= a) & (x1s >= b)
+        if not act.any():
+            continue
+        lo = y0s[act]
+        hi = y1s[act]
+        order = np.argsort(lo, kind="stable")
+        lo, hi = lo[order], hi[order]
+        run_max = np.maximum.accumulate(hi)
+        # covered length = Σ (hi' − lo) over merged intervals
+        gap_start = np.concatenate([[True], lo[1:] > run_max[:-1]])
+        seg_id = np.cumsum(gap_start) - 1
+        seg_lo = lo[gap_start]
+        seg_hi = np.zeros(seg_id[-1] + 1)
+        np.maximum.at(seg_hi, seg_id, hi)
+        total += (b - a) * float(np.sum(seg_hi - seg_lo))
+    return total

@@ -949,3 +949,150 @@ def overlay_difference_cell(
         return out.filter(keep)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Area-only union/symdiff legs — projection pushdown for area consumers
+# ---------------------------------------------------------------------------
+
+
+def _right_diff_area_kernel(right_table: pa.Table):
+    """Group kernel: AREA of (right row − union(matching left geoms)).
+
+    No geometry assembly: rectilinear subjects get a Klee union sweep of
+    the clipped clips (area = subject − covered), anything else the
+    boolean engine's area pass. Replaces the sequential
+    subtract_rect_from_rects painter whose piece lists grow with every
+    clip (~10 ms/group → ~1 ms/group on 190-clip groups)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        row = int(g["right_row"].iloc[0])
+        rpg = wkb.decode_polygons(right_table["geometry_wkb"].slice(row, 1))
+        lpg = wkb.decode_polygons(g["left_geom"].to_numpy())
+        s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(rpg)
+        c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(lpg)
+        if s_rlin[0] and c_rlin.all():
+            area = 0.0
+            for t in range(s_offs[0], s_offs[1]):
+                sb = s_rects[t]
+                x0 = np.maximum(c_rects[:, 0], sb[0])
+                y0 = np.maximum(c_rects[:, 1], sb[1])
+                x1 = np.minimum(c_rects[:, 2], sb[2])
+                y1 = np.minimum(c_rects[:, 3], sb[3])
+                m = (x1 > x0) & (y1 > y0)
+                cov = (
+                    kernels.rects_union_area(
+                        np.stack([x0[m], y0[m], x1[m], y1[m]], axis=1)
+                    )
+                    if m.any()
+                    else 0.0
+                )
+                area += (sb[2] - sb[0]) * (sb[3] - sb[1]) - cov
+        else:
+            from ..geo import booleans as B
+
+            s_r, s_h = B.ringset_of_row(rpg, 0)
+            c_r, c_h = [], []
+            for i in range(len(lpg)):
+                rr, hh = B.ringset_of_row(lpg, i)
+                c_r.extend(rr)
+                c_h.extend(hh)
+            area = B.boolean_area(s_r, c_r, "difference", s_h, c_h)
+        if area <= 0:
+            return pd.DataFrame({"area_i": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"area_i": [np.int64(round(area))]})
+
+    return fn
+
+
+def overlay_union_leg_areas(
+    left,
+    right_table: pa.Table,
+    how: str = "union",
+    concurrency: int | tuple = (1, 8),
+    batch_size: int = 512,
+    num_partitions: int | None = None,
+):
+    """(leg, area_i) rows of the union/symmetric_difference composition —
+    the area-only pushdown of overlay_union_legs: the intersection leg
+    streams piece areas (no WKB), the right-difference leg runs the Klee
+    area kernel, and only the (small) left-difference and unmatched-right
+    legs decode geometry."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dissolve import default_join_partitions
+
+    if how not in ("union", "symmetric_difference"):
+        raise ValueError(how)
+    ref = ray.put(right_table)
+
+    def leg_of(ds, leg_name, area_from):
+        def fn(b: pd.DataFrame) -> pa.Table:
+            if area_from == "piece_area":
+                areas = np.round(b["piece_area"].to_numpy()).astype(np.int64)
+            elif area_from == "geometry":
+                pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+                areas = np.round(kernels.polygon_areas(pg)).astype(np.int64)
+            else:  # already area_i
+                areas = b["area_i"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "leg": pa.array([leg_name] * len(areas), pa.string()),
+                    "area_i": pa.array(areas, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    legs = []
+    if how == "union":
+        inter = clean_overlay(
+            left, right_table, how="intersection", emit="area",
+            concurrency=concurrency, batch_size=batch_size,
+        )
+        legs.append(leg_of(inter, "inter", "piece_area"))
+    ldiff = clean_overlay(
+        left, right_table, how="difference",
+        concurrency=concurrency, batch_size=batch_size,
+    )
+    legs.append(leg_of(ldiff, "left", "geometry"))
+    pairs = left.map_batches(
+        RightPairsEmitter,
+        fn_constructor_kwargs={"right_ref": ref},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    ).materialize()
+    rdiff = pairs.groupby("right_row").map_groups(
+        _right_diff_area_kernel(right_table), batch_format="pandas"
+    )
+    legs.append(leg_of(rdiff, "right", "area_i"))
+    right_rows = rd.from_arrow(
+        right_table.append_column(
+            "right_row", pa.array(np.arange(len(right_table)), pa.int64())
+        )
+    )
+    if pairs.count() == 0:
+        legs.append(leg_of(right_rows, "right", "geometry"))
+    else:
+        matched_ids = (
+            pairs.select_columns(["right_row"])
+            .groupby("right_row")
+            .aggregate(Count(alias_name="__m"))
+        )
+        um = right_rows.join(
+            matched_ids,
+            join_type="left_outer",
+            num_partitions=default_join_partitions(num_partitions),
+            on=("right_row",),
+        ).map_batches(
+            lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(
+                ["__m", "right_row"]
+            ),
+            batch_format="pyarrow",
+        )
+        legs.append(leg_of(um, "right", "geometry"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out

@@ -2897,25 +2897,16 @@ def q_overlay_union(sf_dir: str):
     """Full union composition (all three legs) of part × orders boxes —
     leg-summed areas (union geometry partition; rows-only, pytest proves
     the micro-geometry exactness and Σ == painter union area)."""
+    from ray.data.aggregate import Sum
+
     right = synth.add_orders_boxes(
         pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
     )
-    out = overlay_ops.overlay_union_legs(parts(sf_dir), right, how="union")
-
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-        area = kernels.polygon_areas(pg)
-        return pd.DataFrame({"leg": b["leg"], "area_i": np.round(area).astype(np.int64)})
-
-    from ray.data.aggregate import Sum
-
-    # distributed groupby-sum to the 3-row answer (VERDICT r2 'what's
-    # wrong' #2: no full per-piece driver materialization)
-    return (
-        out.map_batches(project, batch_format="pandas")
-        .groupby("leg")
-        .aggregate(Sum("area_i", alias_name="total_area"))
-    )
+    # area-only leg pushdown: the intersection leg streams piece areas
+    # (no WKB round-trip of 280k pieces), the right-diff leg runs the
+    # Klee area kernel; distributed groupby-sum to the 3-row answer
+    out = overlay_ops.overlay_union_leg_areas(parts(sf_dir), right, how="union")
+    return out.groupby("leg").aggregate(Sum("area_i", alias_name="total_area"))
 
 
 _OVERLAY_LEGS_CTE = (
@@ -2997,21 +2988,10 @@ def q_overlay_symdiff(sf_dir: str):
     path (reference overlay.py:70-81 accepts all six hows in one call)."""
     from ray.data.aggregate import Sum
 
-    right = orders_tbl(sf_dir)
-    out = overlay_ops.overlay_union_legs(
-        parts(sf_dir), right, how="symmetric_difference"
+    out = overlay_ops.overlay_union_leg_areas(
+        parts(sf_dir), orders_tbl(sf_dir), how="symmetric_difference"
     )
-
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-        area = kernels.polygon_areas(pg)
-        return pd.DataFrame({"leg": b["leg"], "area_i": np.round(area).astype(np.int64)})
-
-    return (
-        out.map_batches(project, batch_format="pandas")
-        .groupby("leg")
-        .aggregate(Sum("area_i", alias_name="total_area"))
-    )
+    return out.groupby("leg").aggregate(Sum("area_i", alias_name="total_area"))
 
 
 def q_events_sessions(sf_dir: str):
