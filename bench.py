@@ -73,10 +73,12 @@ def run_bench() -> dict:
 
     bench_queries = [
         "pip_pairs", "pip_pairs_cell", "knn3", "tile_assign", "tile_cover",
-        "overlay_intersection", "overlay_concave_inter", "buffer_line_area",
+        "overlay_intersection", "overlay_concave_inter", "overlay_inter_cell",
+        "overlay_union", "buffer_line_area",
         "poly_clusters", "lineitem_agg", "events_hourly",
         "token_stats", "exact_dedup", "minhash_bands", "minhash_pairs",
         "simhash", "ann_topk", "image_exact_dedup", "image_tiles",
+        "close_small_holes", "od_cost_points",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

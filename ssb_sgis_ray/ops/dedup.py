@@ -223,25 +223,34 @@ def minhash_candidate_pairs(docs_ds):
         .map_groups(_super_groups_to_pairs, batch_format="pandas")
     )
 
+    _ = Count  # (kept import for callers extending with band counts)
+
     def pack(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"pk": pa.array(a * (1 << 31) + bb, pa.int64())})
-
-    def unpack(b: pa.Table) -> pa.Table:
-        pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # in-kernel pre-dedup + coarse shuffle key: a fine-grained
+        # groupby("pk") pays per-group overhead on ~240k distinct keys
+        # (26 s at sf0.1); the coarse-key + in-kernel-unique pattern is
+        # the same one the band bucketing uses (2.7 s for the same data)
+        pk = np.unique(a * (1 << 31) + bb)
         return pa.table(
             {
-                "id_a": pa.array(pk >> 31, pa.int64()),
-                "id_b": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+                "super": pa.array(pk % SUPER_GROUPS, pa.int64()),
             }
+        )
+
+    def distinct_unpack(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy())
+        return pd.DataFrame(
+            {"id_a": (pk >> 31).astype(np.int64),
+             "id_b": (pk & ((1 << 31) - 1)).astype(np.int64)}
         )
 
     return (
         pairs.map_batches(pack, batch_format="pyarrow")
-        .groupby("pk")
-        .aggregate(Count(alias_name="n_bands"))
-        .map_batches(unpack, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(distinct_unpack, batch_format="pandas")
     )
 
 
