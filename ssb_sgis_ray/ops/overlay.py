@@ -770,17 +770,17 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
 
     area_only = emit == "area"
 
-    def empty_frame() -> pd.DataFrame:
+    def empty_frame():
         if how == "intersection":
             cols = {
-                "left_id": pd.Series([], dtype="int64"),
-                "right_id": pd.Series([], dtype="int64"),
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
             }
             if area_only:
-                cols["piece_area"] = pd.Series([], dtype="float64")
+                cols["piece_area"] = pa.array([], pa.float64())
             else:
-                cols["geometry_wkb"] = pd.Series([], dtype="object")
-            return pd.DataFrame(cols)
+                cols["geometry_wkb"] = pa.array([], pa.binary())
+            return pa.table(cols)
         return pd.DataFrame(
             {
                 "left_id": pd.Series([], dtype="int64"),
@@ -821,12 +821,18 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
             li, ri, areas, geoms = intersection_pieces(
                 lpg, lbounds, l_decomp, l_is_rect, R, qi, pi, area_only
             )
-            out = {"left_id": lids[li], "right_id": rids[ri]}
+            # zero-copy Arrow emit: pandas block-manager copies dominate
+            # multi-million-row cell outputs (same lesson as the broadcast
+            # actor's area path)
+            cols = {
+                "left_id": pa.array(lids[li], pa.int64()),
+                "right_id": pa.array(rids[ri], pa.int64()),
+            }
             if area_only:
-                out["piece_area"] = areas
+                cols["piece_area"] = pa.array(areas, pa.float64())
             else:
-                out["geometry_wkb"] = geoms
-            return pd.DataFrame(out)
+                cols["geometry_wkb"] = pa.array(geoms, pa.binary())
+            return pa.table(cols)
         # difference: emit matched pairs with BOTH geometries; the actual
         # subtraction needs the union of ALL matching rights per left row,
         # which may live in different cells -> second stage groupby(left_id)

@@ -343,21 +343,28 @@ def q_overlay_inter_cell(sf_dir: str):
     Datasets (no broadcast): cover-cell co-group + anchor-cell pair dedup
     (ops/overlay.py overlay_pairs_cell). Result rows are identical to the
     broadcast overlay_intersection and share its Klee-sweep oracle."""
+    # res=10 -> 2048 m cells: the 40 km synthetic domain gives ~400
+    # co-groups (res=7 left only 9 giant serial groups)
     out = overlay_ops.overlay_pairs_cell(
         parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
-        res=7, emit="area",
+        res=10, emit="area",
     )
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "p_partkey": b["left_id"].astype("int64"),
-                "o_orderkey": b["right_id"].astype("int64"),
-                "inter_area": np.round(b["piece_area"].to_numpy()).astype(np.int64),
+                "p_partkey": b["left_id"].cast(pa.int64()),
+                "o_orderkey": b["right_id"].cast(pa.int64()),
+                "inter_area": pa.array(
+                    np.round(
+                        b["piece_area"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_overlay_diff_cell(sf_dir: str):
@@ -365,7 +372,7 @@ def q_overlay_diff_cell(sf_dir: str):
     groupby(left_id) subtract-union → join-back (unmatched rows pass
     through). Same oracle as overlay_difference_area."""
     out = overlay_ops.overlay_difference_cell(
-        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=7
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
     )
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
