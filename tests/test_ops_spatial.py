@@ -551,3 +551,56 @@ def test_clean_overlay_all_six_hows(ray_session):
         assert "leg" not in out.columns
         pg = W.decode_polygons(out["geometry_wkb"].to_numpy())
         assert kernels.polygon_areas(pg).sum() == pytest.approx(want), how
+
+
+def test_overlay_union_leg_areas_mixed_geometry(ray_session):
+    """Area-only union legs must agree with the geometry path when lefts
+    are MIXED (rect + diamond): the right-leg super kernel ships rects
+    for rectilinear lefts and WKB for the diamond, and unions both."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import booleans
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def box(x0, y0, x1, y1):
+        return W.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    dia = W.encode_polygon(
+        [np.array([[10, 0], [20, 10], [10, 20], [0, 10], [10, 0]], float)]
+    )
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2], pa.int64()),
+            "geometry_wkb": pa.array([box(0, 0, 8, 8), dia], pa.binary()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([7], pa.int64()),
+            "geometry_wkb": pa.array([box(4, 4, 30, 30)], pa.binary()),
+        }
+    )
+    out = (
+        ov.overlay_union_leg_areas(rd.from_arrow(left), right, how="union")
+        .to_pandas()
+        .groupby("leg")["area_i"]
+        .sum()
+        .to_dict()
+    )
+    # closed forms: box∩right = 4x4=16; dia∩right area via boolean engine
+    dia_ring = np.array([[10, 0], [20, 10], [10, 20], [0, 10], [10, 0]], float)
+    right_ring = np.array([[4, 4], [30, 4], [30, 30], [4, 30], [4, 4]], float)
+    dia_inter = booleans.boolean_area([dia_ring], [right_ring], "intersection")
+    assert out["inter"] == 16 + round(dia_inter)
+    # left remainders: box 64-16=48; diamond 200-dia_inter
+    assert out["left"] == 48 + round(200 - dia_inter)
+    # right remainder subtracts the UNION of the clips (they overlap):
+    # right = 676 − area( (box∪diamond) ∩ right )
+    box_in = np.array([[4, 4], [8, 4], [8, 8], [4, 8], [4, 4]], float)
+    dia_in = booleans.boolean_polygons([dia_ring], [right_ring], "intersection")
+    ringsets = [([box_in], [False])] + [(rs, [False] * len(rs)) for rs in dia_in]
+    cover = booleans.union_all_area(ringsets)
+    assert out["right"] == round(26 * 26 - cover)
