@@ -1165,6 +1165,71 @@ SELECT p_partkey, 1, CAST((8 - s8) * L // 8 AS BIGINT) FROM c
 """
 
 
+def q_close_network_holes(sf_dir: str):
+    """close_network_holes (closing_network_holes.py:15-368): per part key
+    two collinear 1000 m segments with a gap of 4·((k%50)+1) meters; both
+    gap deadends connect to each other iff the gap <= max_distance=150
+    (other nodes are >150 away by construction), emitting two hole edges
+    of exactly the gap length."""
+    from .geo import wkb as W
+    from .ops import network as net_ops
+
+    def stage(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = 4 * ((k % 50) + 1)
+        y0 = (200 * (k % 1500)).astype(np.float64)
+        xb = (3000 * (k // 1500)).astype(np.float64)
+        L = 1000.0
+        out = np.empty(2 * len(k), dtype=object)
+        ids = np.empty(2 * len(k), dtype=np.int64)
+        for i in range(len(k)):
+            out[2 * i] = W.encode_linestring(
+                np.array([[xb[i], y0[i]], [xb[i] + L, y0[i]]])
+            )
+            out[2 * i + 1] = W.encode_linestring(
+                np.array([[xb[i] + L + g[i], y0[i]], [xb[i] + 2 * L + g[i], y0[i]]])
+            )
+            ids[2 * i] = 2 * k[i]
+            ids[2 * i + 1] = 2 * k[i] + 1
+        return pa.table(
+            {"line_id": pa.array(ids, pa.int64()),
+             "geometry_wkb": pa.array(list(out), pa.binary())}
+        )
+
+    lines = (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    out = net_ops.close_network_holes(
+        lines, "line_id", tolerance=4.0, max_distance=150.0, max_angle=90.0
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": pa.array(
+                    b["line_id"].to_numpy(zero_copy_only=False) // 2, pa.int64()
+                ),
+                "hole_dist": pa.array(
+                    np.round(
+                        b["hole_dist"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CLOSE_NETWORK_HOLES = """
+WITH g AS (SELECT p_partkey, 4 * ((p_partkey % 50) + 1) AS gap FROM part)
+SELECT p_partkey, CAST(gap AS BIGINT) AS hole_dist FROM g WHERE gap <= 150
+UNION ALL
+SELECT p_partkey, CAST(gap AS BIGINT) FROM g WHERE gap <= 150
+"""
+
+
 def q_od_cost_matrix(sf_dir: str):
     """NetworkAnalysis.od_cost_matrix (networkanalysis.py:145-320): real
     per-origin Dijkstra over the broadcast CSR grid graph; the structured
@@ -3185,6 +3250,7 @@ REGISTRY: dict[str, tuple] = {
     "service_area_len": (q_service_area_len, SQL_SERVICE_AREA_LEN),
     "cut_lines_dist": (q_cut_lines_dist, SQL_CUT_LINES_DIST),
     "split_lines_nearest": (q_split_lines_nearest, SQL_SPLIT_LINES_NEAREST),
+    "close_network_holes": (q_close_network_holes, SQL_CLOSE_NETWORK_HOLES),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
     "phash_dedup": (q_phash_dedup, None),
@@ -3203,7 +3269,6 @@ REGISTRY: dict[str, tuple] = {
     "cluster_sizes": (q_cluster_sizes, SQL_CLUSTER_SIZES),
     "dissolve_union_area": (q_dissolve_union_area, SQL_DISSOLVE_UNION_AREA),
     "update_geometries": (q_update_geometries, SQL_UPDATE_GEOMETRIES),
-    "buffdissexp_clusters": (q_buffdissexp_clusters, SQL_BUFFDISSEXP_CLUSTERS),
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
     "od_cost_matrix": (q_od_cost_matrix, SQL_OD_COST),
     "service_area": (q_service_area, SQL_SERVICE_AREA),
@@ -3236,6 +3301,7 @@ REGISTRY: dict[str, tuple] = {
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
     "wkt_roundtrip": (q_wkt_roundtrip, SQL_WKT_ROUNDTRIP),
+    "buffdissexp_clusters": (q_buffdissexp_clusters, SQL_BUFFDISSEXP_CLUSTERS),
     "boundary_lines": (q_boundary_lines, SQL_BOUNDARY_LINES),
     "snap_nearest": (q_snap_nearest, SQL_SNAP_NEAREST),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
