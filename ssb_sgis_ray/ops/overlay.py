@@ -1052,27 +1052,31 @@ def overlay_union_leg_areas(
 
         return ds.map_batches(fn, batch_format="pandas")
 
-    legs = []
-    if how == "union":
-        inter = clean_overlay(
-            left, right_table, how="intersection", emit="area",
-            concurrency=concurrency, batch_size=batch_size,
-        )
-        legs.append(leg_of(inter, "inter", "piece_area"))
-    ldiff = clean_overlay(
-        left, right_table, how="difference",
-        concurrency=concurrency, batch_size=batch_size,
-    )
-    legs.append(leg_of(ldiff, "left", "geometry"))
-    # right leg: decomposed clip rects (4 floats) instead of WKB, coarse
-    # super-key groups instead of one group per right row — the naive
-    # plan shuffled 2.6 GB of geometry through 150k fine groups (359 s at
-    # sf0.1)
-    pairs = left.map_batches(
-        RightRectPairsEmitter,
-        fn_constructor_kwargs={"right_ref": ref},
+    # ONE fused broadcast pass computes every leg (the separate-legs plan
+    # repeated the same STRtree candidate query three times); right-leg
+    # rows ship decomposed clip rects (4 floats) with coarse super keys —
+    # the naive plan shuffled 2.6 GB of WKB through 150k fine groups
+    # (359 s at sf0.1)
+    mixed = left.map_batches(
+        UnionAreaLegsActor,
+        fn_constructor_kwargs={"right_ref": ref, "how": how},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    ).materialize()
+    ).materialize()  # consumed three times: direct legs, pairs, matched ids
+
+    legs = [
+        mixed.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["leg"], "pair"))).select(
+                ["leg", "area_i"]
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    pairs = mixed.map_batches(
+        lambda b: b.filter(pc.equal(b["leg"], "pair")).select(
+            ["super", "right_row", "x0", "y0", "x1", "y1", "left_geom"]
+        ),
+        batch_format="pyarrow",
+    )
     s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(
         wkb.decode_polygons(right_table["geometry_wkb"])
     )
@@ -1268,3 +1272,156 @@ def _right_diff_area_super_kernel(right_table: pa.Table, s_rects, s_offs, s_rlin
         return pd.DataFrame({"area_i": out[keep]})
 
     return fn
+
+
+def difference_areas(lpg: wkb.PolygonArray, R: RightGeoms,
+                     qi: np.ndarray, pi: np.ndarray, l_decomp) -> np.ndarray:
+    """AREA of (left row − union(matched rights)) per left row, incl.
+    pass-through rows (full polygon area). Rectilinear rows use the Klee
+    cover sweep; everything else the boolean engine's area pass."""
+    n = len(lpg)
+    l_rects, l_offs, l_rlin = l_decomp
+    areas = kernels.polygon_areas(lpg)  # pass-through default
+    if len(qi) == 0:
+        return areas
+    order = np.argsort(qi, kind="stable")
+    qs, ps = qi[order], pi[order]
+    starts = np.nonzero(np.concatenate([[True], qs[1:] != qs[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(qs)]])
+    for g_i in range(len(starts)):
+        i = int(qs[starts[g_i]])
+        rights = ps[starts[g_i] : ends[g_i]]
+        if l_rlin[i] and R.r_rlin[rights].all():
+            # gather all clip rects of the matched rights
+            cnt = (R.r_offs[rights + 1] - R.r_offs[rights]).astype(np.int64)
+            T = int(cnt.sum())
+            rep = np.repeat(np.arange(len(rights)), cnt)
+            base = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            ridx = np.repeat(R.r_offs[rights], cnt) + (
+                np.arange(T) - np.repeat(base, cnt)
+            )
+            crects = R.r_rects[ridx]
+            area = 0.0
+            for t in range(l_offs[i], l_offs[i + 1]):
+                sb = l_rects[t]
+                cx0 = np.maximum(crects[:, 0], sb[0])
+                cy0 = np.maximum(crects[:, 1], sb[1])
+                cx1 = np.minimum(crects[:, 2], sb[2])
+                cy1 = np.minimum(crects[:, 3], sb[3])
+                m = (cx1 > cx0) & (cy1 > cy0)
+                cov = (
+                    kernels.rects_union_area(
+                        np.stack([cx0[m], cy0[m], cx1[m], cy1[m]], axis=1)
+                    )
+                    if m.any()
+                    else 0.0
+                )
+                area += (sb[2] - sb[0]) * (sb[3] - sb[1]) - cov
+            areas[i] = area
+        else:
+            s_r, s_h = booleans.ringset_of_row(lpg, i)
+            c_r, c_h = [], []
+            for r in rights:
+                rr, hh = booleans.ringset_of_row(R.rpg, int(r))
+                c_r.extend(rr)
+                c_h.extend(hh)
+            areas[i] = booleans.boolean_area(s_r, c_r, "difference", s_h, c_h)
+    return areas
+
+
+class UnionAreaLegsActor:
+    """ONE broadcast pass emitting every area-plan leg at once.
+
+    The separate-legs plan ran THREE full left×right passes (intersection,
+    left difference, right-pair emission) — each repeating the same
+    STRtree candidate query. This actor computes candidate pairs once per
+    batch and emits a single mixed table:
+      leg='inter'  piece areas per pair        (union only)
+      leg='left'   remainder area per left row (incl. pass-through)
+      leg='pair'   (super, right_row, clip rect | left_geom) rows for the
+                   downstream right-leg group kernel + matched-id set
+    """
+
+    def __init__(self, right_ref, how: str = "union"):
+        right: pa.Table = ray.get(right_ref)
+        self.R = RightGeoms(right)
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        R = self.R
+        lpg = wkb.decode_polygons(batch["geometry_wkb"])
+        l_is_rect = kernels.detect_axis_rects(lpg)
+        l_decomp = kernels.decompose_rectilinear(lpg)
+        lbounds = kernels.polygon_bounds(lpg)
+        qi, pi = find_candidate_pairs(lpg, l_is_rect, R, l_decomp[2])
+
+        # fully vectorized output assembly: no Python lists on the hot
+        # path (56M output rows per sf0.1 run) — leg names come from ONE
+        # arrow take over int8 codes, nulls from pa.nulls
+        if self.how == "union":
+            _, _, iareas, _ = intersection_pieces(
+                lpg, lbounds, l_decomp, l_is_rect, R, qi, pi, area_only=True
+            )
+            k_inter = len(iareas)
+            inter_areas = np.round(iareas).astype(np.int64)
+        else:
+            k_inter = 0
+            inter_areas = np.zeros(0, np.int64)
+
+        dareas = difference_areas(lpg, R, qi, pi, l_decomp)
+        pos = dareas > 0
+        k_left = int(pos.sum())
+        left_areas = np.round(dareas[pos]).astype(np.int64)
+
+        # right-leg pair rows: decomposed clip rects | WKB for general rows
+        l_rects, l_offs, l_rlin = l_decomp
+        is_rl = l_rlin[qi] if len(qi) else np.zeros(0, bool)
+        qr, pr = qi[is_rl], pi[is_rl]
+        counts = (l_offs[qr + 1] - l_offs[qr]).astype(np.int64)
+        T = int(counts.sum())
+        rep = np.repeat(np.arange(len(qr)), counts)
+        base = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        ridx = np.repeat(l_offs[qr], counts) + (np.arange(T) - np.repeat(base, counts))
+        qg, pg_ = qi[~is_rl], pi[~is_rl]
+        n_g = len(qg)
+        rr_all = np.concatenate([pr[rep].astype(np.int64), pg_.astype(np.int64)])
+        k_pair = len(rr_all)
+
+        n_tot = k_inter + k_left + k_pair
+        codes = np.empty(n_tot, np.int8)
+        codes[:k_inter] = 0
+        codes[k_inter : k_inter + k_left] = 1
+        codes[k_inter + k_left :] = 2
+        leg = pc.take(
+            pa.array(["inter", "left", "pair"]), pa.array(codes, pa.int8())
+        )
+        area_i = np.zeros(n_tot, np.int64)
+        area_i[:k_inter] = inter_areas
+        area_i[k_inter : k_inter + k_left] = left_areas
+        sup = np.zeros(n_tot, np.int64)
+        sup[k_inter + k_left :] = rr_all % _RIGHT_SUPER_GROUPS
+        rrow = np.zeros(n_tot, np.int64)
+        rrow[k_inter + k_left :] = rr_all
+        nanpad = np.full(k_inter + k_left, np.nan)
+        gpad = np.full(n_g, np.nan)
+        rect_of = lambda col: np.concatenate([nanpad, l_rects[ridx, col], gpad])
+        geoms = batch["geometry_wkb"].take(pa.array(qg, pa.int64()))
+        geoms = geoms.combine_chunks() if hasattr(geoms, "combine_chunks") else geoms
+        left_geom = pa.concat_arrays(
+            [pa.nulls(k_inter + k_left + T, pa.binary()), geoms]
+        )
+        return pa.table(
+            {
+                "leg": leg,
+                "area_i": pa.array(area_i, pa.int64()),
+                "super": pa.array(sup, pa.int64()),
+                "right_row": pa.array(rrow, pa.int64()),
+                "x0": pa.array(rect_of(0), pa.float64()),
+                "y0": pa.array(rect_of(1), pa.float64()),
+                "x1": pa.array(rect_of(2), pa.float64()),
+                "y1": pa.array(rect_of(3), pa.float64()),
+                "left_geom": left_geom,
+            }
+        )
