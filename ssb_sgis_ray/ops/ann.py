@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..pool import default_pool
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -87,7 +89,7 @@ def _finalize_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def ann_bruteforce(vectors_ds, queries: dict, k: int,
                    id_col: str = "vec_id", col: str = "embedding",
-                   concurrency=(1, 8), batch_size: int = 8192):
+                   concurrency=None, batch_size: int = 8192):
     """Exact cosine top-k join. queries = {'id': (q,), 'matrix': (q, d)}.
 
     Output: (query_id, vec_id, sim, ann_rank) — k rows per query.
@@ -98,7 +100,7 @@ def ann_bruteforce(vectors_ds, queries: dict, k: int,
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "col": col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: _finalize_topk(g, k), batch_format="pandas"
@@ -173,7 +175,7 @@ class IvfPartialTopK:
 
 def ann_ivf(vectors_ds, queries: dict, k: int, centroids: np.ndarray,
             nprobe: int = 4, id_col: str = "vec_id", col: str = "embedding",
-            concurrency=(1, 8), batch_size: int = 8192):
+            concurrency=None, batch_size: int = 8192):
     """IVF-flat ANN. ``centroids`` from kmeans_fit on a driver-side sample.
 
     nprobe == len(centroids) reproduces brute-force exactly (used in tests
@@ -189,7 +191,7 @@ def ann_ivf(vectors_ds, queries: dict, k: int, centroids: np.ndarray,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: _finalize_topk(g, k), batch_format="pandas"

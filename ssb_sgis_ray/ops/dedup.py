@@ -24,6 +24,8 @@ import pyarrow as pa
 
 from .text import md5_hash_column
 
+from ..pool import default_pool
+
 MERSENNE = (1 << 61) - 1
 N_PERM = 64
 N_BANDS = 16  # 16 bands x 4 rows
@@ -209,7 +211,7 @@ def minhash_candidate_pairs(docs_ds):
     from ray.data.aggregate import Count
 
     bands = docs_ds.map_batches(MinHashStage, batch_format="pandas",
-                                concurrency=(1, 8), batch_size=4096)
+                                concurrency=default_pool(), batch_size=4096)
 
     def add_super(b: pa.Table) -> pa.Table:
         h = b["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -405,7 +407,7 @@ def embed_dedup_pairs_bucketed(
 
     pairs = (
         emb_ds.map_batches(Assign, batch_format="pyarrow",
-                           concurrency=(1, 8), batch_size=4096)
+                           concurrency=default_pool(), batch_size=4096)
         .groupby("list_id")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -554,7 +556,7 @@ def exact_dedup_groups(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         Md5Stage,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=default_pool(),
         batch_size=8192,
     )
     return hashed.groupby("h").aggregate(

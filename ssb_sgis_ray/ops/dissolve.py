@@ -35,6 +35,8 @@ import ray
 from ..geo import kernels, wkb
 from ..geo.strtree import STRtree
 
+from ..pool import default_pool
+
 UNION_FIND_LIMIT = 5_000_000  # pairs; above this use distributed label prop
 
 
@@ -613,7 +615,7 @@ class EliminateByLongest:
 
 
 def eliminate_by_longest_assign(slivers_ds, hosts: pa.Table, id_col: str,
-                                host_id_col: str, concurrency=(1, 8),
+                                host_id_col: str, concurrency=None,
                                 batch_size: int = 1024):
     """Dataset-level host assignment for eliminate_by_longest."""
     import ray
@@ -626,5 +628,5 @@ def eliminate_by_longest_assign(slivers_ds, hosts: pa.Table, id_col: str,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )

@@ -19,6 +19,8 @@ import ray
 
 from ..geo import wkb
 
+from ..pool import default_pool
+
 FAMILY_OF_CODE = {
     wkb.POINT: "point",
     wkb.MULTIPOINT: "point",
@@ -288,14 +290,14 @@ class WithinDistanceJoin:
 
 
 def within_distance_pairs(left, right: dict, distance: float, id_col: str,
-                          concurrency=(1, 8), batch_size: int = 16384):
+                          concurrency=None, batch_size: int = 16384):
     ref = ray.put(right)
     return left.map_batches(
         WithinDistanceJoin,
         fn_constructor_kwargs={"right_ref": ref, "distance": distance, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -465,14 +467,14 @@ class SnapToDiamonds:
 
 
 def snap_to_diamonds(left, diamonds: dict, id_col: str,
-                     concurrency=(1, 8), batch_size: int = 16384):
+                     concurrency=None, batch_size: int = 16384):
     ref = ray.put(diamonds)
     return left.map_batches(
         SnapToDiamonds,
         fn_constructor_kwargs={"right_ref": ref, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 

@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..pool import default_pool
+
 
 def _topk_block(
     px: np.ndarray,
@@ -115,7 +117,7 @@ def knn_broadcast(
     x_col: str = "px",
     y_col: str = "py",
     strict: bool = False,
-    concurrency: int | tuple = (1, 8),
+    concurrency=None,
     batch_size: int = 16384,
 ):
     """kNN join: ``neighbors`` is {'id','x','y'} numpy dict (small side).
@@ -131,7 +133,7 @@ def knn_broadcast(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -276,7 +278,7 @@ def knn_cells(
     k: int,
     id_col: str,
     cell: float = 1000.0,
-    concurrency: int | tuple = (1, 8),
+    concurrency=None,
     batch_size: int = 8192,
 ):
     ref = ray.put(neighbors)
@@ -285,7 +287,7 @@ def knn_cells(
         fn_constructor_kwargs={"neighbors_ref": ref, "k": k, "id_col": id_col, "cell": cell},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -343,12 +345,12 @@ class KnnRankTies:
 
 
 def knn_rank_ties(left, neighbors: dict, k: int, id_col: str,
-                  concurrency=(1, 8), batch_size: int = 8192):
+                  concurrency=None, batch_size: int = 8192):
     ref = ray.put(neighbors)
     return left.map_batches(
         KnnRankTies,
         fn_constructor_kwargs={"neighbors_ref": ref, "k": k, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )

@@ -21,6 +21,8 @@ import pyarrow as pa
 
 from ..geo import wkb
 
+from ..pool import default_pool
+
 
 def line_endpoints(batch: pa.Table, id_col: str,
                    wkb_col: str = "geometry_wkb") -> pa.Table:
@@ -288,7 +290,7 @@ class _CloseHolesActor:
 
 def close_network_holes(lines_ds, id_col: str, tolerance: float,
                         max_distance: float, max_angle: float = 180.0,
-                        concurrency=(1, 8)):
+                        concurrency=None):
     """close_network_holes (reference closing_network_holes.py:15-368):
     connect each DEADEND (degree-1 node) to its nearest node within
     ``max_distance`` whose direction deviates at most ``max_angle``
@@ -347,5 +349,5 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
                                "max_distance": max_distance,
                                "max_angle": max_angle},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )

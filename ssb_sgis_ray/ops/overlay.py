@@ -38,6 +38,8 @@ import ray
 from ..geo import booleans, kernels, wkb
 from ..geo.strtree import STRtree
 
+from ..pool import default_pool
+
 HOWS = ("intersection", "union", "identity", "symmetric_difference", "difference", "update")
 
 
@@ -541,13 +543,16 @@ def _right_diff_kernel(right_table: pa.Table):
     return fn
 
 
+
+
 def overlay_union_legs(
     left,
     right_table: pa.Table,
     how: str = "union",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     batch_size: int = 512,
 ):
+    concurrency = default_pool(concurrency)
     """union / symmetric_difference / update via composed legs.
 
     union = intersection ⊎ left-difference ⊎ right-difference legs;
@@ -684,7 +689,7 @@ def clean_overlay(
     left,
     right_table: pa.Table,
     how: str = "intersection",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     batch_size: int = 512,
     emit: str = "geometry",
     left_crs: str | None = None,
@@ -704,6 +709,7 @@ def clean_overlay(
     """
     if how not in HOWS:
         raise ValueError(f"how must be one of {HOWS}")
+    concurrency = default_pool(concurrency)
     from ..geo import crs as crs_mod
 
     crs_mod.check_crs_pair(left_crs, right_table)  # overlay.py:83-84 guard
@@ -1015,10 +1021,11 @@ def overlay_union_leg_areas(
     left,
     right_table: pa.Table,
     how: str = "union",
-    concurrency: int | tuple = (1, 8),
+    concurrency: int | tuple | None = None,
     batch_size: int = 512,
     num_partitions: int | None = None,
 ):
+    concurrency = default_pool(concurrency)
     """(leg, area_i) rows of the union/symmetric_difference composition —
     the area-only pushdown of overlay_union_legs: the intersection leg
     streams piece areas (no WKB), the right-difference leg runs the Klee

@@ -33,6 +33,8 @@ import ray
 from ..geo import cells, kernels, wkb
 from ..geo.strtree import STRtree
 
+from ..pool import default_pool
+
 Mode = Literal["semi", "anti", "split", "pairs"]
 
 
@@ -164,7 +166,7 @@ def sfilter(
     right_table: pa.Table,
     mode: Mode = "semi",
     left_kind: Literal["point", "polygon"] = "point",
-    concurrency: int | tuple = (1, 8),
+    concurrency=None,
     batch_size: int = 32768,
 ):
     """Spatial semi/anti/split filter of a Dataset against a small polygon
@@ -177,7 +179,7 @@ def sfilter(
         fn_constructor_kwargs={"right_ref": ref, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -186,7 +188,7 @@ def sjoin_pairs(
     right_table: pa.Table,
     right_cols: list[str],
     left_kind: Literal["point", "polygon"] = "point",
-    concurrency: int | tuple = (1, 8),
+    concurrency=None,
     batch_size: int = 32768,
 ):
     """Inner spatial join (one row per matching pair), broadcast plan."""
@@ -197,7 +199,7 @@ def sjoin_pairs(
         fn_constructor_kwargs={"right_ref": ref, "right_cols": right_cols},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 from ..codecs import lossy, phash, png
 
+from ..pool import default_pool
+
 
 def content_key(doc_id: np.ndarray) -> np.ndarray:
     k = np.asarray(doc_id).astype(np.int64)
@@ -177,7 +179,7 @@ def add_footprints(batch: pa.Table) -> pa.Table:
     return batch
 
 
-def images_dataset(sf_dir: str, concurrency=(1, 8), batch_size: int = 32,
+def images_dataset(sf_dir: str, concurrency=None, batch_size: int = 32,
                    copies: int = 1):
     import ray.data as rd
 
@@ -185,6 +187,6 @@ def images_dataset(sf_dir: str, concurrency=(1, 8), batch_size: int = 32,
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(
         BuildImages, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
         fn_constructor_kwargs={"copies": copies},
     )
