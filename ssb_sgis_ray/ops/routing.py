@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..pool import default_pool
+
 
 def build_csr(node_a: np.ndarray, node_b: np.ndarray, weight: np.ndarray,
               directed: bool = False):
@@ -125,7 +127,7 @@ class OdCostActor:
 
 
 def od_cost_matrix(origins_ds, graph: tuple, dest_ids: np.ndarray,
-                   cutoff: float = np.inf, concurrency=(1, 8),
+                   cutoff: float = np.inf, concurrency=None,
                    batch_size: int = 64):
     """Dataset of (origin,) rows × broadcast graph -> (origin, dest, cost)."""
     gref = ray.put(graph)
@@ -135,7 +137,7 @@ def od_cost_matrix(origins_ds, graph: tuple, dest_ids: np.ndarray,
                                "cutoff": cutoff},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -168,14 +170,14 @@ class ServiceAreaActor:
 
 
 def service_area_counts(origins_ds, graph: tuple, budget: float,
-                        concurrency=(1, 8), batch_size: int = 64):
+                        concurrency=None, batch_size: int = 64):
     gref = ray.put(graph)
     return origins_ds.map_batches(
         ServiceAreaActor,
         fn_constructor_kwargs={"graph_ref": gref, "budget": budget},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -292,14 +294,14 @@ class RouteActor:
 
 
 def get_route(origins_ds, graph: tuple, dest_ids: np.ndarray,
-              concurrency=(1, 8), batch_size: int = 64):
+              concurrency=None, batch_size: int = 64):
     gref = ray.put(graph)
     return origins_ds.map_batches(
         RouteActor,
         fn_constructor_kwargs={"graph_ref": gref, "dest_ids": dest_ids},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -339,7 +341,7 @@ class RouteFrequencyActor:
 
 
 def route_frequencies(origins_ds, graph: tuple, dest_ids: np.ndarray,
-                      concurrency=(1, 8), batch_size: int = 64):
+                      concurrency=None, batch_size: int = 64):
     """(node_a, node_b, n_routes) — undirected edge traversal counts."""
     from ray.data.aggregate import Count
 
@@ -349,7 +351,7 @@ def route_frequencies(origins_ds, graph: tuple, dest_ids: np.ndarray,
         fn_constructor_kwargs={"graph_ref": gref, "dest_ids": dest_ids},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
     def unpack(b: pa.Table) -> pa.Table:
@@ -471,7 +473,7 @@ class OdCostPointsActor:
 def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
                           dest_points: np.ndarray, search_tolerance: float,
                           search_factor: float = 0.0,
-                          concurrency=(1, 8), batch_size: int = 64):
+                          concurrency=None, batch_size: int = 64):
     """Point-origin OD matrix: origins stream as (origin, px, py) rows;
     the graph AND the node coordinate table are broadcast once."""
     gref = ray.put(graph)
@@ -484,7 +486,7 @@ def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
 
 
@@ -532,12 +534,191 @@ class ServiceAreaLengthActor:
 
 
 def service_area_length(origins_ds, graph: tuple, budget: float,
-                        concurrency=(1, 8), batch_size: int = 64):
+                        concurrency=None, batch_size: int = 64):
     gref = ray.put(graph)
     return origins_ds.map_batches(
         ServiceAreaLengthActor,
         fn_constructor_kwargs={"graph_ref": gref, "budget": budget},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=default_pool(concurrency),
     )
+
+
+def dijkstra_with_pred_edges(indptr, indices, weights, source_pos: int):
+    """Like :func:`dijkstra_with_pred` but also records the CSR edge slot
+    used to reach each node, so routes can be mapped back to edges (the
+    reference walks igraph epaths, _get_route.py:73-74)."""
+    n = len(indptr) - 1
+    dist = np.full(n, np.inf)
+    pred = np.full(n, -1, dtype=np.int64)
+    pedge = np.full(n, -1, dtype=np.int64)
+    dist[source_pos] = 0.0
+    heap = [(0.0, source_pos)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for k in range(indptr[u], indptr[u + 1]):
+            v = indices[k]
+            nd = d + weights[k]
+            if nd < dist[v] or (nd == dist[v] and pred[v] > u):
+                dist[v] = nd
+                pred[v] = u
+                pedge[v] = k
+                heapq.heappush(heap, (nd, v))
+    return dist, pred, pedge
+
+
+class KRoutesActor:
+    """get_k_routes' iterated-Dijkstra core (_get_route.py:143-189).
+
+    igraph's get_k_shortest_paths "doesn't seem to work" per the
+    reference, which instead re-runs the shortest path k times, deleting
+    the middle ``drop_middle_percent`` of the found route's edges each
+    round (keeping ``round((L - L*p/100)/2)``, min 1, edges at each end).
+    The engine reproduces that exactly on the broadcast CSR: deleted
+    edges get weight=+inf for the remainder of the OD pair's loop and are
+    restored afterwards, so the shared per-actor arrays stay clean.
+    """
+
+    def __init__(self, graph_ref, k: int, drop_middle_percent: int):
+        self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
+        # ray.get returns read-only views of the broadcast arrays; the
+        # delete/restore trick needs a private writable weight copy
+        self.weights = self.weights.copy()
+        self.k = int(k)
+        self.drop = int(drop_middle_percent)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        origins = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dests = batch["dest"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_o, out_d, out_k, out_c, out_h = [], [], [], [], []
+        for o, d in zip(origins, dests):
+            opos = int(np.searchsorted(self.nodes, o))
+            if opos >= len(self.nodes) or self.nodes[opos] != o:
+                continue
+            dpos = int(np.searchsorted(self.nodes, d))
+            if dpos >= len(self.nodes) or self.nodes[dpos] != d:
+                continue
+            touched: list[tuple[int, float]] = []
+            for i in range(self.k):
+                dist, pred, pedge = dijkstra_with_pred_edges(
+                    self.indptr, self.indices, self.weights, opos
+                )
+                if np.isinf(dist[dpos]):
+                    continue  # reference: `if not res[0]: continue`
+                route = []
+                cur = dpos
+                while cur != opos:
+                    route.append(int(pedge[cur]))
+                    cur = int(pred[cur])
+                route.reverse()
+                out_o.append(int(o))
+                out_d.append(int(d))
+                out_k.append(i + 1)
+                out_c.append(float(dist[dpos]))
+                out_h.append(len(route))
+                n_keep = int(round((len(route) - len(route) * self.drop / 100) / 2, 0))
+                if n_keep == 0:
+                    n_keep = 1
+                for e in route[n_keep:-n_keep]:
+                    touched.append((e, float(self.weights[e])))
+                    self.weights[e] = np.inf
+            for e, w in touched:
+                self.weights[e] = w
+        return pa.table(
+            {
+                "origin": pa.array(out_o, pa.int64()),
+                "dest": pa.array(out_d, pa.int64()),
+                "k": pa.array(out_k, pa.int64()),
+                "cost": pa.array(out_c, pa.float64()),
+                "n_hops": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+def get_k_routes(od_pairs_ds, graph: tuple, k: int = 4,
+                 drop_middle_percent: int = 100,
+                 concurrency=None, batch_size: int = 64):
+    """k alternative routes per (origin, dest) row of ``od_pairs_ds``."""
+    gref = ray.put(graph)
+    return od_pairs_ds.map_batches(
+        KRoutesActor,
+        fn_constructor_kwargs={
+            "graph_ref": gref, "k": k, "drop_middle_percent": drop_middle_percent,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+
+
+def tsp_order(xy: np.ndarray, return_to_start: bool = True) -> np.ndarray:
+    """Traveling-salesman visit order over a small point set.
+
+    Mirrors traveling_salesman_problem (traveling_salesman.py:11-155):
+    complete euclidean graph -> networkx christofides, with the
+    reference's dummy-node trick for open paths (:87-118, zero-cost edge
+    to the max-mean-distance point, uniform ``max*1.1`` elsewhere). On
+    top, a full 2-opt refinement (Croes 1958) runs until no improving
+    swap remains — any crossing tour can be improved, so convex-position
+    inputs provably return the hull cycle, which is what makes the
+    circle-fixture oracle closed-form.
+
+    Returns index array into ``xy``; cycles do NOT repeat the start.
+    This is a per-group kernel (complete graph is O(n^2)); use inside
+    groupby().map_groups over bounded groups, like the reference's
+    per-polygon centerline TSP.
+    """
+    import networkx as nx
+
+    n = len(xy)
+    if n <= 2:
+        return np.arange(n)
+    diff = xy[:, None, :] - xy[None, :, :]
+    D = np.hypot(diff[..., 0], diff[..., 1])
+    if not return_to_start:
+        mean_d = D.sum(axis=1) / (n - 1)
+        anchor = int(np.argmax(mean_d))
+        pad = D.max() * 1.1
+        D2 = np.full((n + 1, n + 1), pad)
+        D2[:n, :n] = D
+        D2[n, anchor] = D2[anchor, n] = 0.0
+        np.fill_diagonal(D2, 0.0)
+        D = D2
+    m = len(D)
+    g = nx.Graph()
+    for u in range(m):
+        for v in range(u + 1, m):
+            g.add_edge(u, v, weight=float(D[u, v]))
+    tour = nx.approximation.christofides(g, "weight")[:-1]  # drop repeat
+    tour = np.asarray(tour, dtype=np.int64)
+    # 2-opt: reverse tour[i:j] while any swap shortens the cycle
+    improved = True
+    while improved:
+        improved = False
+        for i in range(m - 1):
+            a, b = tour[i], tour[(i + 1) % m]
+            for j in range(i + 2, m):
+                if i == 0 and j == m - 1:
+                    continue
+                c, dd = tour[j], tour[(j + 1) % m]
+                delta = (D[a, c] + D[b, dd]) - (D[a, b] + D[c, dd])
+                if delta < -1e-12:
+                    tour[i + 1 : j + 1] = tour[i + 1 : j + 1][::-1]
+                    improved = True
+                    b = tour[i + 1]
+    if not return_to_start:
+        # cut the cycle at the dummy node -> open path, drop the dummy
+        pos = int(np.nonzero(tour == n)[0][0])
+        tour = np.concatenate([tour[pos + 1 :], tour[:pos]])
+        return tour
+    # canonical orientation: start at index 0's point, head toward the
+    # smaller-index neighbor — deterministic regardless of christofides'
+    # internal tie-breaks
+    pos = int(np.nonzero(tour == 0)[0][0])
+    tour = np.concatenate([tour[pos:], tour[:pos]])
+    if m > 2 and tour[1] > tour[-1]:
+        tour = np.concatenate([tour[:1], tour[1:][::-1]])
+    return tour

@@ -3230,6 +3230,133 @@ GROUP BY n.n_nationkey
 """
 
 
+def q_k_routes(sf_dir: str):
+    """get_k_routes (_get_route.py:143-189): iterated Dijkstra with the
+    middle drop_middle_percent of each found route deleted per round. On
+    the parallel-paths fixture (synth.k_routes_graph_edges) every route
+    is a disjoint 3-edge path with distinct closed-form cost, so route k
+    is exactly the k-th cheapest path and SQL ranks them with
+    row_number()."""
+    import pyarrow.parquet as pq2
+
+    from .ops import routing
+
+    s_keys = (
+        pq2.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        ["s_suppkey"].to_numpy().astype(np.int64)
+    )
+    na, nb, w = synth.k_routes_graph_edges(s_keys)
+    graph = routing.build_csr(na, nb, w, directed=True)
+
+    def od_stage(b: pa.Table) -> pa.Table:
+        s = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "origin": pa.array(synth.KR_ORIGIN_BASE + s, pa.int64()),
+                "dest": pa.array(synth.KR_DEST_BASE + s, pa.int64()),
+            }
+        )
+
+    od = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(od_stage, batch_format="pyarrow")
+    )
+    out = routing.get_k_routes(od, graph, k=4, drop_middle_percent=100)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "origin": b["origin"],
+                "dest": b["dest"],
+                "k": b["k"],
+                "cost": pa.array(
+                    np.round(b["cost"].to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_hops": b["n_hops"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_K_ROUTES = f"""
+WITH p AS (SELECT unnest(generate_series(0, {synth.KR_PATHS - 1})) AS p),
+c AS (
+  SELECT s.s_suppkey AS s, p.p,
+         31 + p.p + 10 * ((s.s_suppkey + 3 * p.p) % 7) AS cost
+  FROM supplier s CROSS JOIN p
+),
+r AS (
+  SELECT s, cost, row_number() OVER (PARTITION BY s ORDER BY cost) AS k
+  FROM c
+)
+SELECT {synth.KR_ORIGIN_BASE} + s AS origin, {synth.KR_DEST_BASE} + s AS dest,
+       k, cost, 3 AS n_hops
+FROM r WHERE k <= 4
+"""
+
+
+def q_tsp_rings(sf_dir: str):
+    """traveling_salesman_problem (traveling_salesman.py:11-155) as a
+    per-group kernel: each nation's points sit equally spaced on a circle
+    (convex position), where the christofides + full-2-opt tour is
+    provably the ring order, so the tour length is closed-form
+    ``n * 2R * sin(pi/n)``. Per-edge lengths are rounded to mm before the
+    sum so engine float chords and the SQL product agree exactly."""
+    from .ops import routing
+
+    def pts_stage(b: pa.Table) -> pa.Table:
+        k, seq, x, y = synth.tsp_ring_points(
+            b["n_nationkey"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "n_nationkey": pa.array(k, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    def tsp_group(df: pd.DataFrame) -> pd.DataFrame:
+        # defeat any incoming order so the tour is the kernel's doing
+        df = df.sort_values("x", kind="stable").reset_index(drop=True)
+        xy = df[["x", "y"]].to_numpy()
+        order = routing.tsp_order(xy)
+        pts = xy[order]
+        nxt = np.roll(pts, -1, axis=0)
+        chords = np.hypot(nxt[:, 0] - pts[:, 0], nxt[:, 1] - pts[:, 1])
+        tour_len = int(np.round(chords * 1000).astype(np.int64).sum())
+        return pd.DataFrame(
+            {
+                "n_nationkey": [int(df["n_nationkey"].iloc[0])],
+                "n_points": [len(df)],
+                "tour_len_i": [tour_len],
+            }
+        )
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+        .map_batches(pts_stage, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .map_groups(tsp_group, batch_format="pandas")
+    )
+
+
+SQL_TSP_RINGS = """
+WITH n AS (
+  SELECT n_nationkey, 8 + n_nationkey % 5 AS np,
+         100.0 * (1 + n_nationkey % 3) AS r
+  FROM nation
+)
+SELECT n_nationkey, np AS n_points,
+       CAST(np * round(1000 * 2 * r * sin(pi() / np)) AS BIGINT) AS tour_len_i
+FROM n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3239,6 +3366,8 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "k_routes": (q_k_routes, SQL_K_ROUTES),
+    "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),
     "overlay_symdiff": (q_overlay_symdiff, SQL_OVERLAY_SYMDIFF),
@@ -3287,9 +3416,9 @@ REGISTRY: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_pairs": (q_minhash_pairs, None),
     "langid": (q_langid, _langid_sql()),
+    # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),
     "pip_pairs_salted": (q_pip_pairs_salted, SQL_PIP_PAIRS_SALTED),
     "buffer_poly_area": (q_buffer_poly_area, SQL_BUFFER_POLY_AREA),

@@ -496,3 +496,59 @@ def add_nation_diamonds(batch: pa.Table) -> pa.Table:
     t = t.append_column("sy", pa.array(sy, pa.int64()))
     t = t.append_column("r", pa.array(r, pa.int64()))
     return t.append_column("geometry_wkb", pa.array(diamond_wkb(sx, sy, r), pa.binary()))
+
+
+# ---------------------------------------------------------------------------
+# k-routes fixture: parallel-paths graph with closed-form route ranking
+# ---------------------------------------------------------------------------
+
+KR_PATHS = 6          # parallel 3-edge paths per OD pair
+KR_ORIGIN_BASE = 10_000_000
+KR_DEST_BASE = 20_000_000
+KR_MID_BASE = 30_000_000
+
+
+def k_routes_graph_edges(s_keys: np.ndarray):
+    """Directed parallel-paths graph for the get_k_routes oracle.
+
+    Per supplier s: origin O=1e7+s, dest D=2e7+s, and KR_PATHS disjoint
+    3-edge paths O->A_p->B_p->D with total cost
+    ``31 + p + 10*((s + 3p) % 7)`` — distinct across p within s, so with
+    drop_middle_percent=100 (middle edge deleted each round) route k is
+    exactly the k-th cheapest path: closed-form in SQL via row_number().
+    """
+    s = _i64(s_keys)
+    n, P = len(s), KR_PATHS
+    sr = np.repeat(s, P)
+    p = np.tile(np.arange(P, dtype=np.int64), n)
+    o = KR_ORIGIN_BASE + sr
+    d = KR_DEST_BASE + sr
+    a = KR_MID_BASE + sr * 16 + p * 2
+    b = a + 1
+    w0 = (7 + p).astype(float)
+    w1 = (11 + 10 * ((sr + 3 * p) % 7)).astype(float)
+    w2 = np.full(n * P, 13.0)
+    node_a = np.concatenate([o, a, b])
+    node_b = np.concatenate([a, b, d])
+    w = np.concatenate([w0, w1, w2])
+    return node_a, node_b, w
+
+
+# ---------------------------------------------------------------------------
+# TSP fixture: per-nation circle rings with closed-form tour length
+# ---------------------------------------------------------------------------
+
+def tsp_ring_points(n_nationkey: np.ndarray):
+    """(nation, point_seq, x, y) rows: nation k gets ``8 + k % 5`` points
+    equally spaced on a circle of radius ``100 * (1 + k % 3)`` with phase
+    k/10 — convex position, so the christofides+2-opt tour is provably
+    the ring order and its length is ``n * 2R * sin(pi/n)`` in SQL."""
+    k = _i64(n_nationkey)
+    npts = 8 + k % 5
+    rad = (100 * (1 + k % 3)).astype(float)
+    rep = np.repeat(np.arange(len(k)), npts)
+    seq = np.concatenate([np.arange(c) for c in npts]) if len(k) else np.zeros(0, np.int64)
+    th = 2.0 * np.pi * seq / npts[rep] + k[rep] / 10.0
+    x = rad[rep] * np.cos(th)
+    y = rad[rep] * np.sin(th)
+    return k[rep], seq.astype(np.int64), x, y

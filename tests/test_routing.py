@@ -135,3 +135,87 @@ def test_route_frequencies_deterministic_and_conserved(ray_session):
     a = freq.sort_values(key).reset_index(drop=True)
     b = freq2.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_k_routes_parallel_paths(ray_session):
+    """On the disjoint parallel-paths fixture, route k must be exactly the
+    k-th cheapest path (drop_middle_percent=100 kills the used path's
+    middle edge each round, _get_route.py:168-183)."""
+    import ray.data as rd
+
+    s = np.array([5, 12], dtype=np.int64)
+    graph = routing.build_csr(*synth.k_routes_graph_edges(s), directed=True)
+    od = rd.from_arrow(
+        pa.table(
+            {
+                "origin": pa.array(synth.KR_ORIGIN_BASE + s, pa.int64()),
+                "dest": pa.array(synth.KR_DEST_BASE + s, pa.int64()),
+            }
+        )
+    )
+    out = routing.get_k_routes(od, graph, k=4, drop_middle_percent=100).to_pandas()
+    assert len(out) == 8
+    for sk in s:
+        costs = np.sort(31 + np.arange(synth.KR_PATHS) + 10 * ((sk + 3 * np.arange(synth.KR_PATHS)) % 7))
+        sub = out[out["origin"] == synth.KR_ORIGIN_BASE + sk].sort_values("k")
+        assert list(sub["cost"]) == [float(c) for c in costs[:4]]
+        assert (sub["n_hops"] == 3).all()
+
+
+def test_k_routes_short_route_keeps_end_edges(ray_session):
+    """A 2-edge route with drop=100 keeps 1 edge each end -> nothing is
+    deleted and every k repeats the same route (reference behavior when
+    the middle slice is empty)."""
+    import ray.data as rd
+
+    na = np.array([1, 2], dtype=np.int64)
+    nb = np.array([2, 3], dtype=np.int64)
+    w = np.array([1.0, 1.0])
+    graph = routing.build_csr(na, nb, w, directed=True)
+    od = rd.from_arrow(
+        pa.table({"origin": pa.array([1], pa.int64()),
+                  "dest": pa.array([3], pa.int64())})
+    )
+    out = routing.get_k_routes(od, graph, k=3, drop_middle_percent=100).to_pandas()
+    assert len(out) == 3
+    assert (out["cost"] == 2.0).all()
+
+
+def test_tsp_convex_position_is_hull_order():
+    """Shuffled circle points: the 2-opt-refined tour must be the ring
+    order (a non-crossing Hamiltonian cycle on convex-position points is
+    the hull cycle)."""
+    rng = np.random.default_rng(7)
+    for n in (5, 9, 12):
+        th = np.sort(rng.uniform(0, 2 * np.pi, n))
+        xy = np.stack([np.cos(th), np.sin(th)], axis=1) * 50
+        perm = rng.permutation(n)
+        order = routing.tsp_order(xy[perm])
+        ring = perm[order]  # positions on the circle, in tour order
+        pos = int(np.nonzero(ring == 0)[0][0])
+        rot = np.concatenate([ring[pos:], ring[:pos]])
+        if len(rot) > 2 and rot[1] > rot[-1]:
+            rot = np.concatenate([rot[:1], rot[1:][::-1]])
+        assert list(rot) == list(range(n))
+
+
+def test_tsp_near_optimal_and_valid():
+    """Random points: tour is a permutation and within 5% of brute-force
+    optimal at n=7 (2-opt rarely sticks at a bad local optimum there)."""
+    from itertools import permutations
+
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(0, 100, (7, 2))
+
+    def cyc_len(order):
+        p = xy[np.asarray(order)]
+        q = np.roll(p, -1, axis=0)
+        return float(np.hypot(q[:, 0] - p[:, 0], q[:, 1] - p[:, 1]).sum())
+
+    best = min(cyc_len((0,) + p) for p in permutations(range(1, 7)))
+    order = routing.tsp_order(xy)
+    assert sorted(order) == list(range(7))
+    assert cyc_len(order) <= best * 1.05 + 1e-9
+
+    path = routing.tsp_order(xy, return_to_start=False)
+    assert sorted(path) == list(range(7))
