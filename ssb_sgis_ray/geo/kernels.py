@@ -900,6 +900,12 @@ def rects_union_area(rects: np.ndarray) -> float:
     subtraction (whose piece lists grow quadratically)."""
     if len(rects) == 0:
         return 0.0
+    x0s_, y0s_, x1s_, y1s_ = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
+    bx0, by0, bx1, by1 = x0s_.min(), y0s_.min(), x1s_.max(), y1s_.max()
+    # fast path: one rect covering the joint bbox decides the union —
+    # common when clip rects are whole-subrect (right ≫ left piece)
+    if ((x0s_ <= bx0) & (y0s_ <= by0) & (x1s_ >= bx1) & (y1s_ >= by1)).any():
+        return float((bx1 - bx0) * (by1 - by0))
     xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
     x0s, x1s = rects[:, 0], rects[:, 2]
     y0s, y1s = rects[:, 1], rects[:, 3]

@@ -1291,6 +1291,23 @@ def difference_areas(lpg: wkb.PolygonArray, R: RightGeoms,
     areas = kernels.polygon_areas(lpg)  # pass-through default
     if len(qi) == 0:
         return areas
+    # vectorized pre-pass: a plain axis-rect right whose bounds cover the
+    # left row's bounds erases the row entirely (areas[i] = 0, no sweep).
+    # In the synthetic mix rights are km-scale boxes vs m-scale parts, so
+    # this skips the Klee loop for most rows — exact, not approximate.
+    lb = kernels.polygon_bounds(lpg)
+    covers = (
+        R.r_is_rect[pi]
+        & (R.rbounds[pi, 0] <= lb[qi, 0]) & (R.rbounds[pi, 1] <= lb[qi, 1])
+        & (R.rbounds[pi, 2] >= lb[qi, 2]) & (R.rbounds[pi, 3] >= lb[qi, 3])
+    )
+    if covers.any():
+        dead = np.unique(qi[covers])
+        areas[dead] = 0.0
+        alive = ~np.isin(qi, dead)
+        qi, pi = qi[alive], pi[alive]
+        if len(qi) == 0:
+            return areas
     order = np.argsort(qi, kind="stable")
     qs, ps = qi[order], pi[order]
     starts = np.nonzero(np.concatenate([[True], qs[1:] != qs[:-1]]))[0]
@@ -1364,23 +1381,30 @@ class UnionAreaLegsActor:
         lbounds = kernels.polygon_bounds(lpg)
         qi, pi = find_candidate_pairs(lpg, l_is_rect, R, l_decomp[2])
 
-        # fully vectorized output assembly: no Python lists on the hot
-        # path (56M output rows per sf0.1 run) — leg names come from ONE
-        # arrow take over int8 codes, nulls from pa.nulls
+        # every consumer groupby-sums per leg, so the inter/left legs are
+        # PRE-AGGREGATED here (one partial-sum row per batch instead of
+        # one row per piece — 28M of the 56M materialized rows at sf0.1);
+        # per-piece int64 rounding happens before the sum, matching the
+        # SQL oracle's round-then-sum exactly
+        inter_areas = np.zeros(0, np.int64)
         if self.how == "union":
             _, _, iareas, _ = intersection_pieces(
                 lpg, lbounds, l_decomp, l_is_rect, R, qi, pi, area_only=True
             )
-            k_inter = len(iareas)
-            inter_areas = np.round(iareas).astype(np.int64)
-        else:
-            k_inter = 0
-            inter_areas = np.zeros(0, np.int64)
+            if len(iareas):
+                inter_areas = np.array(
+                    [np.round(iareas).astype(np.int64).sum()], np.int64
+                )
+        k_inter = len(inter_areas)
 
         dareas = difference_areas(lpg, R, qi, pi, l_decomp)
         pos = dareas > 0
-        k_left = int(pos.sum())
-        left_areas = np.round(dareas[pos]).astype(np.int64)
+        left_areas = np.zeros(0, np.int64)
+        if pos.any():
+            left_areas = np.array(
+                [np.round(dareas[pos]).astype(np.int64).sum()], np.int64
+            )
+        k_left = len(left_areas)
 
         # right-leg pair rows: decomposed clip rects | WKB for general rows
         l_rects, l_offs, l_rlin = l_decomp
@@ -1432,3 +1456,63 @@ class UnionAreaLegsActor:
                 "left_geom": left_geom,
             }
         )
+
+
+def overlay_intersection_auto(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    right_table: pa.Table | None = None,
+    broadcast_limit: int = 50_000,
+    res: int = 10,
+    emit: str = "area",
+):
+    """Plan-choosing intersection entry: broadcast vs cell co-partition.
+
+    The engine's two intersection plans produce identical rows but cross
+    over in cost: the broadcast plan wins while the right side fits one
+    object-store table and per-batch STRtree queries stay cheap; the cell
+    co-group plan wins once the right side is large (sf0.1: 91 s
+    broadcast vs 8 s cell for the same 27.8M output rows). This entry
+    dispatches on the right side's row count — the same size heuristic
+    the reference applies in write_municipality_data
+    (io/write_municipality_data.py:182-195, len<10_000 -> overlay else
+    looping clip) — and normalizes BOTH plans to the narrow
+    ``(left_id, right_id, piece_area)`` schema; attribute columns are the
+    caller's to hash-join back by id.
+    """
+    if right_table is None:
+        right_table = _materialize_small(right_ds, broadcast_limit)
+    if right_table is not None and right_table.num_rows <= broadcast_limit:
+        out = clean_overlay(left_ds, right_table, how="intersection", emit=emit)
+
+        def narrow(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "left_id": b[left_id].cast(pa.int64()),
+                    "right_id": b[right_id].cast(pa.int64()),
+                    "piece_area": b["piece_area"],
+                }
+            )
+
+        return out.map_batches(narrow, batch_format="pyarrow")
+    return overlay_pairs_cell(
+        left_ds, right_ds, left_id, right_id, res=res, emit=emit
+    )
+
+
+def _materialize_small(ds, limit: int) -> pa.Table | None:
+    """Return ``ds`` as one Arrow table iff it has <= limit rows, else
+    None — probes the count first so a large right side is never pulled
+    to the driver."""
+    if isinstance(ds, pa.Table):
+        return ds
+    n = ds.count()
+    if n > limit:
+        return None
+    import pyarrow as _pa
+
+    tbls = [_pa.Table.from_batches([b]) if not isinstance(b, _pa.Table) else b
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    return _pa.concat_tables(tbls) if tbls else None

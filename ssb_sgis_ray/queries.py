@@ -306,16 +306,21 @@ FROM ({PART_SQL}) b,
 def q_overlay_intersection(sf_dir: str):
     # emit="area": projection pushdown — the consumer only needs areas, so
     # the actor skips WKB encode entirely (geometry output is covered by
-    # pytest and the smaller overlay_difference_area query)
-    out = overlay_ops.clean_overlay(
-        parts(sf_dir), orders_tbl(sf_dir), how="intersection", emit="area"
+    # pytest and the smaller overlay_difference_area query). The auto
+    # entry dispatches broadcast vs cell co-partition on right-side size:
+    # sf0.01 (15k orders) exercises broadcast here while overlay_inter_cell
+    # forces the cell plan; at sf0.1+ (150k orders) this one dispatches to
+    # the cell plan too (11x faster for identical rows).
+    out = overlay_ops.overlay_intersection_auto(
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
+        right_table=orders_tbl(sf_dir),
     )
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "p_partkey": b["p_partkey"].cast(pa.int64()),
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "p_partkey": b["left_id"].cast(pa.int64()),
+                "o_orderkey": b["right_id"].cast(pa.int64()),
                 "inter_area": pa.array(
                     np.round(
                         b["piece_area"].to_numpy(zero_copy_only=False)
