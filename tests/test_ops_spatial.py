@@ -604,3 +604,63 @@ def test_overlay_union_leg_areas_mixed_geometry(ray_session):
     ringsets = [([box_in], [False])] + [(rs, [False] * len(rs)) for rs in dia_in]
     cover = booleans.union_all_area(ringsets)
     assert out["right"] == round(26 * 26 - cover)
+
+
+def test_overlay_intersection_auto_dispatch(ray_session):
+    """Both plans behind overlay_intersection_auto must return identical
+    (left_id, right_id, piece_area) rows; the dispatcher picks broadcast
+    under the limit and the cell co-group plan above it."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def box(x0, y0, x1, y1):
+        return W.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    rng = np.random.default_rng(11)
+    lx = rng.integers(0, 5000, 40).astype(float)
+    ly = rng.integers(0, 5000, 40).astype(float)
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(40), pa.int64()),
+            "geometry_wkb": pa.array(
+                [box(x, y, x + 400, y + 300) for x, y in zip(lx, ly)], pa.binary()
+            ),
+        }
+    )
+    rx = rng.integers(0, 5000, 25).astype(float)
+    ry = rng.integers(0, 5000, 25).astype(float)
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(25), pa.int64()),
+            "geometry_wkb": pa.array(
+                [box(x, y, x + 500, y + 500) for x, y in zip(rx, ry)], pa.binary()
+            ),
+        }
+    )
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df["piece_area"] = df["piece_area"].round().astype(np.int64)
+        return (
+            df.sort_values(["left_id", "right_id", "piece_area"])
+            .reset_index(drop=True)
+        )
+
+    via_bcast = norm(
+        ov.overlay_intersection_auto(
+            rd.from_arrow(left), rd.from_arrow(right), "lid", "rid",
+            broadcast_limit=1000,
+        )
+    )
+    via_cell = norm(
+        ov.overlay_intersection_auto(
+            rd.from_arrow(left), rd.from_arrow(right), "lid", "rid",
+            broadcast_limit=1, res=10,
+        )
+    )
+    assert len(via_bcast) > 0
+    pd.testing.assert_frame_equal(via_bcast, via_cell)
