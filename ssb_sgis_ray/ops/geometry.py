@@ -878,12 +878,33 @@ def _convex_erosion_empty(ring: np.ndarray, d: float) -> bool:
     return area <= 1e-9
 
 
+def _erosion_empty_general(ring: np.ndarray, d: float,
+                           resolution: int = 16) -> bool:
+    """Thinness test for ANY (concave) ring: the inward offset by ``d``
+    is empty iff every interior point lies within ``d`` of the boundary,
+    i.e. area(hole − buffer(∂hole, d)) ≈ 0. Buffer is the edge-tube ∪
+    vertex-disc dilation fed to the scanline boolean engine — exact on
+    straight edges; the inscribed-polygon disc error is bounded by
+    perimeter · d · (π/(2·resolution))² and folded into the threshold."""
+    from ..geo import booleans
+
+    comps = _buffer_components([ring], d, resolution, include_interior=False)
+    b_rings, b_holes = [], []
+    for r, h in comps:
+        b_rings.extend(r)
+        b_holes.extend(h if h is not None else [False] * len(r))
+    rem = booleans.boolean_area([ring], b_rings, "difference", [False], b_holes)
+    per = float(np.sum(np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))))
+    eps = per * d * (np.pi / (2 * resolution)) ** 2 + 1e-9
+    return rem <= eps
+
+
 def close_thin_holes(batch: pa.Table, tolerance: float, id_col: str = "id") -> pa.Table:
     """close_thin_holes (polygon_operations.py:491-511): fill interior
     rings whose inward offset by tolerance/2 is empty (no inscribed disc
-    of diameter >= tolerance fits). Exact for convex holes via half-plane
-    erosion; concave holes raise (the synthetic world's holes are
-    rectangles)."""
+    of diameter >= tolerance fits). Convex holes use exact half-plane
+    erosion; concave holes use the boundary-buffer difference test
+    (_erosion_empty_general)."""
     from ..geo import kernels
 
     pg = wkb.decode_polygons(batch["geometry_wkb"])
@@ -898,12 +919,11 @@ def close_thin_holes(batch: pa.Table, tolerance: float, id_col: str = "id") -> p
             shell, holes = rings[0], rings[1:]
             keep = [shell]
             for h in holes:
-                if not kernels.is_convex_ring(h):
-                    raise NotImplementedError(
-                        "close_thin_holes: concave holes need a medial-axis "
-                        "inscribed-radius test"
-                    )
-                if not _convex_erosion_empty(h, half):
+                if kernels.is_convex_ring(h):
+                    thin = _convex_erosion_empty(h, half)
+                else:
+                    thin = _erosion_empty_general(h, half)
+                if not thin:
                     keep.append(h)
             kept.append(keep)
         out_geom[row] = _encode_polys(kept)

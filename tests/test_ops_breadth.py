@@ -411,6 +411,34 @@ def test_convex_erosion_empty():
     assert _convex_erosion_empty(dia, s / np.sqrt(2) + 1)
 
 
+def test_close_thin_holes_concave():
+    """Concave (L-shaped) hole: arm width w has inscribed radius w/2 at
+    the corner square, so it is thin iff tolerance/2 >= w/2. Exercises
+    _erosion_empty_general (boundary-buffer difference), not the convex
+    half-plane path."""
+    from ssb_sgis_ray.geo import kernels
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import geometry as geom_ops
+
+    shell = np.array([[-50, -50], [100, -50], [100, 100], [-50, 100], [-50, -50]],
+                     float)
+    # L-shape, both arms width 2: inscribed radius exactly 1
+    ell = np.array([[0, 0], [10, 0], [10, 2], [2, 2], [2, 10], [0, 10], [0, 0]],
+                   float)
+    assert not kernels.is_convex_ring(ell)
+    t = pa.table(
+        {"id": pa.array([1], pa.int64()),
+         "geometry_wkb": pa.array([W.encode_polygon([shell, ell])], pa.binary())}
+    )
+    # tolerance 2.5 -> erode by 1.25 > 1: hole closes (full shell area)
+    closed = geom_ops.close_thin_holes(t, 2.5, "id").to_pandas()
+    assert closed["closed_area"].tolist() == [150 * 150]
+    # tolerance 1.5 -> erode by 0.75 < 1: hole survives
+    l_area = 10 * 2 + 8 * 2  # 36
+    kept = geom_ops.close_thin_holes(t, 1.5, "id").to_pandas()
+    assert kept["closed_area"].tolist() == [150 * 150 - l_area]
+
+
 def test_close_small_holes_island_aware(ray_session):
     """Island-aware thresholding: net = gross hole − islands inside it,
     and the hole closes iff net < max_area (reference
