@@ -1516,3 +1516,151 @@ def _materialize_small(ds, limit: int) -> pa.Table | None:
     tbls = [_pa.Table.from_batches([b]) if not isinstance(b, _pa.Table) else b
             for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
     return _pa.concat_tables(tbls) if tbls else None
+
+
+# ---------------------------------------------------------------------------
+# clean_clip — clip by a (small, broadcast) mask, make valid, drop empties
+# ---------------------------------------------------------------------------
+
+
+class CleanClipActor:
+    """clean_clip (general.py:513-560): clip every left row by the mask
+    union, make the result valid, drop empty/NaN geometries.
+
+    The mask table (small side — a municipality polygon, a study area) is
+    broadcast once with ``ray.put`` and dissolved to one valid ringset per
+    actor in ``__init__``; left rows stream through as Arrow batches.
+    Fast paths: bbox-disjoint rows drop without geometry math; when the
+    mask union is a single axis-aligned rectangle, rect rows clip by
+    interval math and fully-inside rows pass their WKB through unchanged.
+    Everything else (concave/holed mask or row) runs the scanline boolean
+    engine, whose output is valid by construction — the reference's
+    make_valid + remove-empty postpass is therefore implicit."""
+
+    def __init__(self, mask_ref, id_col: str = "id"):
+        mask: pa.Table = (
+            mask_ref if isinstance(mask_ref, pa.Table) else ray.get(mask_ref)
+        )
+        self.id_col = id_col
+        mpg = wkb.decode_polygons(mask["geometry_wkb"])
+        rings, holes = [], []
+        for row in range(len(mpg)):
+            rr, hh = booleans.ringset_of_row(mpg, row)
+            rings.extend(rr)
+            holes.extend(hh)
+        # dissolve overlapping mask parts once (winding union -> valid)
+        polys = booleans.union_all([(rings, holes)])
+        self.m_rings = [r for p in polys for r in p]
+        self.m_holes = [i > 0 for p in polys for i, _ in enumerate(p)]
+        xs = np.concatenate([r[:, 0] for r in self.m_rings])
+        ys = np.concatenate([r[:, 1] for r in self.m_rings])
+        self.m_bbox = (xs.min(), ys.min(), xs.max(), ys.max())
+        self.m_is_rect = (
+            len(polys) == 1
+            and len(polys[0]) == 1
+            and _ring_is_axis_rect(polys[0][0])
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(batch["geometry_wkb"])
+        bounds = kernels.polygon_bounds(pg)
+        is_rect = kernels.detect_axis_rects(pg)
+        mx0, my0, mx1, my1 = self.m_bbox
+        cand = np.nonzero(
+            (bounds[:, 0] < mx1) & (bounds[:, 2] > mx0)
+            & (bounds[:, 1] < my1) & (bounds[:, 3] > my0)
+        )[0]
+        keep_idx: list[int] = []
+        geoms: list[bytes] = []
+        areas: list[float] = []
+        for row in cand:
+            row = int(row)
+            b = bounds[row]
+            if self.m_is_rect:
+                inside = (
+                    b[0] >= mx0 and b[1] >= my0 and b[2] <= mx1 and b[3] <= my1
+                )
+                if inside:
+                    s_r, s_h = booleans.ringset_of_row(pg, row)
+                    keep_idx.append(row)
+                    geoms.append(_polys_to_wkb(_group_rings(s_r, s_h)))
+                    areas.append(booleans.ringset_area(s_r, s_h))
+                    continue
+                if is_rect[row]:
+                    x0, y0 = max(b[0], mx0), max(b[1], my0)
+                    x1, y1 = min(b[2], mx1), min(b[3], my1)
+                    if x1 > x0 and y1 > y0:
+                        keep_idx.append(row)
+                        geoms.append(_pieces_to_wkb([np.array(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                        )]))
+                        areas.append((x1 - x0) * (y1 - y0))
+                    continue
+            s_r, s_h = booleans.ringset_of_row(pg, row)
+            polys = booleans.boolean_polygons(
+                s_r, self.m_rings, "intersection", s_h, self.m_holes
+            )
+            g = _polys_to_wkb(polys)
+            if g is None:
+                continue
+            keep_idx.append(row)
+            geoms.append(g)
+            areas.append(sum(booleans.ringset_area(p, [False] + [True] * (len(p) - 1))
+                             for p in polys))
+        ids = batch[self.id_col].take(pa.array(keep_idx, pa.int64()))
+        return pa.table(
+            {
+                self.id_col: ids,
+                "geometry_wkb": pa.array(geoms, pa.binary()),
+                "clip_area": pa.array(np.asarray(areas, np.float64), pa.float64()),
+            }
+        )
+
+
+def _ring_is_axis_rect(ring: np.ndarray) -> bool:
+    """One closed ring an axis-aligned rectangle? (5 points, every point
+    on a bbox corner, positive area)."""
+    if len(ring) != 5:
+        return False
+    x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+    x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+    if x1 <= x0 or y1 <= y0:
+        return False
+    on_corner = (
+        ((ring[:, 0] == x0) | (ring[:, 0] == x1))
+        & ((ring[:, 1] == y0) | (ring[:, 1] == y1))
+    ).all()
+    return bool(on_corner)
+
+
+def _group_rings(rings, holes):
+    """Flat (rings, hole_flags) -> [[shell, holes...], ...] preserving the
+    WKB shell-then-holes order."""
+    polys: list[list[np.ndarray]] = []
+    for r, h in zip(rings, holes):
+        if h and polys:
+            polys[-1].append(r)
+        else:
+            polys.append([r])
+    return polys
+
+
+def clean_clip(
+    left,
+    mask_table: pa.Table,
+    id_col: str = "id",
+    concurrency: int | tuple | None = None,
+    batch_size: int = 2048,
+):
+    """Dataset-level clean_clip: broadcast-mask actor pool over streaming
+    left batches. Returns (id_col, geometry_wkb, clip_area) rows with
+    empty results dropped (the reference's dropna/not-is_empty filter)."""
+    concurrency = default_pool(concurrency)
+    ref = ray.put(mask_table)
+    return left.map_batches(
+        CleanClipActor,
+        fn_constructor_kwargs={"mask_ref": ref, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

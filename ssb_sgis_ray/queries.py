@@ -625,6 +625,60 @@ WHERE (l.x2 - l.x0) * (l.y1 - l.y0) + (l.x1 - l.x0) * (l.y2 - l.y1)
 )
 
 
+def nation_mask_tbl(sf_dir: str) -> pa.Table:
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    return synth.add_nation_mask(t)
+
+
+def q_clean_clip(sf_dir: str):
+    """clean_clip (general.py:513-560): part boxes clipped by the dissolved
+    union of 25 overlapping nation mask rects (a concave staircase — the
+    generic boolean path, not the rect fast path). Oracle: Klee sweep over
+    the per-rect intersections grouped by part."""
+    out = overlay_ops.clean_clip(
+        parts(sf_dir), nation_mask_tbl(sf_dir), id_col="p_partkey"
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "clip_area": pa.array(
+                    np.round(
+                        b["clip_area"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+NATION_MASK_CTE = (
+    f"m AS (SELECT n_nationkey, {synth.NATION_MASK_SQL['minx']} AS minx, "
+    f"{synth.NATION_MASK_SQL['miny']} AS miny, {synth.NATION_MASK_SQL['maxx']} AS maxx, "
+    f"{synth.NATION_MASK_SQL['maxy']} AS maxy FROM nation)"
+)
+
+SQL_CLEAN_CLIP = (
+    "WITH pboxes AS (" + PART_SQL + "),\n" + NATION_MASK_CTE + ",\n"
+    """inter AS (
+  SELECT p.p_partkey, greatest(p.minx, m.minx) AS x0, greatest(p.miny, m.miny) AS y0,
+         least(p.maxx, m.maxx) AS x1, least(p.maxy, m.maxy) AS y1
+  FROM pboxes p JOIN m
+    ON least(p.maxx, m.maxx) > greatest(p.minx, m.minx)
+   AND least(p.maxy, m.maxy) > greatest(p.miny, m.miny)
+),
+"""
+    + _rect_cover_sweep_sql("inter", "p_partkey").lstrip()
+    + """
+SELECT p_partkey, covered_area AS clip_area
+FROM covered WHERE covered_area > 0
+"""
+)
+
+
 def q_make_valid_bowtie(sf_dir: str):
     """Self-intersecting bowtie rings -> make_valid (even-odd) -> per-row
     valid area + part count. Closed form: two triangles, total 2·r²."""
@@ -3376,6 +3430,7 @@ REGISTRY: dict[str, tuple] = {
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),
     "overlay_symdiff": (q_overlay_symdiff, SQL_OVERLAY_SYMDIFF),
+    "clean_clip": (q_clean_clip, SQL_CLEAN_CLIP),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

@@ -157,6 +157,27 @@ NATION_SY_SQL = "4 * (1000 + (n_nationkey * 3089) % 8000)"
 NATION_R_SQL = "4 * ((n_nationkey * 613) % 1000) + 2001"
 
 
+def nation_mask_rects(n_nationkey):
+    """25 wide overlapping rects whose union is one concave 'study area'
+    staircase across the whole x-domain (clip-mask stand-in for the
+    reference's municipality clip, general.py:513-560). Neighbours overlap
+    by 1100 in x; y-bands jump pseudo-randomly so the union is concave."""
+    n = _i64(n_nationkey)
+    minx = 1500 * n
+    maxx = minx + 2600
+    miny = 1000 * ((n * 7) % 23)
+    maxy = miny + 9000
+    return minx, miny, maxx, maxy
+
+
+NATION_MASK_SQL = {
+    "minx": "1500 * n_nationkey",
+    "miny": "1000 * ((n_nationkey * 7) % 23)",
+    "maxx": "1500 * n_nationkey + 2600",
+    "maxy": "1000 * ((n_nationkey * 7) % 23) + 9000",
+}
+
+
 def part_lshapes(p_partkey):
     """Concave L-shaped rings: the part box minus its upper-right quadrant
     [x1,x2]×[y1,y2], with the split corner (x1,y1) a key-derived interior
@@ -488,6 +509,15 @@ def add_supplier_slivers(batch: pa.Table) -> pa.Table:
     for name, col in zip(("tx", "ty", "w", "h"), (tx, ty, w, h)):
         batch = batch.append_column(name, pa.array(col, pa.int64()))
     return batch.append_column("geometry_wkb", pa.array(list(geo), pa.binary()))
+
+
+def add_nation_mask(batch: pa.Table) -> pa.Table:
+    minx, miny, maxx, maxy = nation_mask_rects(
+        batch["n_nationkey"].to_numpy(zero_copy_only=False)
+    )
+    return batch.append_column(
+        "geometry_wkb", pa.array(box_wkb(minx, miny, maxx, maxy), pa.binary())
+    )
 
 
 def add_nation_diamonds(batch: pa.Table) -> pa.Table:

@@ -664,3 +664,55 @@ def test_overlay_intersection_auto_dispatch(ray_session):
     )
     assert len(via_bcast) > 0
     pd.testing.assert_frame_equal(via_bcast, via_cell)
+
+
+def test_clean_clip_concave_mask_and_holes(ray_session):
+    """clean_clip (general.py:513-560): broadcast mask dissolved once, rows
+    clipped / dropped / passed through. Mask = L-shaped union of two rects;
+    checks a fully-inside row, a partially-clipped row, a disjoint row
+    (dropped), and a holed row straddling the concave corner."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+        )
+
+    mask = pa.table(
+        {
+            "geometry_wkb": pa.array(
+                [
+                    W.encode_polygon([rect(0, 0, 10, 6)]),
+                    W.encode_polygon([rect(0, 0, 6, 10)]),
+                ],
+                pa.binary(),
+            )
+        }
+    )
+    rows = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "geometry_wkb": pa.array(
+                [
+                    W.encode_polygon([rect(1, 1, 3, 3)]),       # inside: 4
+                    W.encode_polygon([rect(8, 4, 12, 8)]),      # arm clip: 4
+                    W.encode_polygon([rect(20, 20, 25, 25)]),   # disjoint
+                    # holed row over the concave corner:
+                    # shell 4..9 x 4..9 ∩ L = 10 + 6, minus hole 1 => 15
+                    W.encode_polygon([rect(4, 4, 9, 9), rect(5, 5, 6, 6)]),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = (
+        ov.clean_clip(rd.from_arrow(rows), mask)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 2, 4]
+    assert out["clip_area"].tolist() == pytest.approx([4.0, 4.0, 15.0])
