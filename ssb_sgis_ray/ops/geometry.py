@@ -89,6 +89,68 @@ def explode_multipoints(batch: pa.Table, id_col: str,
     )
 
 
+def make_all_singlepart(batch: pa.Table, id_col: str,
+                        wkb_col: str = "geometry_wkb") -> pa.Table:
+    """General make_all_singlepart (geometry_types.py:10-22 / the
+    reference's explode(ignore_index=True) semantics): every MULTI* row
+    becomes one row per part with a ``part_no`` column; already-single
+    rows pass their WKB bytes through unchanged (zero-copy take).
+
+    All non-geometry columns are repeated onto the exploded rows via one
+    take index, so attribute columns survive exactly as in geopandas'
+    explode. Scale note: the fast path (single-part rows) is a mask +
+    take with no decode; only MULTI* rows re-encode per part.
+    """
+    buf, offsets = wkb._as_bytes_and_offsets(batch[wkb_col])
+    pos = offsets[:-1]
+    types = wkb._read_u32(buf, pos + 1)
+    is_multi = (
+        (types == wkb.MULTIPOINT)
+        | (types == wkb.MULTILINESTRING)
+        | (types == wkb.MULTIPOLYGON)
+    )
+    if not is_multi.any():
+        return batch.append_column(
+            "part_no", pa.array(np.zeros(len(batch), np.int64), pa.int64())
+        )
+    take_idx: list[int] = []
+    part_no: list[int] = []
+    geoms: list[bytes] = []
+    raw = bytes(buf)
+    for i in np.nonzero(~is_multi)[0]:
+        take_idx.append(int(i))
+        part_no.append(0)
+        geoms.append(raw[offsets[i]:offsets[i + 1]])
+    u32 = lambda at: int.from_bytes(raw[at:at + 4], "little")
+    for i in np.nonzero(is_multi)[0]:
+        i = int(i)
+        t = int(types[i])
+        n_parts = u32(int(pos[i]) + 5)
+        p = int(pos[i]) + 9
+        for j in range(n_parts):
+            if t == wkb.MULTIPOINT:
+                end = p + 21
+            elif t == wkb.MULTILINESTRING:
+                end = p + 9 + u32(p + 5) * 16
+            else:  # MULTIPOLYGON
+                nrings = u32(p + 5)
+                end = p + 9
+                for _ in range(nrings):
+                    end += 4 + u32(end) * 16
+            take_idx.append(i)
+            part_no.append(j)
+            geoms.append(raw[p:end])
+            p = end
+    idx = pa.array(np.asarray(take_idx, dtype=np.int64), pa.int64())
+    cols = {
+        name: (pa.array(geoms, pa.binary()) if name == wkb_col
+               else batch[name].take(idx))
+        for name in batch.schema.names
+    }
+    cols["part_no"] = pa.array(np.asarray(part_no, dtype=np.int64), pa.int64())
+    return pa.table(cols)
+
+
 def buff_points(x: np.ndarray, y: np.ndarray, distance: float,
                 resolution: int = 50) -> np.ndarray:
     """Reference ``buff``: point buffer as a 4*resolution-gon circle

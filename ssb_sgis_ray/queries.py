@@ -2196,6 +2196,120 @@ WHERE p_partkey % 4 = 3
 """
 
 
+def _mixed_geoms_all_stage(batch: pa.Table) -> pa.Table:
+    """All SIX WKB types from part keys (p_partkey % 6): point, 2-pt
+    linestring (length 500), 80x80 box, multipoint (1+k%3 pts),
+    2-part multilinestring (lengths 500/1000), 2-part multipolygon
+    (areas 6400/800). Exercises the general make_all_singlepart."""
+    from .geo import wkb as W
+
+    k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = (4 * ((k * 97) % 10000) + 2).astype(np.float64)
+    y = (4 * ((k * 61) % 10000) + 2).astype(np.float64)
+
+    def box(bx, by, w, h):
+        return np.array([[bx, by], [bx + w, by], [bx + w, by + h],
+                         [bx, by + h], [bx, by]])
+
+    out = np.empty(len(k), dtype=object)
+    for i in range(len(k)):
+        m = int(k[i]) % 6
+        if m == 0:
+            out[i] = W.encode_points(x[i:i + 1], y[i:i + 1])[0]
+        elif m == 1:
+            out[i] = W.encode_linestring(
+                np.array([[x[i], y[i]], [x[i] + 300, y[i] + 400]])
+            )
+        elif m == 2:
+            out[i] = W.encode_polygon([box(x[i], y[i], 80, 80)])
+        elif m == 3:
+            n_pts = 1 + int(k[i]) % 3
+            pts = np.stack(
+                [x[i] + 8 * np.arange(n_pts), y[i] + 4 * np.arange(n_pts)], axis=1
+            )
+            out[i] = W.encode_multipoint(pts)
+        elif m == 4:
+            out[i] = W.encode_multilinestring([
+                np.array([[x[i], y[i]], [x[i] + 300, y[i] + 400]]),
+                np.array([[x[i] + 1000, y[i]], [x[i] + 1600, y[i] + 800]]),
+            ])
+        else:
+            out[i] = W.encode_multipolygon([
+                [box(x[i], y[i], 80, 80)],
+                [box(x[i] + 200, y[i], 40, 20)],
+            ])
+    return pa.table(
+        {"p_partkey": batch["p_partkey"],
+         "geometry_wkb": pa.array(list(out), pa.binary())}
+    )
+
+
+def q_explode_all_singlepart(sf_dir: str):
+    """General make_all_singlepart over ALL six WKB types; each exploded
+    part carries an integer measure (0 points / length lines / area
+    polygons) so the oracle checks both the explode fan-out AND that each
+    part's geometry bytes survived intact."""
+    from .ops import geometry as geom_ops
+
+    ds = (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(_mixed_geoms_all_stage, batch_format="pyarrow")
+        .map_batches(
+            lambda b: geom_ops.make_all_singlepart(b, "p_partkey"),
+            batch_format="pyarrow",
+        )
+    )
+
+    def measure(b: pa.Table) -> pa.Table:
+        codes = wkb.wkb_types(b["geometry_wkb"])
+        meas = np.zeros(len(codes), np.float64)
+        lrows = np.nonzero(codes == wkb.LINESTRING)[0]
+        if len(lrows):
+            la = wkb.decode_lines(
+                b["geometry_wkb"].take(pa.array(lrows, pa.int64()))
+            )
+            seg = np.hypot(np.diff(la.coords[:, 0]), np.diff(la.coords[:, 1]))
+            seg[la.line_offsets[1:-1] - 1] = 0.0
+            seg = np.append(seg, 0.0)
+            meas[lrows] = np.add.reduceat(seg, la.line_offsets[:-1])
+        prows = np.nonzero(codes == wkb.POLYGON)[0]
+        if len(prows):
+            pg = wkb.decode_polygons(
+                b["geometry_wkb"].take(pa.array(prows, pa.int64()))
+            )
+            meas[prows] = kernels.polygon_areas(pg)
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "part_no": b["part_no"],
+                "measure": pa.array(np.round(meas).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(measure, batch_format="pyarrow")
+
+
+SQL_EXPLODE_ALL_SINGLEPART = """
+WITH p AS (
+  SELECT p_partkey, p_partkey % 6 AS m,
+         CASE p_partkey % 6 WHEN 3 THEN p_partkey % 3
+              WHEN 4 THEN 1 WHEN 5 THEN 1 ELSE 0 END AS maxp
+  FROM part
+),
+e AS (
+  SELECT p.p_partkey, p.m, g.part_no
+  FROM p, LATERAL (SELECT unnest(generate_series(0, p.maxp)) AS part_no) g
+)
+SELECT p_partkey, part_no,
+       CASE m WHEN 1 THEN 500 WHEN 2 THEN 6400
+              WHEN 4 THEN CASE part_no WHEN 0 THEN 500 ELSE 1000 END
+              WHEN 5 THEN CASE part_no WHEN 0 THEN 6400 ELSE 800 END
+              ELSE 0 END AS measure
+FROM e
+"""
+
+
 def q_within_distance(sf_dir: str):
     """Buffered neighbor join (get_neighbor_indices with max_distance):
     customers within 3000 m of a supplier center, exact L2 predicate."""
@@ -3431,6 +3545,7 @@ REGISTRY: dict[str, tuple] = {
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),
     "overlay_symdiff": (q_overlay_symdiff, SQL_OVERLAY_SYMDIFF),
     "clean_clip": (q_clean_clip, SQL_CLEAN_CLIP),
+    "explode_all_singlepart": (q_explode_all_singlepart, SQL_EXPLODE_ALL_SINGLEPART),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

@@ -488,3 +488,56 @@ def test_close_small_holes_island_aware(ray_session):
         batch_format="pyarrow", concurrency=1,
     ).to_pandas()
     assert int(out3["closed_area"][0]) == 120000
+
+
+def test_make_all_singlepart_general():
+    """General explode over all six WKB types: single rows pass bytes
+    through unchanged, MULTI* rows split per part, holes survive in
+    multipolygon parts, attribute columns repeat onto exploded rows."""
+    def box(x0, y0, w, h):
+        return np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h], [x0, y0]], float)
+
+    pt = wkb.encode_points(np.array([1.0]), np.array([2.0]))[0]
+    line = wkb.encode_linestring(np.array([[0, 0], [3, 4.0]]))
+    poly = wkb.encode_polygon([box(0, 0, 10, 10)])
+    mpt = wkb.encode_multipoint(np.array([[0, 0], [5, 5.0]]))
+    mline = wkb.encode_multilinestring(
+        [np.array([[0, 0], [3, 4.0]]), np.array([[10, 0], [10, 5.0]])]
+    )
+    # part 0 holed (area 100-4), part 1 plain (area 50)
+    mpoly = wkb.encode_multipolygon(
+        [[box(0, 0, 10, 10), box(4, 4, 2, 2)], [box(20, 0, 10, 5)]]
+    )
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "tag": pa.array(list("abcdef"), pa.string()),
+            "geometry_wkb": pa.array([pt, line, poly, mpt, mline, mpoly],
+                                     pa.binary()),
+        }
+    )
+    out = geom_ops.make_all_singlepart(t, "id")
+    assert out.schema.names == ["id", "tag", "geometry_wkb", "part_no"]
+    df = out.to_pandas().sort_values(["id", "part_no"]).reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2, 3, 4, 4, 5, 5, 6, 6]
+    assert df["tag"].tolist() == list("abcddeeff")
+    assert df["part_no"].tolist() == [0, 0, 0, 0, 1, 0, 1, 0, 1]
+    # single-part rows: bytes identical
+    assert bytes(df["geometry_wkb"][0]) == bytes(pt)
+    assert bytes(df["geometry_wkb"][1]) == bytes(line)
+    assert bytes(df["geometry_wkb"][2]) == bytes(poly)
+    # every exploded row is single-part
+    codes = wkb.wkb_types(pa.array([bytes(g) for g in df["geometry_wkb"]],
+                                   pa.binary()))
+    assert set(codes) <= {wkb.POINT, wkb.LINESTRING, wkb.POLYGON}
+    # multipolygon parts: holed area then plain area
+    pg = wkb.decode_polygons(pa.array(
+        [bytes(df["geometry_wkb"][7]), bytes(df["geometry_wkb"][8])], pa.binary()))
+    assert kernels.polygon_areas(pg).tolist() == pytest.approx([96.0, 50.0])
+    # no-multi fast path: zero-copy passthrough keeps the table intact
+    t2 = pa.table({"id": pa.array([9], pa.int64()),
+                   "geometry_wkb": pa.array([poly], pa.binary())})
+    out2 = geom_ops.make_all_singlepart(t2, "id")
+    assert out2["part_no"].to_pylist() == [0]
+    assert bytes(out2["geometry_wkb"][0].as_py()) == bytes(poly)
