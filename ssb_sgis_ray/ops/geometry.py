@@ -759,6 +759,139 @@ def rough_centerlines_batch(batch: pa.Table, wkb_col: str = "geometry_wkb") -> p
     return pa.table(cols)
 
 
+def _convex_hull_pts(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull vertices (no repeat)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    idx = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[idx]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for q in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], q - out[-2]) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_rotated_rect(pts: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated rectangle via rotating calipers over the
+    convex hull (shapely minimum_rotated_rectangle semantics, used by the
+    reference's endpoint pick, centerlines.py:142-148). Returns 4 corners
+    in order (not closed)."""
+    hull = _convex_hull_pts(pts)
+    if len(hull) <= 2:
+        lo, hi = hull[0], hull[-1]
+        return np.array([lo, hi, hi, lo])
+    best = None
+    n = len(hull)
+    for i in range(n):
+        d = hull[(i + 1) % n] - hull[i]
+        L = np.hypot(d[0], d[1])
+        if L == 0:
+            continue
+        ux, uy = d / L
+        t = hull @ np.array([ux, uy])
+        s = hull @ np.array([-uy, ux])
+        area = (t.max() - t.min()) * (s.max() - s.min())
+        if best is None or area < best[0]:
+            best = (area, ux, uy, t.min(), t.max(), s.min(), s.max())
+    _, ux, uy, t0, t1, s0, s1 = best
+    u = np.array([ux, uy])
+    v = np.array([-uy, ux])
+    return np.array([t0 * u + s0 * v, t1 * u + s0 * v,
+                     t1 * u + s1 * v, t0 * u + s1 * v])
+
+
+def voronoi_centerline(rings: list[np.ndarray], holes=None,
+                       max_segment_length: float = 8.0) -> np.ndarray:
+    """Voronoi-edge rough centerline (get_rough_centerlines,
+    centerlines.py:30-195): segmentize the boundary, take the Voronoi
+    vertices of the boundary points that fall strictly inside the
+    polygon (the skeleton approximation the reference extracts from
+    voronoi_polygons(only_edges=True)), add the midpoints of the short
+    edges of the minimum rotated rectangle as endpoints, and connect the
+    points in order of their projection along the endpoint axis.
+
+    The reference orders with a traveling-salesman pass + two centroid
+    smoothing rounds; for the sliver shapes this operator is meant for
+    (the reference says the same of its own) the projection order is the
+    TSP order, and it stays vectorized at any point count.
+    Returns (n, 2) line coords.
+    """
+    from ..geo import voronoi as vor
+    from ..geo import kernels as K
+
+    segs = [segmentize_coords(np.asarray(r, float), max_segment_length)[:-1]
+            for r in rings]
+    pts = np.unique(np.concatenate(segs), axis=0)
+    allc = np.concatenate([np.asarray(r, float) for r in rings])
+    minx, miny = allc[:, 0].min(), allc[:, 1].min()
+    maxx, maxy = allc[:, 0].max(), allc[:, 1].max()
+
+    # endpoints: short-edge midpoints of the minimum rotated rectangle
+    rect = min_rotated_rect(pts)
+    e01 = np.hypot(*(rect[1] - rect[0]))
+    e12 = np.hypot(*(rect[2] - rect[1]))
+    if e01 <= e12:  # edges 0-1 and 2-3 are the short ends
+        end1, end2 = 0.5 * (rect[0] + rect[1]), 0.5 * (rect[2] + rect[3])
+    else:
+        end1, end2 = 0.5 * (rect[1] + rect[2]), 0.5 * (rect[3] + rect[0])
+
+    tol = 1e-7 * max(maxx - minx, maxy - miny, 1.0)
+    cells = vor.voronoi_cells(pts[:, 0], pts[:, 1], (minx, miny, maxx, maxy))
+    nonempty = [c[:-1] if len(c) and (c[0] == c[-1]).all() else c
+                for c in cells if len(c)]
+    if nonempty:
+        V = np.concatenate(nonempty)
+        inner = (
+            (V[:, 0] > minx + tol) & (V[:, 0] < maxx - tol)
+            & (V[:, 1] > miny + tol) & (V[:, 1] < maxy - tol)
+        )
+        V = np.unique(np.round(V[inner], 6), axis=0)
+        if len(V):
+            V = V[K.points_in_one_polygon(V[:, 0], V[:, 1], rings)]
+    else:
+        V = np.empty((0, 2))
+
+    axis = end2 - end1
+    L = np.hypot(axis[0], axis[1])
+    if L == 0 or len(V) == 0:
+        return np.stack([end1, end2])
+    t = (V - end1) @ (axis / L)
+    keep = (t > tol) & (t < L - tol)
+    order = np.argsort(t[keep], kind="stable")
+    return np.vstack([end1[None, :], V[keep][order], end2[None, :]])
+
+
+def voronoi_centerlines_batch(batch: pa.Table, wkb_col: str = "geometry_wkb",
+                              max_segment_length: float = 8.0) -> pa.Table:
+    """map_batches stage: polygon rows -> voronoi centerline rows
+    (+ length). Per-row kernel; rows are independent, so the stage
+    parallelizes as an ordinary batch transform."""
+    from ..geo import booleans
+
+    pg = wkb.decode_polygons(batch[wkb_col])
+    out = np.empty(len(pg), dtype=object)
+    length = np.zeros(len(pg))
+    for i in range(len(pg)):
+        rings, holes = booleans.ringset_of_row(pg, i)
+        line = voronoi_centerline(rings, holes, max_segment_length)
+        out[i] = wkb.encode_linestring(line)
+        d = np.diff(line, axis=0)
+        length[i] = float(np.hypot(d[:, 0], d[:, 1]).sum())
+    cols = {c: batch[c] for c in batch.column_names if c != wkb_col}
+    cols["geometry_wkb"] = pa.array(list(out), pa.binary())
+    cols["centerline_len"] = pa.array(length, pa.float64())
+    return pa.table(cols)
+
+
 def reproject_points_batch(batch: pa.Table, direction: str = "to_utm33",
                            x_col: str = "lon", y_col: str = "lat") -> pa.Table:
     """get_utm33 / get_lonlat (reference conversion.py:59-72, via pyproj):

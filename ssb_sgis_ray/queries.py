@@ -1520,6 +1520,62 @@ FROM supplier
 _SEG_MAX = 500  # max segment length for segmentize fixtures
 
 
+def q_voronoi_centerline(sf_dir: str):
+    """Voronoi-edge rough centerline (centerlines.py:30-195) over
+    lattice-aligned sliver rectangles: boundary segmentized at 8, the
+    Voronoi vertices of the boundary lattice lie exactly on the midline,
+    so the centerline length equals the sliver's long side."""
+    from .ops import geometry as geom_ops
+
+    def slivers(b: pa.Table) -> pa.Table:
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = 8 * (100 + (k * 197) % 2000)
+        y0 = 8 * (100 + (k * 331) % 2000)
+        w = 8 * (50 + (k * 13) % 200)
+        geo = np.empty(len(k), dtype=object)
+        for i in range(len(k)):
+            geo[i] = wkb.encode_polygon([np.array(
+                [[x0[i], y0[i]], [x0[i] + w[i], y0[i]],
+                 [x0[i] + w[i], y0[i] + 8], [x0[i], y0[i] + 8],
+                 [x0[i], y0[i]]], float)])
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "geometry_wkb": pa.array(list(geo), pa.binary()),
+        })
+
+    ds = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(slivers, batch_format="pyarrow")
+        .map_batches(
+            lambda b: geom_ops.voronoi_centerlines_batch(b, max_segment_length=8.0),
+            batch_format="pyarrow",
+            # ~0.1 s/row kernel: small batches so the rows spread across
+            # the task pool instead of serializing into one block
+            batch_size=16,
+        )
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+            "cl_len": pa.array(
+                np.round(
+                    b["centerline_len"].to_numpy(zero_copy_only=False)
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_VORONOI_CENTERLINE = """
+SELECT s_suppkey, 8 * (50 + (s_suppkey * 13) % 200) AS cl_len
+FROM supplier
+"""
+
+
 def q_segmentize_simplify(sf_dir: str):
     """segmentize (centerlines.py:55) then Douglas–Peucker simplify
     (polygons_as_rings.py:45) on the supplier diamond rings: simplify
@@ -3546,6 +3602,7 @@ REGISTRY: dict[str, tuple] = {
     "overlay_symdiff": (q_overlay_symdiff, SQL_OVERLAY_SYMDIFF),
     "clean_clip": (q_clean_clip, SQL_CLEAN_CLIP),
     "explode_all_singlepart": (q_explode_all_singlepart, SQL_EXPLODE_ALL_SINGLEPART),
+    "voronoi_centerline": (q_voronoi_centerline, SQL_VORONOI_CENTERLINE),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

@@ -541,3 +541,27 @@ def test_make_all_singlepart_general():
     out2 = geom_ops.make_all_singlepart(t2, "id")
     assert out2["part_no"].to_pylist() == [0]
     assert bytes(out2["geometry_wkb"][0].as_py()) == bytes(poly)
+
+
+def test_voronoi_centerline_rotated_sliver():
+    """Voronoi-edge centerline (centerlines.py:30-195): for a rotated
+    lattice sliver the skeleton points lie on the midline and the
+    projection-ordered path has exactly the sliver's long-side length —
+    rotation invariance the SQL oracle can't express."""
+    base = np.array([[0, 0], [160, 0], [160, 8], [0, 8], [0, 0]], float)
+    th = np.pi / 5
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    line = geom_ops.voronoi_centerline([base @ R.T], max_segment_length=8.0)
+    d = np.diff(line, axis=0)
+    assert np.hypot(d[:, 0], d[:, 1]).sum() == pytest.approx(160.0, abs=1e-6)
+    # degenerate: no interior voronoi vertices -> endpoint segment
+    tiny = np.array([[0, 0], [8, 0], [8, 8], [0, 8], [0, 0]], float)
+    seg = geom_ops.voronoi_centerline([tiny], max_segment_length=8.0)
+    assert len(seg) >= 2
+
+
+def test_min_rotated_rect_matches_hull_width():
+    pts = np.array([[0, 0], [10, 0], [10, 2], [0, 2], [5, 1.0]])
+    rect = geom_ops.min_rotated_rect(pts)
+    area = abs(np.cross(rect[1] - rect[0], rect[3] - rect[0]))
+    assert area == pytest.approx(20.0)
