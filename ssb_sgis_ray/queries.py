@@ -3459,6 +3459,67 @@ GROUP BY n.n_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# audio / video multimodal queries (sources/media.py)
+# ---------------------------------------------------------------------------
+
+
+def q_audio_features(sf_dir: str):
+    """Synthesize RPCM audio blobs from doc_id, then DECODE the bytes and
+    compute per-row features (peak / energy / zero-crossings) from the
+    decoded samples. The oracle recomputes the same numbers from the
+    synthesis closed form — the engine never sees the closed form on the
+    feature side, so a decode or feature bug breaks the hash match."""
+    from .sources import media as media_src
+
+    return media_src.audio_dataset(sf_dir).map_batches(
+        media_src.AudioFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=media_src.default_pool(None),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+       1000 + (doc_id * 13) % 500 AS n_samples,
+       1000 + (doc_id * 37) % 2000 AS peak,
+       (1000 + (doc_id * 13) % 500)
+         * (1000 + (doc_id * 37) % 2000)
+         * (1000 + (doc_id * 37) % 2000) AS energy,
+       (999 + (doc_id * 13) % 500) // (2 + (doc_id * 7) % 5) AS crossings
+FROM documents
+"""
+
+
+def q_video_frames(sf_dir: str):
+    """Synthesize RVID raw-frame video blobs, decode them, keep every 3rd
+    frame (frame-sampling stage) and emit each sampled frame's exact pixel
+    sum computed from the decoded bytes. Oracle: lateral generate_series
+    over the closed-form per-frame sums."""
+    from .sources import media as media_src
+
+    return media_src.video_dataset(sf_dir).map_batches(
+        media_src.VideoFrameSample, batch_format="pyarrow", batch_size=128,
+        concurrency=media_src.default_pool(None),
+    )
+
+
+SQL_VIDEO_FRAMES = """
+SELECT p.doc_id, f.frame_no,
+       (p.h * (p.w // 16) * 120
+        + p.h * p.w * ((p.doc_id * 31 + f.frame_no * 17) % 200)) AS frame_sum
+FROM (
+  SELECT doc_id,
+         16 * (2 + doc_id % 4) AS w,
+         8 + (doc_id * 5) % 9 AS h,
+         8 + doc_id % 9 AS nf
+  FROM documents
+) p,
+LATERAL (
+  SELECT unnest(generate_series(0, CAST(p.nf - 1 AS BIGINT), 3)) AS frame_no
+) f
+"""
+
+
 def q_k_routes(sf_dir: str):
     """get_k_routes (_get_route.py:143-189): iterated Dijkstra with the
     middle drop_middle_percent of each found route deleted per round. On
@@ -3595,6 +3656,8 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3619,7 +3682,6 @@ REGISTRY: dict[str, tuple] = {
     "image_region_counts": (q_image_region_counts, SQL_IMAGE_REGION_COUNTS),
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
     "overlay_concave_inter": (q_overlay_concave_inter, SQL_OVERLAY_CONCAVE_INTER),
-    "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "buffer_line_area": (q_buffer_line_area, SQL_BUFFER_LINE_AREA),
     "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
     "knn3": (q_knn3, SQL_KNN3),
@@ -3632,23 +3694,24 @@ REGISTRY: dict[str, tuple] = {
     "update_geometries": (q_update_geometries, SQL_UPDATE_GEOMETRIES),
     "eliminate_by_largest": (q_eliminate_by_largest, SQL_ELIMINATE),
     "od_cost_matrix": (q_od_cost_matrix, SQL_OD_COST),
-    "service_area": (q_service_area, SQL_SERVICE_AREA),
-    "get_route": (q_get_route, SQL_GET_ROUTE),
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
-    "directed_network": (q_directed_network, SQL_DIRECTED_NETWORK),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
-    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_pairs": (q_minhash_pairs, None),
     "langid": (q_langid, _langid_sql()),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
+    "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
+    "service_area": (q_service_area, SQL_SERVICE_AREA),
+    "get_route": (q_get_route, SQL_GET_ROUTE),
+    "directed_network": (q_directed_network, SQL_DIRECTED_NETWORK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf": (q_ann_ivf, SQL_ANN_TOPK),

@@ -1,0 +1,90 @@
+"""Audio/video media stages (sources/media.py): codec roundtrips, feature
+extraction vs independent recompute, frame sampling, and the end-to-end
+Ray pipelines on sf0.001."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ssb_sgis_ray.sources import media
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_audio_codec_roundtrip():
+    s = np.array([5, -3, 0, 32767, -32768], dtype=np.int16)
+    sr, out = media.decode_audio(media.encode_audio(s, sample_rate=8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_audio_codec_rejects_bad_blob():
+    with pytest.raises(ValueError):
+        media.decode_audio(b"XXXX" + b"\x00" * 20)
+    good = media.encode_audio(np.zeros(10, dtype=np.int16))
+    with pytest.raises(ValueError):
+        media.decode_audio(good[:-4])  # truncated payload
+
+
+def test_video_codec_roundtrip():
+    fr = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    out = media.decode_video(media.encode_video(fr))
+    np.testing.assert_array_equal(out, fr)
+    with pytest.raises(ValueError):
+        media.decode_video(media.encode_video(fr)[:-1])
+
+
+def test_decode_external_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        media.decode_external("mp3", b"")
+    with pytest.raises(NotImplementedError):
+        media.decode_external("mp4", b"")
+
+
+def test_audio_features_match_independent_recompute():
+    ids = np.array([0, 1, 7, 123, 4999], dtype=np.int64)
+    built = media.BuildAudio()(pa.table({"doc_id": pa.array(ids)}))
+    feats = media.AudioFeatures()(built)
+    for i, doc in enumerate(ids):
+        _, s = media.decode_audio(built["audio"][i].as_py())
+        s64 = s.astype(np.int64)
+        # independent per-sample recompute (no closed form, no vectorized trick)
+        crossings = sum(
+            1 for a, b in zip(s64[:-1], s64[1:]) if (a < 0) != (b < 0)
+        )
+        assert feats["n_samples"][i].as_py() == len(s64)
+        assert feats["peak"][i].as_py() == int(max(abs(s64)))
+        assert feats["energy"][i].as_py() == int(sum(int(v) * int(v) for v in s64))
+        assert feats["crossings"][i].as_py() == crossings
+
+
+def test_video_frame_sample_stride_and_sums():
+    ids = np.array([3, 10, 17], dtype=np.int64)
+    built = media.BuildVideo()(pa.table({"doc_id": pa.array(ids)}))
+    rows = media.VideoFrameSample(stride=3)(built)
+    got = {
+        (r["doc_id"], r["frame_no"]): r["frame_sum"] for r in rows.to_pylist()
+    }
+    for i, doc in enumerate(ids):
+        frames = media.decode_video(built["video"][i].as_py())
+        expect_fnos = list(range(0, frames.shape[0], 3))
+        have = sorted(f for d, f in got if d == doc)
+        assert have == expect_fnos
+        for f in expect_fnos:
+            assert got[(doc, f)] == int(frames[f].astype(np.int64).sum())
+
+
+def test_media_queries_end_to_end(ray_session):
+    from ssb_sgis_ray import queries as q
+
+    feats = q.q_audio_features(SF).to_pandas()
+    docs_n = len(feats)
+    assert docs_n > 0 and feats["energy"].gt(0).all()
+    # every doc present exactly once
+    assert feats["doc_id"].is_unique
+
+    frames = q.q_video_frames(SF).to_pandas()
+    # every doc contributes ceil(nf/3) frames, nf in [8, 16] -> 3..6 rows
+    per_doc = frames.groupby("doc_id").size()
+    assert len(per_doc) == docs_n
+    assert per_doc.between(3, 6).all()
