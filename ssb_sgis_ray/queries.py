@@ -3520,6 +3520,38 @@ LATERAL (
 """
 
 
+def q_geotiff_clip_zonal(sf_dir: str):
+    """Raster.from_path/load/clip on real GeoTIFF bytes: encode every doc's
+    raster as a spec-conformant striped GeoTIFF (uint8/uint16, none/deflate
+    alternating), then a second actor stage decodes the blob, inverts the
+    geotransform to clip by a WORLD-coordinate bbox, and sums the window
+    pixels. Oracle: closed-form window sums (codec + transform never seen
+    by the SQL side)."""
+    from .sources import rasters
+
+    return rasters.geotiff_dataset(sf_dir).map_batches(
+        rasters.GeoTiffClipZonal, batch_format="pyarrow", batch_size=256,
+        concurrency=rasters.default_pool(None),
+    )
+
+
+SQL_GEOTIFF_CLIP_ZONAL = """
+SELECT doc_id,
+       (10 + doc_id % 9) AS win_w,
+       (8 + doc_id % 5) AS win_h,
+       ( (8 + doc_id % 5) * ((px1 * (px1 - 1) - px0 * (px0 - 1)) // 2)
+         + (10 + doc_id % 9) * (py1 * (py1 - 1) - py0 * (py0 - 1))
+         + (10 + doc_id % 9) * (8 + doc_id % 5) * (doc_id % 100)
+       ) AS px_sum
+FROM (
+  SELECT doc_id,
+         doc_id % 5 AS px0, doc_id % 5 + 10 + doc_id % 9 AS px1,
+         doc_id % 3 AS py0, doc_id % 3 + 8 + doc_id % 5 AS py1
+  FROM documents
+) t
+"""
+
+
 def q_k_routes(sf_dir: str):
     """get_k_routes (_get_route.py:143-189): iterated Dijkstra with the
     middle drop_middle_percent of each found route deleted per round. On
@@ -3658,6 +3690,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
+    "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3698,7 +3731,6 @@ REGISTRY: dict[str, tuple] = {
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
-    "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
@@ -3708,6 +3740,7 @@ REGISTRY: dict[str, tuple] = {
     "langid": (q_langid, _langid_sql()),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
+    "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "service_area": (q_service_area, SQL_SERVICE_AREA),
     "get_route": (q_get_route, SQL_GET_ROUTE),
     "directed_network": (q_directed_network, SQL_DIRECTED_NETWORK),
