@@ -79,6 +79,7 @@ def run_bench() -> dict:
         "token_stats", "exact_dedup", "minhash_bands", "minhash_pairs",
         "simhash", "ann_topk", "image_exact_dedup", "image_tiles",
         "close_small_holes", "od_cost_points",
+        "audio_features", "video_frames", "geotiff_clip_zonal",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

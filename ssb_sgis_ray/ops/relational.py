@@ -116,3 +116,204 @@ def sessionize(events_ds):
     return prepared.groupby("user_id").map_groups(
         sessionize_user, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed as-of join
+# ---------------------------------------------------------------------------
+
+_FINE_BITS = 21  # bucket fits 21 bits (2M day-buckets ~ 5,700 years of days)
+
+
+def _last_per_fine(f: np.ndarray, t: np.ndarray, i: np.ndarray):
+    """Keep the (max ts, then max id) row per fine key. Inputs unsorted."""
+    order = np.lexsort((i, t, f))
+    f, t, i = f[order], t[order], i[order]
+    last = np.r_[f[1:] != f[:-1], True]
+    return f[last], t[last], i[last]
+
+
+class _AsofGroupKernel:
+    """Vectorized per-super-group as-of kernel.
+
+    Rows of both sides, co-partitioned on hash(fine) so every
+    (key, bucket) fine group is complete in one call. Sort by
+    (fine, ts, side, id) — right rows sort before left rows at equal ts,
+    so ties match (ASOF's `l.ts >= r.ts`) and duplicate right timestamps
+    resolve to max id deterministically. A segment-reset
+    ``maximum.accumulate`` forward-fills the last right row; left rows
+    with no in-bucket predecessor fall back to the broadcast carry table
+    (per-(key,bucket) last right row; the latest earlier bucket holds the
+    overall latest earlier row, so one searchsorted finds it).
+    """
+
+    def __init__(self, carry_ref):
+        import ray
+
+        self.agg_fine, self.agg_ts, self.agg_id = ray.get(carry_ref)
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        f = g["fine"].to_numpy(zero_copy_only=False)
+        t = g["ts_us"].to_numpy(zero_copy_only=False)
+        i = g["id"].to_numpy(zero_copy_only=False)
+        s = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, s, t, f))
+        f, t, i, s = f[order], t[order], i[order], s[order]
+        n = len(f)
+
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        seg_id = np.cumsum(np.r_[True, f[1:] != f[:-1]]) - 1
+        seg_start = starts[seg_id]
+        marker = np.where(s == 0, np.arange(n), -1)
+        last = np.maximum.accumulate(marker)
+        left = s == 1
+        in_seg = left & (last >= seg_start)
+
+        m_ts = np.zeros(n, dtype=np.int64)
+        m_id = np.zeros(n, dtype=np.int64)
+        idx = last[in_seg]
+        m_ts[in_seg] = t[idx]
+        m_id[in_seg] = i[idx]
+
+        need = left & ~in_seg
+        keep = in_seg.copy()
+        if need.any() and len(self.agg_fine):
+            fn = f[need]
+            pos = np.searchsorted(self.agg_fine, fn, side="left") - 1
+            ok = pos >= 0
+            ok[ok] &= (
+                self.agg_fine[pos[ok]] >> _FINE_BITS
+            ) == (fn[ok] >> _FINE_BITS)
+            tgt = np.flatnonzero(need)[ok]
+            m_ts[tgt] = self.agg_ts[pos[ok]]
+            m_id[tgt] = self.agg_id[pos[ok]]
+            keep[tgt] = True
+
+        return pa.table(
+            {
+                "event_id": pa.array(i[keep], pa.int64()),
+                "user_id": pa.array(f[keep] >> _FINE_BITS, pa.int64()),
+                "ts_us": pa.array(t[keep], pa.int64()),
+                "matched_id": pa.array(m_id[keep], pa.int64()),
+                "lag_us": pa.array(t[keep] - m_ts[keep], pa.int64()),
+            }
+        )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "id",
+    bucket_us: int = 86_400_000_000,
+    num_groups: int = 256,
+    carry_limit: int = 5_000_000,
+):
+    """Backward as-of join: for each left row, the latest right row with
+    the same key and ``r.ts <= l.ts`` (inner semantics — unmatched left
+    rows drop, like DuckDB/pandas ``ASOF JOIN``).
+
+    Ray Data has no asof operator; this is the composition plan the
+    module docstring describes, scaled for 100 TB:
+
+    1. right side pre-aggregates to one row per (key, time-bucket) — the
+       last right row of the bucket — via per-batch partials + one small
+       super-group shuffle; the result (one row per active key-bucket,
+       ``carry_limit``-guarded) broadcasts via ``ray.put``;
+    2. both full sides co-partition ONCE on hash(key, bucket) into
+       ``num_groups`` super groups (single-int64 key; no per-fine-group
+       call overhead) and a vectorized kernel forward-fills in-bucket
+       predecessors, falling back to the carry table across buckets.
+
+    Only the per-bucket aggregate is ever centralized; full rows shuffle
+    exactly once each.
+    """
+    import ray
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(k) and int(k.max()) >= 1 << (63 - _FINE_BITS):
+                raise ValueError("key too large to pack with bucket")
+            fine = (k << _FINE_BITS) | (t // bucket_us)
+            sg = (
+                (fine.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)
+            ).astype(np.int64) % num_groups
+            return pa.table(
+                {
+                    "sg": pa.array(sg, pa.int64()),
+                    "fine": pa.array(fine, pa.int64()),
+                    "ts_us": pa.array(t, pa.int64()),
+                    "id": pa.array(i, pa.int64()),
+                    "side": pa.array(np.full(len(k), side, np.int8)),
+                }
+            )
+
+        return fn
+
+    right_tagged = right_ds.map_batches(tag(0), batch_format="pyarrow")
+
+    def partial_last(batch: pa.Table) -> pa.Table:
+        f, t, i = _last_per_fine(
+            batch["fine"].to_numpy(zero_copy_only=False),
+            batch["ts_us"].to_numpy(zero_copy_only=False),
+            batch["id"].to_numpy(zero_copy_only=False),
+        )
+        sg = (
+            (f.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)
+        ).astype(np.int64) % num_groups
+        return pa.table(
+            {
+                "sg": pa.array(sg, pa.int64()),
+                "fine": pa.array(f, pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "id": pa.array(i, pa.int64()),
+            }
+        )
+
+    def merge_last(g: pa.Table) -> pa.Table:
+        f, t, i = _last_per_fine(
+            g["fine"].to_numpy(zero_copy_only=False),
+            g["ts_us"].to_numpy(zero_copy_only=False),
+            g["id"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "fine": pa.array(f, pa.int64()),
+                "ts_us": pa.array(t, pa.int64()),
+                "id": pa.array(i, pa.int64()),
+            }
+        )
+
+    agg_rows = (
+        right_tagged.map_batches(partial_last, batch_format="pyarrow")
+        .groupby("sg")
+        .map_groups(merge_last, batch_format="pyarrow")
+    )
+    agg_mat = agg_rows.materialize()  # small: one row per active (key, bucket)
+    if agg_mat.count() > carry_limit:
+        raise RuntimeError(
+            "as-of carry table exceeds carry_limit; raise the limit or use "
+            "a larger bucket_us so fewer (key, bucket) pairs are active"
+        )
+    agg_tbl = pa.concat_tables(
+        [ray.get(r) for r in agg_mat.to_arrow_refs()]
+    )
+    af = agg_tbl["fine"].to_numpy(zero_copy_only=False)
+    at = agg_tbl["ts_us"].to_numpy(zero_copy_only=False)
+    ai = agg_tbl["id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(af, kind="stable")
+    carry_ref = ray.put((af[order], at[order], ai[order]))
+
+    left_tagged = left_ds.map_batches(tag(1), batch_format="pyarrow")
+    union = left_tagged.union(right_tagged)
+    return union.groupby("sg").map_groups(
+        _AsofGroupKernel, batch_format="pyarrow",
+        fn_constructor_args=(carry_ref,), concurrency=(1, 8),
+    )

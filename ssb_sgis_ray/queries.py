@@ -1919,6 +1919,47 @@ FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each purchase matched to the same user's most
+    recent view at or before it (ops/relational.py:asof_join — bucketed
+    carry table + one co-partitioned shuffle; Ray Data has no asof
+    operator). Oracle: DuckDB's native ASOF JOIN."""
+    ev = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def pick(etype: str):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            f = b.filter(pc.equal(b["event_type"], etype))
+            return pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "ts_us": f["ts"].cast(pa.int64()),
+                    "id": f["event_id"],
+                }
+            )
+
+        return fn
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("view"), batch_format="pyarrow")
+    return rel.asof_join(left, right)
+
+
+SQL_EVENTS_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS r_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       r.r_id AS matched_id, epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # text / dedup queries
 # ---------------------------------------------------------------------------
@@ -3691,6 +3732,7 @@ REGISTRY: dict[str, tuple] = {
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3731,7 +3773,6 @@ REGISTRY: dict[str, tuple] = {
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
-    "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
@@ -3741,6 +3782,7 @@ REGISTRY: dict[str, tuple] = {
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
+    "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "service_area": (q_service_area, SQL_SERVICE_AREA),
     "get_route": (q_get_route, SQL_GET_ROUTE),
     "directed_network": (q_directed_network, SQL_DIRECTED_NETWORK),

@@ -1,0 +1,101 @@
+"""Distributed as-of join (ops/relational.asof_join)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ssb_sgis_ray.ops import relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pandas_asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Reference semantics: latest right with r.ts <= l.ts per key; ties on
+    r.ts resolve to max id; unmatched left rows drop (inner)."""
+    rows = []
+    for _, l in left.iterrows():
+        cand = right[(right.user_id == l.user_id) & (right.ts_us <= l.ts_us)]
+        if len(cand):
+            best = cand.sort_values(["ts_us", "id"]).iloc[-1]
+            rows.append(
+                (l.id, l.user_id, l.ts_us, best.id, l.ts_us - best.ts_us)
+            )
+    return pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_us", "matched_id", "lag_us"]
+    ).astype("int64")
+
+
+def _to_ds(df: pd.DataFrame):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    bucket = 1000  # small bucket so cross-bucket carry is exercised hard
+    left = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 7, 300),
+            "ts_us": rng.integers(0, 20_000, 300),
+            "id": np.arange(300),
+        }
+    ).astype("int64")
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 7, 200),
+            "ts_us": rng.integers(0, 20_000, 200),
+            "id": np.arange(1000, 1200),
+        }
+    ).astype("int64")
+    # inject exact-tie timestamps (left ts == right ts) and duplicate right ts
+    right.loc[0, ["user_id", "ts_us"]] = [3, 5000]
+    right.loc[1, ["user_id", "ts_us"]] = [3, 5000]  # dup right ts, ids differ
+    left.loc[0, ["user_id", "ts_us"]] = [3, 5000]   # tie -> must match id 1001
+
+    out = (
+        rel.asof_join(_to_ds(left), _to_ds(right), bucket_us=bucket, num_groups=16)
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = (
+        _pandas_asof(left, right)
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    assert out.loc[out.event_id == 0, "matched_id"].item() == 1001
+
+
+def test_asof_join_empty_right(ray_session):
+    left = pd.DataFrame(
+        {"user_id": [1, 2], "ts_us": [10, 20], "id": [1, 2]}
+    ).astype("int64")
+    right = pd.DataFrame(
+        {"user_id": [9], "ts_us": [5], "id": [7]}
+    ).astype("int64")
+    out = rel.asof_join(_to_ds(left), _to_ds(right), bucket_us=1000).to_pandas()
+    assert len(out) == 0  # no key overlap -> inner join drops everything
+
+
+def test_asof_carry_limit_guard(ray_session):
+    left = pd.DataFrame({"user_id": [1], "ts_us": [10], "id": [1]}).astype("int64")
+    right = pd.DataFrame(
+        {"user_id": np.arange(50), "ts_us": np.arange(50), "id": np.arange(50)}
+    ).astype("int64")
+    with pytest.raises(RuntimeError, match="carry"):
+        rel.asof_join(
+            _to_ds(left), _to_ds(right), bucket_us=1, carry_limit=10
+        )
+
+
+def test_events_asof_query(ray_session):
+    from ssb_sgis_ray import queries as q
+
+    df = q.q_events_asof(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["lag_us"] >= 0).all()
+    assert df["event_id"].is_unique
