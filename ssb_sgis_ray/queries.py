@@ -3393,27 +3393,39 @@ SQL_IMAGE_DECODE = f"SELECT {IMAGE_ID_SQL} AS image_id, TRUE AS decode_ok FROM d
 def q_image_exact_dedup(sf_dir: str):
     """Exact image dedup on md5(bytes) — identical payload bytes group
     together (the ~1%-injected duplicate images). Oracle recomputes the
-    duplicate structure from the content-key rule."""
+    duplicate structure from the content-key rule.
+
+    Scale plan: shuffling on the md5 STRING is both slow (multi-byte key
+    exchange; this host's string groupby is ~15x an int64 one) and, if
+    truncated to 63 bits to go faster, WRONG at 10^12 rows (birthday
+    collisions). So the shuffle key is a 32-bit prefix of the digest
+    packed in int64 (super-group), and the kernel regroups by the FULL
+    digest inside each group — exact at any scale, one int-keyed
+    exchange."""
     import hashlib
 
     def h(batch: pa.Table) -> pa.Table:
         blobs = batch["bytes"].to_pylist()
+        digs = [hashlib.md5(b).digest() for b in blobs]
+        key32 = np.frombuffer(
+            b"".join(d[:4] for d in digs), dtype=">u4"
+        ).astype(np.int64) if digs else np.empty(0, np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "bh": pa.array(
-                    [hashlib.md5(b).hexdigest() for b in blobs], pa.string()
-                ),
+                "hkey": pa.array(key32, pa.int64()),
+                "bh": pa.array([d.hex() for d in digs], pa.string()),
             }
         )
 
-    from ray.data.aggregate import Count, Min
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bh", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        )
+        return agg[["keep_doc_id", "dup_count"]]
 
     hashed = _images_ds(sf_dir).map_batches(h, batch_format="pyarrow")
-    out = hashed.groupby("bh").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
-    )
-    return out.select_columns(["keep_doc_id", "dup_count"])
+    return hashed.groupby("hkey").map_groups(dedup_group, batch_format="pandas")
 
 
 SQL_IMAGE_EXACT_DEDUP = f"""
