@@ -1325,6 +1325,36 @@ FROM o CROSS JOIN d
 """
 
 
+def q_destination_count(sf_dir: str, k: int = 3):
+    """destination_count (networkanalysis.py:394-397,728-731): the k
+    cheapest destinations per origin with TIES KEPT — `groupby.rank()
+    <= k`, so an origin can return more than k rows when costs tie
+    (`:167-170`). Engine: per-origin vectorized kth-smallest threshold
+    over the od cost matrix."""
+
+    def topk_ties(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cost"].to_numpy()
+        if len(c) > k:
+            kth = np.partition(c, k - 1)[k - 1]
+            g = g.loc[c <= kth]
+        return g[["origin", "dest", "cost"]]
+
+    return q_od_cost_matrix(sf_dir).groupby("origin").map_groups(
+        topk_ties, batch_format="pandas"
+    )
+
+
+SQL_DESTINATION_COUNT = f"""
+WITH od AS ({SQL_OD_COST}),
+ranked AS (
+  SELECT origin, dest, cost,
+         rank() OVER (PARTITION BY origin ORDER BY cost) AS rnk
+  FROM od
+)
+SELECT origin, dest, cost FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_service_area(sf_dir: str):
     """NetworkAnalysis.service_area reduced to its decidable core: count
     of nodes reachable within a cost budget; closed-form grid count on
@@ -3745,6 +3775,7 @@ REGISTRY: dict[str, tuple] = {
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "destination_count": (q_destination_count, SQL_DESTINATION_COUNT),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3790,8 +3821,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_pairs": (q_minhash_pairs, None),
-    "langid": (q_langid, _langid_sql()),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
+    "langid": (q_langid, _langid_sql()),
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
