@@ -127,6 +127,8 @@ _FINE_BITS = 21  # bucket fits 21 bits (2M day-buckets ~ 5,700 years of days)
 
 def _last_per_fine(f: np.ndarray, t: np.ndarray, i: np.ndarray):
     """Keep the (max ts, then max id) row per fine key. Inputs unsorted."""
+    if len(f) == 0:  # an upstream filter can empty a whole batch
+        return f, t, i
     order = np.lexsort((i, t, f))
     f, t, i = f[order], t[order], i[order]
     last = np.r_[f[1:] != f[:-1], True]

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) over pure kernels — no Ray needed.
+
+Mirrors the reference's randomized-equivalence test strategy
+(`/root/reference/tests/test_overlay.py:98-128` random draws vs an
+independent oracle): random inputs, independent library oracle, exact
+agreement required.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ssb_sgis_ray.codecs import geotiff
+from ssb_sgis_ray.ops import relational as rel
+
+
+def _run_asof_kernel(left: pd.DataFrame, right: pd.DataFrame, bucket_us: int):
+    """Drive the as-of math exactly as asof_join wires it, single group."""
+    def tagged(df, side):
+        fine = (df.user_id.to_numpy(np.int64) << rel._FINE_BITS) | (
+            df.ts_us.to_numpy(np.int64) // bucket_us
+        )
+        return pd.DataFrame(
+            {
+                "fine": fine,
+                "ts_us": df.ts_us.to_numpy(np.int64),
+                "id": df.id.to_numpy(np.int64),
+                "side": np.full(len(df), side, np.int8),
+            }
+        )
+
+    r = tagged(right, 0)
+    af, at, ai = rel._last_per_fine(
+        r.fine.to_numpy(), r.ts_us.to_numpy(), r.id.to_numpy()
+    )
+    order = np.argsort(af, kind="stable")
+    kern = rel._AsofGroupKernel.__new__(rel._AsofGroupKernel)
+    kern.agg_fine, kern.agg_ts, kern.agg_id = af[order], at[order], ai[order]
+    union = pd.concat([tagged(left, 1), r], ignore_index=True)
+    return kern(pa.Table.from_pandas(union, preserve_index=False)).to_pandas()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n_left=st.integers(1, 60),
+    n_right=st.integers(0, 60),
+    bucket=st.sampled_from([1, 7, 100, 10_000]),
+)
+def test_asof_kernel_matches_pandas_merge_asof(data, n_left, n_right, bucket):
+    keys = st.integers(0, 4)
+    ts = st.integers(0, 3000)
+    left = pd.DataFrame(
+        {
+            "user_id": [data.draw(keys) for _ in range(n_left)],
+            "ts_us": [data.draw(ts) for _ in range(n_left)],
+            "id": np.arange(n_left),
+        }
+    ).astype("int64")
+    right = pd.DataFrame(
+        {
+            "user_id": [data.draw(keys) for _ in range(n_right)],
+            "ts_us": [data.draw(ts) for _ in range(n_right)],
+            "id": np.arange(1000, 1000 + n_right),
+        }
+    ).astype("int64")
+
+    got = (
+        _run_asof_kernel(left, right, bucket)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+    # independent oracle: pandas merge_asof (right deduped to max id per
+    # (key, ts) — the engine's documented duplicate-ts tie rule)
+    rd = (
+        right.sort_values(["user_id", "ts_us", "id"])
+        .groupby(["user_id", "ts_us"], as_index=False)
+        .last()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts_us", kind="stable"),
+        rd.sort_values("ts_us", kind="stable"),
+        on="ts_us",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+        suffixes=("", "_r"),
+    ).dropna(subset=["id_r"])
+    exp = pd.DataFrame(
+        {
+            "event_id": exp["id"].astype("int64"),
+            "user_id": exp["user_id"].astype("int64"),
+            "ts_us": exp["ts_us"].astype("int64"),
+            "matched_id": exp["id_r"].astype("int64"),
+        }
+    )
+    exp["lag_us"] = exp["ts_us"] - exp["matched_id"].map(
+        rd.set_index("id")["ts_us"]
+    ).astype("int64")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    dtype=st.sampled_from(["uint8", "uint16", "float32"]),
+    compression=st.sampled_from(["none", "deflate"]),
+    rps=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_geotiff_roundtrip_property(h, w, dtype, compression, rps, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, size=(h, w)).astype(dtype)
+    ox, oy = float(rng.integers(-10**6, 10**6)), float(rng.integers(-10**6, 10**6))
+    blob = geotiff.encode_geotiff(
+        img, origin=(ox, oy), pixel_scale=(0.5, 2.0),
+        compression=compression, rows_per_strip=rps,
+    )
+    out, tr = geotiff.decode_geotiff(blob)
+    np.testing.assert_array_equal(out, img)
+    assert tr == (ox, oy, 0.5, 2.0)
