@@ -206,3 +206,74 @@ class Md5Stage:
                 "h": pa.array(md5_hash_column(texts), pa.string()),
             }
         )
+
+
+class TokenCountPartial:
+    """Actor stage: per-batch partial token counts.
+
+    Tokenize (compiled TOKEN_RE, lowercased) and pre-aggregate inside the
+    batch so the shuffle moves one row per (token, batch) instead of one
+    per token occurrence — the wide-aggregation pattern this module's
+    docstring mandates. Shuffle key is a single int64 token-hash
+    super-group (string groupbys are ~15x slower on this setup)."""
+
+    def __init__(self, num_groups: int = 256):
+        import re
+
+        self.tok = re.compile(TOKEN_RE)
+        self.num_groups = num_groups
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in batch["text"].astype(str):
+            toks.extend(m.lower() for m in self.tok.findall(t))
+        if not toks:
+            return pd.DataFrame(
+                {"sg": pd.Series(dtype="int64"),
+                 "token": pd.Series(dtype="str"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        vc = pd.Series(toks).value_counts()
+        tokens = vc.index.to_numpy(dtype=object)
+        # deterministic cross-process hash (Python's hash() is salted per
+        # process — tokens would split across groups and counts would be
+        # wrong); vectorized FNV-1a from the dedup module
+        from .dedup import hash64_str_batch
+
+        h = hash64_str_batch(list(tokens))
+        return pd.DataFrame(
+            {
+                "sg": (h % np.uint64(self.num_groups)).astype(np.int64),
+                "token": tokens,
+                "cnt": vc.to_numpy(np.int64),
+            }
+        )
+
+
+def top_tokens(docs_ds, k: int = 20, num_groups: int = 256):
+    """Exact global top-k most frequent tokens with deterministic ties
+    (cnt desc, token asc).
+
+    Plan: partial counts per batch -> ONE shuffle on the int64 hash
+    super-group -> in-kernel exact merge per token -> each group emits
+    only its own top-k candidates (a token's full count lives in exactly
+    one group after the merge, so the global top-k is a subset of the
+    per-group top-ks) -> bounded finalize over <= num_groups*k rows."""
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "token"], ascending=[False, True])
+        return agg.head(k)[["token", "cnt"]]
+
+    candidates = (
+        docs_ds.map_batches(
+            TokenCountPartial, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 8),
+        )
+        .groupby("sg")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    # bounded finalize: <= num_groups * k candidate rows
+    df = candidates.to_pandas()
+    df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)

@@ -2012,6 +2012,25 @@ FROM documents
 """
 
 
+def q_top_tokens(sf_dir: str):
+    """Exact global top-20 most frequent tokens: per-batch partial counts
+    -> one int64-hash-keyed shuffle -> in-group exact merge + candidate
+    top-k -> bounded finalize (<= 256*20 rows). Deterministic ties
+    (cnt desc, token asc) on both sides."""
+    return text_ops.top_tokens(documents(sf_dir), k=20)
+
+
+SQL_TOP_TOKENS = """
+WITH toks AS (
+  SELECT lower(t.tok) AS token
+  FROM documents,
+  LATERAL (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok) t
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
 def q_quality_filter(sf_dir: str):
     stats = q_token_stats(sf_dir)
 
@@ -3776,6 +3795,7 @@ REGISTRY: dict[str, tuple] = {
     "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "destination_count": (q_destination_count, SQL_DESTINATION_COUNT),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3819,9 +3839,9 @@ REGISTRY: dict[str, tuple] = {
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "minhash_pairs": (q_minhash_pairs, None),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "langid": (q_langid, _langid_sql()),
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),

@@ -99,3 +99,17 @@ def test_events_asof_query(ray_session):
     assert len(df) > 0
     assert (df["lag_us"] >= 0).all()
     assert df["event_id"].is_unique
+
+
+def test_top_tokens_planted(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray.ops import text as text_ops
+
+    # plant exact frequencies: 'alpha' x30, 'beta' x20, 'tie1'/'tie2' x5 each
+    docs = (
+        ["alpha"] * 30 + ["beta Beta"] * 10 + ["tie1 tie2"] * 5
+    )
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    out = text_ops.top_tokens(ds, k=3, num_groups=8)
+    assert out["token"].tolist() == ["alpha", "beta", "tie1"]
+    assert out["cnt"].tolist() == [30, 20, 5]  # tie1 beats tie2 lexicographically
