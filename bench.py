@@ -80,6 +80,7 @@ def run_bench() -> dict:
         "simhash", "ann_topk", "image_exact_dedup", "image_tiles",
         "close_small_holes", "od_cost_points",
         "audio_features", "video_frames", "geotiff_clip_zonal",
+        "events_asof", "destination_count", "top_tokens",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -230,7 +230,9 @@ def asof_join(
        predecessors, falling back to the carry table across buckets.
 
     Only the per-bucket aggregate is ever centralized; full rows shuffle
-    exactly once each.
+    exactly once each. The right side is READ twice (carry pass + union
+    pass) — deliberate at scale: re-reading pruned columns from storage
+    beats materializing the tagged rows in the object store.
     """
     import ray
 
