@@ -934,9 +934,14 @@ def overlay_difference_cell(
              "has_diff": [np.int64(1)]}
         )
 
+    # an empty hash partition leaves map_groups emitting a 0-row block with
+    # an EMPTY schema (no columns at all); Dataset.join then can't find
+    # __lid in that block's partition. map_batches skips 0-row blocks, so a
+    # schema-fix stage never sees them — repartition instead: the block
+    # coalesce (no hash exchange) merges empties into typed blocks.
     rem = pairs.groupby("left_id").map_groups(
         diff_group, batch_format="pandas"
-    ).materialize()
+    ).repartition(default_join_partitions(num_partitions)).materialize()
     if rem.count() == 0:  # no intersecting pair anywhere: left unchanged
         return left_ds
     joined = left_ds.join(
@@ -1663,4 +1668,85 @@ def clean_clip(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def clean_overlay_cell(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    how: str = "intersection",
+    res: int = 10,
+):
+    """All six clean_overlay hows on the cell co-partitioned plan — BOTH
+    sides stream as Datasets, nothing is broadcast (the large×large
+    counterpart of :func:`clean_overlay`, reference overlay.py:70-81).
+
+    Output is the id-centric surface ``(left_id, right_id, geometry_wkb)``
+    with the id of the absent side null (difference/remainder legs carry
+    only one side, like the reference's suffixed NaN columns); attribute
+    columns re-join by id, keeping the all-to-all exchanges narrow.
+
+    Compositions (disjoint cell tiling makes every leg additive):
+    intersection = pair pieces; difference = left minus union-of-rights;
+    identity = intersection ⊎ difference; union adds the mirrored right
+    remainder; symmetric_difference = both remainders; update = left
+    remainder ⊎ right rows unchanged.
+    """
+    if how not in HOWS:
+        raise ValueError(f"how must be one of {HOWS}")
+
+    def norm_pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left_id": b["left_id"].cast(pa.int64()),
+                "right_id": b["right_id"].cast(pa.int64()),
+                "geometry_wkb": b["geometry_wkb"],
+            }
+        )
+
+    def norm_one_side(id_col: str, is_left: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            ids = b[id_col].cast(pa.int64())
+            nulls = pa.nulls(n, pa.int64())
+            return pa.table(
+                {
+                    "left_id": ids if is_left else nulls,
+                    "right_id": nulls if is_left else ids,
+                    "geometry_wkb": b["geometry_wkb"],
+                }
+            )
+
+        return fn
+
+    def inter():
+        return overlay_pairs_cell(
+            left_ds, right_ds, left_id, right_id, res=res, emit="geometry"
+        ).map_batches(norm_pairs, batch_format="pyarrow")
+
+    def ldiff():
+        return overlay_difference_cell(
+            left_ds, right_ds, left_id, right_id, res=res
+        ).map_batches(norm_one_side(left_id, True), batch_format="pyarrow")
+
+    def rdiff():
+        return overlay_difference_cell(
+            right_ds, left_ds, right_id, left_id, res=res
+        ).map_batches(norm_one_side(right_id, False), batch_format="pyarrow")
+
+    if how == "intersection":
+        return inter()
+    if how == "difference":
+        return ldiff()
+    if how == "identity":
+        return inter().union(ldiff())
+    if how == "union":
+        return inter().union(ldiff()).union(rdiff())
+    if how == "symmetric_difference":
+        return ldiff().union(rdiff())
+    # update: left remainder + every right row unchanged (overlay.py:260-263)
+    return ldiff().union(
+        right_ds.map_batches(norm_one_side(right_id, False), batch_format="pyarrow")
     )

@@ -565,3 +565,56 @@ def test_min_rotated_rect_matches_hull_width():
     rect = geom_ops.min_rotated_rect(pts)
     area = abs(np.cross(rect[1] - rect[0], rect[3] - rect[0]))
     assert area == pytest.approx(20.0)
+
+
+def test_clean_overlay_cell_all_hows_match_broadcast(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray.ops import overlay as ov
+    from ssb_sgis_ray.ops.dissolve import rect_painter_union
+
+    left_specs = [(0, 0, 10, 10), (20, 0, 30, 10), (100, 100, 110, 110)]
+    right_specs = [(5, 0, 25, 10), (8, 2, 9, 3), (200, 200, 210, 210)]
+    left_t = _boxes_table(left_specs, "lid")
+    right_t = _boxes_table(right_specs, "rid")
+    all_boxes = np.array(left_specs + right_specs, dtype=float)
+    u = rect_painter_union(all_boxes)
+    union_area = ((u[:, 2] - u[:, 0]) * (u[:, 3] - u[:, 1])).sum()
+
+    def area_of(ds):
+        df = ds.to_pandas()
+        if len(df) == 0:
+            return 0.0
+        pg = wkb.decode_polygons(
+            df.loc[df["geometry_wkb"].notna(), "geometry_wkb"].to_numpy()
+        )
+        return kernels.polygon_areas(pg).sum()
+
+    # union/identity output is PER PAIR (geopandas semantics): a region in
+    # two pairs appears twice — so compare legs against the broadcast
+    # plan's legs, not the painter |A ∪ B| (rights here overlap on purpose)
+    bc_inter = area_of(
+        ov.clean_overlay(rd.from_arrow(left_t), right_t, how="intersection")
+    )
+    bc_ldiff = area_of(
+        ov.clean_overlay(rd.from_arrow(left_t), right_t, how="difference")
+    )
+    bc_rdiff = area_of(
+        ov.clean_overlay(rd.from_arrow(right_t), left_t, how="difference")
+    )
+    rsum = ((np.array(right_specs)[:, 2] - np.array(right_specs)[:, 0])
+            * (np.array(right_specs)[:, 3] - np.array(right_specs)[:, 1])).sum()
+    expects = {
+        "intersection": bc_inter,
+        "difference": bc_ldiff,
+        "identity": bc_inter + bc_ldiff,
+        "union": bc_inter + bc_ldiff + bc_rdiff,
+        "symmetric_difference": bc_ldiff + bc_rdiff,
+        "update": bc_ldiff + rsum,
+    }
+    assert union_area == bc_ldiff + bc_rdiff + 50 + 50 + 1 - 1  # fixture sanity
+    for how in ov.HOWS:
+        cell = ov.clean_overlay_cell(
+            rd.from_arrow(left_t), rd.from_arrow(right_t), "lid", "rid",
+            how=how, res=12,
+        )
+        assert area_of(cell) == pytest.approx(expects[how]), how
