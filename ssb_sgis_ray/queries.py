@@ -2075,6 +2075,26 @@ def q_minhash_pairs(sf_dir: str):
     ).select_columns(["id_a", "id_b"])
 
 
+def q_minhash_keep(sf_dir: str):
+    """Near-dup KEEP LIST — the artifact a real dedup pipeline ships:
+    verified LSH pairs -> connected components (min-label propagation, the
+    same dispatcher as polygon clustering) -> every clustered doc mapped to
+    its cluster's min doc_id. Deterministic; rows-only check (LSH is not
+    SQL-expressible)."""
+    pairs = q_minhash_pairs(sf_dir)
+    labels = dis.connected_components(pairs)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["node"].cast(pa.int64()),
+                "keep_id": b["label"].cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(norm, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     return documents(sf_dir).map_batches(
         dedup_ops.SimHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
@@ -3847,6 +3867,7 @@ REGISTRY: dict[str, tuple] = {
     "destination_count": (q_destination_count, SQL_DESTINATION_COUNT),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "overlay_union_cell": (q_overlay_union_cell, SQL_OVERLAY_UNION),
+    "minhash_keep": (q_minhash_keep, None),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
