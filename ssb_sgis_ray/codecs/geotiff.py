@@ -112,7 +112,6 @@ def encode_geotiff(
             extra.extend(b"\x00")
         return off
 
-    n_strips = len(strips)
     entries: list[tuple[int, int, int, bytes]] = []
 
     def _tag(tag: int, typ: int, values) -> None:
@@ -179,8 +178,15 @@ def decode_geotiff(blob: bytes) -> tuple[np.ndarray, tuple[float, float, float, 
 
     Raises ValueError on non-TIFF input or unsupported layout.
     """
-    if blob[:4] != _II:
+    if blob[:4] != _II or len(blob) < 8:
         raise ValueError("not a little-endian classic TIFF")
+    try:
+        return _decode_geotiff_checked(blob)
+    except struct.error as e:  # truncated IFD/tag data
+        raise ValueError(f"truncated TIFF structure: {e}") from None
+
+
+def _decode_geotiff_checked(blob: bytes):
     (ifd_off,) = struct.unpack_from("<I", blob, 4)
     (n_entries,) = struct.unpack_from("<H", blob, ifd_off)
     tags: dict[int, list] = {}

@@ -243,7 +243,14 @@ def asof_join(
             i = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             if len(k) and int(k.max()) >= 1 << (63 - _FINE_BITS):
                 raise ValueError("key too large to pack with bucket")
-            fine = (k << _FINE_BITS) | (t // bucket_us)
+            b = t // bucket_us
+            if len(b) and not (0 <= int(b.min()) and int(b.max()) < 1 << _FINE_BITS):
+                raise ValueError(
+                    "bucket index out of the 21-bit pack range — bucket_us "
+                    "is too small for these timestamps (epoch-us data needs "
+                    "bucket_us >= ~1e9); rebase ts or enlarge bucket_us"
+                )
+            fine = (k << _FINE_BITS) | b
             sg = (
                 (fine.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
                 >> np.uint64(40)
@@ -260,7 +267,29 @@ def asof_join(
 
         return fn
 
-    right_tagged = right_ds.map_batches(tag(0), batch_format="pyarrow")
+    def _typed_seed():
+        # a 0-row typed block unioned into every tagged dataset: when a
+        # side is entirely empty, map_batches skips its 0-row input blocks
+        # and the tagged schema (sg/fine/...) would never exist — the
+        # downstream groupby then dies with KeyError. The seed pins the
+        # schema at zero cost.
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "sg": pa.array([], pa.int64()),
+                    "fine": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        )
+
+    right_tagged = (
+        right_ds.map_batches(tag(0), batch_format="pyarrow").union(_typed_seed())
+    )
 
     def partial_last(batch: pa.Table) -> pa.Table:
         f, t, i = _last_per_fine(
@@ -306,16 +335,27 @@ def asof_join(
             "as-of carry table exceeds carry_limit; raise the limit or use "
             "a larger bucket_us so fewer (key, bucket) pairs are active"
         )
-    agg_tbl = pa.concat_tables(
-        [ray.get(r) for r in agg_mat.to_arrow_refs()]
-    )
-    af = agg_tbl["fine"].to_numpy(zero_copy_only=False)
-    at = agg_tbl["ts_us"].to_numpy(zero_copy_only=False)
-    ai = agg_tbl["id"].to_numpy(zero_copy_only=False)
+    blocks = [ray.get(r) for r in agg_mat.to_arrow_refs()]
+    blocks = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in blocks
+    ]
+    # drop 0-row blocks: empty hash partitions emit schema-LESS empties
+    # that poison concat_tables (same Ray quirk as overlay's join-back)
+    blocks = [b for b in blocks if b.num_rows > 0]
+    if blocks:
+        agg_tbl = pa.concat_tables(blocks)
+        af = agg_tbl["fine"].to_numpy(zero_copy_only=False)
+        at = agg_tbl["ts_us"].to_numpy(zero_copy_only=False)
+        ai = agg_tbl["id"].to_numpy(zero_copy_only=False)
+    else:  # right side entirely empty: empty carry, inner join yields 0 rows
+        af = at = ai = np.empty(0, dtype=np.int64)
     order = np.argsort(af, kind="stable")
     carry_ref = ray.put((af[order], at[order], ai[order]))
 
-    left_tagged = left_ds.map_batches(tag(1), batch_format="pyarrow")
+    left_tagged = (
+        left_ds.map_batches(tag(1), batch_format="pyarrow").union(_typed_seed())
+    )
     union = left_tagged.union(right_tagged)
     return union.groupby("sg").map_groups(
         _AsofGroupKernel, batch_format="pyarrow",

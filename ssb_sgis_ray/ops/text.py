@@ -268,7 +268,7 @@ def top_tokens(docs_ds, k: int = 20, num_groups: int = 256):
     candidates = (
         docs_ds.map_batches(
             TokenCountPartial, batch_format="pandas", batch_size=4096,
-            concurrency=(1, 8),
+            concurrency=(1, 8), fn_constructor_args=(num_groups,),
         )
         .groupby("sg")
         .map_groups(group_topk, batch_format="pandas")

@@ -91,7 +91,7 @@ def encode_audio(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
 
 def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
     """-> (sample_rate, int16 samples). Raises ValueError on a bad header."""
-    if blob[:4] != AUDIO_MAGIC:
+    if blob[:4] != AUDIO_MAGIC or len(blob) < 12:
         raise ValueError("not an RPCM blob")
     sr, n = struct.unpack_from("<II", blob, 4)
     samples = np.frombuffer(blob, dtype="<i2", count=n, offset=12)
@@ -111,7 +111,7 @@ def encode_video(frames: np.ndarray) -> bytes:
 
 def decode_video(blob: bytes) -> np.ndarray:
     """-> (n_frames, h, w) uint8. Raises ValueError on a bad header."""
-    if blob[:4] != VIDEO_MAGIC:
+    if blob[:4] != VIDEO_MAGIC or len(blob) < 10:
         raise ValueError("not an RVID blob")
     w, h, nf = struct.unpack_from("<HHH", blob, 4)
     pix = np.frombuffer(blob, dtype=np.uint8, count=nf * h * w, offset=10)

@@ -113,3 +113,28 @@ def test_top_tokens_planted(ray_session):
     out = text_ops.top_tokens(ds, k=3, num_groups=8)
     assert out["token"].tolist() == ["alpha", "beta", "tie1"]
     assert out["cnt"].tolist() == [30, 20, 5]  # tie1 beats tie2 lexicographically
+
+
+def test_asof_join_entirely_empty_right(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    left = pd.DataFrame(
+        {"user_id": [1, 2], "ts_us": [10, 20], "id": [1, 2]}
+    ).astype("int64")
+    empty = rd.from_arrow(
+        pa.table({"user_id": pa.array([], pa.int64()),
+                  "ts_us": pa.array([], pa.int64()),
+                  "id": pa.array([], pa.int64())})
+    )
+    out = rel.asof_join(_to_ds(left), empty, bucket_us=1000).to_pandas()
+    assert len(out) == 0
+
+
+def test_asof_join_rejects_overflowing_bucket(ray_session):
+    # epoch-us timestamps with a 1 ms bucket: bucket index >> 2^21
+    left = pd.DataFrame(
+        {"user_id": [1], "ts_us": [1_700_000_000_000_000], "id": [1]}
+    ).astype("int64")
+    with pytest.raises(Exception, match="bucket"):
+        rel.asof_join(_to_ds(left), _to_ds(left), bucket_us=1000).to_pandas()

@@ -88,3 +88,16 @@ def test_media_queries_end_to_end(ray_session):
     per_doc = frames.groupby("doc_id").size()
     assert len(per_doc) == docs_n
     assert per_doc.between(3, 6).all()
+
+
+def test_truncated_headers_raise_valueerror():
+    with pytest.raises(ValueError):
+        media.decode_audio(b"RPCM\x00\x00")
+    with pytest.raises(ValueError):
+        media.decode_video(b"RVID\x00")
+    from ssb_sgis_ray.codecs import geotiff
+    with pytest.raises(ValueError):
+        geotiff.decode_geotiff(b"II*\x00\xff\xff")
+    good = geotiff.encode_geotiff(__import__("numpy").zeros((4, 4), dtype="uint8"))
+    with pytest.raises(ValueError):
+        geotiff.decode_geotiff(good[:20])  # truncated IFD
