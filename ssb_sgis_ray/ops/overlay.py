@@ -790,6 +790,7 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
         return pd.DataFrame(
             {
                 "left_id": pd.Series([], dtype="int64"),
+                "right_id": pd.Series([], dtype="int64"),
                 "left_geom": pd.Series([], dtype="object"),
                 "right_geom": pd.Series([], dtype="object"),
             }
@@ -845,6 +846,7 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
         return pd.DataFrame(
             {
                 "left_id": lids[qi],
+                "right_id": rids[pi],
                 "left_geom": l["geometry_wkb"].to_numpy()[qi],
                 "right_geom": r["geometry_wkb"].to_numpy()[pi],
             }
@@ -890,13 +892,16 @@ def overlay_difference_cell(
     right_id: str,
     res: int = 7,
     num_partitions: int | None = None,
+    pairs=None,
 ):
     """Co-partitioned large×large difference: left rows minus the union of
     every intersecting right row.
 
     Three fully-distributed stages:
-    1. cell co-group emits matched (left_id, left_geom, right_geom) pairs
-       with anchor-cell dedup;
+    1. cell co-group emits matched (left_id, right_id, left_geom,
+       right_geom) pairs with anchor-cell dedup (skipped when a
+       precomputed ``pairs`` Dataset is passed — clean_overlay_cell shares
+       ONE cell exchange across legs);
     2. ``groupby(left_id)`` subtracts the union of all matched rights from
        each left geometry (tiered math, holes preserved);
     3. hash left-outer join back to ``left_ds``: unmatched rows pass
@@ -906,18 +911,19 @@ def overlay_difference_cell(
 
     from .dissolve import default_join_partitions
 
-    lt = left_ds.map_batches(
-        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
-    )
-    rt = right_ds.map_batches(
-        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
-    )
-    pairs = (
-        lt.union(rt)
-        .groupby("cell")
-        .map_groups(_cell_overlay_kernel("difference", "geometry", res),
-                    batch_format="pandas")
-    )
+    if pairs is None:
+        lt = left_ds.map_batches(
+            lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+        )
+        rt = right_ds.map_batches(
+            lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+        )
+        pairs = (
+            lt.union(rt)
+            .groupby("cell")
+            .map_groups(_cell_overlay_kernel("difference", "geometry", res),
+                        batch_format="pandas")
+        )
 
     def diff_group(g: pd.DataFrame) -> pd.DataFrame:
         spg = wkb.decode_polygons(
@@ -1721,25 +1727,71 @@ def clean_overlay_cell(
 
         return fn
 
-    def inter():
+    # single-leg hows: one cell exchange, no pair sharing needed
+    if how == "intersection":
         return overlay_pairs_cell(
             left_ds, right_ds, left_id, right_id, res=res, emit="geometry"
         ).map_batches(norm_pairs, batch_format="pyarrow")
-
-    def ldiff():
+    if how == "difference":
         return overlay_difference_cell(
             left_ds, right_ds, left_id, right_id, res=res
         ).map_batches(norm_one_side(left_id, True), batch_format="pyarrow")
 
+    # multi-leg hows: run the EXPENSIVE cell co-group ONCE and derive every
+    # leg from the materialized pair table (one row per matched pair with
+    # both geometries) — the naive composition re-shuffled both full
+    # datasets once per leg. Tradeoff: the pair table lives in the object
+    # store (spillable) instead of being recomputed.
+    pairs = cell_pair_table(left_ds, right_ds, left_id, right_id, res)
+
+    def inter_from_pairs(b: pd.DataFrame) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                    "geometry_wkb": pa.array([], pa.binary()),
+                }
+            )
+        lpg = wkb.decode_polygons(b["left_geom"].to_numpy())
+        R = RightGeoms(
+            pa.table({"geometry_wkb": pa.array(list(b["right_geom"]), pa.binary())})
+        )
+        idx = np.arange(len(lpg))
+        li, ri, _, geoms = intersection_pieces(
+            lpg,
+            kernels.polygon_bounds(lpg),
+            kernels.decompose_rectilinear(lpg),
+            kernels.detect_axis_rects(lpg),
+            R,
+            idx,
+            idx,
+            area_only=False,
+        )
+        lids = b["left_id"].to_numpy().astype(np.int64)
+        rids = b["right_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "left_id": pa.array(lids[li], pa.int64()),
+                "right_id": pa.array(rids[ri], pa.int64()),
+                "geometry_wkb": pa.array(geoms, pa.binary()),
+            }
+        )
+
+    def inter():
+        return pairs.map_batches(inter_from_pairs, batch_format="pandas")
+
+    def ldiff():
+        return overlay_difference_cell(
+            left_ds, right_ds, left_id, right_id, res=res, pairs=pairs
+        ).map_batches(norm_one_side(left_id, True), batch_format="pyarrow")
+
     def rdiff():
         return overlay_difference_cell(
-            right_ds, left_ds, right_id, left_id, res=res
+            right_ds, left_ds, right_id, left_id, res=res,
+            pairs=swap_pair_table(pairs),
         ).map_batches(norm_one_side(right_id, False), batch_format="pyarrow")
 
-    if how == "intersection":
-        return inter()
-    if how == "difference":
-        return ldiff()
     if how == "identity":
         return inter().union(ldiff())
     if how == "union":
@@ -1750,3 +1802,39 @@ def clean_overlay_cell(
     return ldiff().union(
         right_ds.map_batches(norm_one_side(right_id, False), batch_format="pyarrow")
     )
+
+
+def cell_pair_table(left_ds, right_ds, left_id: str, right_id: str, res: int):
+    """ONE cell co-group exchange -> materialized matched-pair table
+    (left_id, right_id, left_geom, right_geom), anchor-cell deduped.
+    Every multi-leg cell-plan consumer derives its legs from this."""
+    lt = left_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+    )
+    return (
+        lt.union(rt)
+        .groupby("cell")
+        .map_groups(_cell_overlay_kernel("difference", "geometry", res),
+                    batch_format="pandas")
+        .materialize()
+    )
+
+
+def swap_pair_table(pairs):
+    """Mirror a pair table (cheap column rename, no shuffle) so the
+    difference machinery can run right-minus-lefts."""
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "left_id": b["right_id"].to_numpy(),
+                "right_id": b["left_id"].to_numpy(),
+                "left_geom": b["right_geom"].to_numpy(),
+                "right_geom": b["left_geom"].to_numpy(),
+            }
+        )
+
+    return pairs.map_batches(fn, batch_format="pandas")

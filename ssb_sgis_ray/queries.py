@@ -3414,19 +3414,29 @@ def q_overlay_union_cell(sf_dir: str):
     is exact. Shares overlay_union's 3-row Klee-sweep oracle."""
     from ray.data.aggregate import Sum
 
-    def inter_leg(b: pa.Table) -> pa.Table:
-        a = b["piece_area"].to_numpy(zero_copy_only=False) if len(b) else np.zeros(0)
+    pairs = overlay_ops.cell_pair_table(
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
+    )
+
+    def inter_leg(b: pd.DataFrame) -> pa.Table:
+        total = 0
+        if len(b):
+            lpg = wkb.decode_polygons(b["left_geom"].to_numpy())
+            R = overlay_ops.RightGeoms(pa.table(
+                {"geometry_wkb": pa.array(list(b["right_geom"]), pa.binary())}
+            ))
+            idx = np.arange(len(lpg))
+            _, _, areas, _ = overlay_ops.intersection_pieces(
+                lpg, kernels.polygon_bounds(lpg),
+                kernels.decompose_rectilinear(lpg),
+                kernels.detect_axis_rects(lpg), R, idx, idx, True,
+            )
+            total = int(np.round(np.asarray(areas)).sum())
         return pa.table(
-            {
-                "leg": pa.array(["inter"]),
-                "area_i": pa.array([int(np.round(a).sum())], pa.int64()),
-            }
+            {"leg": pa.array(["inter"]), "area_i": pa.array([total], pa.int64())}
         )
 
-    inter = overlay_ops.overlay_pairs_cell(
-        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
-        res=10, emit="area",
-    ).map_batches(inter_leg, batch_format="pyarrow")
+    inter = pairs.map_batches(inter_leg, batch_format="pandas")
 
     def rem_leg(name: str):
         def fn(b: pd.DataFrame) -> pa.Table:
@@ -3442,10 +3452,12 @@ def q_overlay_union_cell(sf_dir: str):
         return fn
 
     left_rem = overlay_ops.overlay_difference_cell(
-        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10,
+        pairs=pairs,
     ).map_batches(rem_leg("left"), batch_format="pandas")
     right_rem = overlay_ops.overlay_difference_cell(
-        orders_ds(sf_dir), parts(sf_dir), "o_orderkey", "p_partkey", res=10
+        orders_ds(sf_dir), parts(sf_dir), "o_orderkey", "p_partkey", res=10,
+        pairs=overlay_ops.swap_pair_table(pairs),
     ).map_batches(rem_leg("right"), batch_format="pandas")
 
     return (
