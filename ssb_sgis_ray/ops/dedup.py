@@ -208,8 +208,6 @@ def minhash_candidate_pairs(docs_ds):
     no driver materialization at any size (VERDICT r1 scale-blocker #4).
     Doc ids must fit in 31 bits for the packing (pk = id_a·2³¹ + id_b).
     """
-    from ray.data.aggregate import Count
-
     bands = docs_ds.map_batches(MinHashStage, batch_format="pandas",
                                 concurrency=default_pool(), batch_size=4096)
 
@@ -224,8 +222,6 @@ def minhash_candidate_pairs(docs_ds):
         .groupby("super")
         .map_groups(_super_groups_to_pairs, batch_format="pandas")
     )
-
-    _ = Count  # (kept import for callers extending with band counts)
 
     def pack(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -273,7 +269,11 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
 
     from .dissolve import default_join_partitions
 
-    pairs_ds = pairs_ds.materialize()  # consumed twice: id set + join
+    # repartition first: map_groups-produced pair datasets can contain
+    # schema-less 0-row blocks from empty hash partitions, which crash the
+    # Dataset.joins below; the block coalesce merges them away (see
+    # DEVNOTES round-3 review). Then materialize: consumed twice below.
+    pairs_ds = pairs_ds.repartition(default_join_partitions(None)).materialize()
     n_pairs = pairs_ds.count()
     if num_partitions is None:
         # one aggregator actor per ~50k pair rows, capped at cluster CPUs:

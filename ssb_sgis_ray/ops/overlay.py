@@ -552,7 +552,6 @@ def overlay_union_legs(
     concurrency: int | tuple | None = None,
     batch_size: int = 512,
 ):
-    concurrency = default_pool(concurrency)
     """union / symmetric_difference / update via composed legs.
 
     union = intersection ⊎ left-difference ⊎ right-difference legs;
@@ -567,6 +566,7 @@ def overlay_union_legs(
     """
     if how not in ("union", "symmetric_difference", "update"):
         raise ValueError(how)
+    concurrency = default_pool(concurrency)
     ref = ray.put(right_table)
 
     left_cols = [c for c in left.schema().names if c != "geometry_wkb"]
@@ -979,55 +979,6 @@ def overlay_difference_cell(
 # ---------------------------------------------------------------------------
 
 
-def _right_diff_area_kernel(right_table: pa.Table):
-    """Group kernel: AREA of (right row − union(matching left geoms)).
-
-    No geometry assembly: rectilinear subjects get a Klee union sweep of
-    the clipped clips (area = subject − covered), anything else the
-    boolean engine's area pass. Replaces the sequential
-    subtract_rect_from_rects painter whose piece lists grow with every
-    clip (~10 ms/group → ~1 ms/group on 190-clip groups)."""
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        row = int(g["right_row"].iloc[0])
-        rpg = wkb.decode_polygons(right_table["geometry_wkb"].slice(row, 1))
-        lpg = wkb.decode_polygons(g["left_geom"].to_numpy())
-        s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(rpg)
-        c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(lpg)
-        if s_rlin[0] and c_rlin.all():
-            area = 0.0
-            for t in range(s_offs[0], s_offs[1]):
-                sb = s_rects[t]
-                x0 = np.maximum(c_rects[:, 0], sb[0])
-                y0 = np.maximum(c_rects[:, 1], sb[1])
-                x1 = np.minimum(c_rects[:, 2], sb[2])
-                y1 = np.minimum(c_rects[:, 3], sb[3])
-                m = (x1 > x0) & (y1 > y0)
-                cov = (
-                    kernels.rects_union_area(
-                        np.stack([x0[m], y0[m], x1[m], y1[m]], axis=1)
-                    )
-                    if m.any()
-                    else 0.0
-                )
-                area += (sb[2] - sb[0]) * (sb[3] - sb[1]) - cov
-        else:
-            from ..geo import booleans as B
-
-            s_r, s_h = B.ringset_of_row(rpg, 0)
-            c_r, c_h = [], []
-            for i in range(len(lpg)):
-                rr, hh = B.ringset_of_row(lpg, i)
-                c_r.extend(rr)
-                c_h.extend(hh)
-            area = B.boolean_area(s_r, c_r, "difference", s_h, c_h)
-        if area <= 0:
-            return pd.DataFrame({"area_i": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"area_i": [np.int64(round(area))]})
-
-    return fn
-
-
 def overlay_union_leg_areas(
     left,
     right_table: pa.Table,
@@ -1036,7 +987,6 @@ def overlay_union_leg_areas(
     batch_size: int = 512,
     num_partitions: int | None = None,
 ):
-    concurrency = default_pool(concurrency)
     """(leg, area_i) rows of the union/symmetric_difference composition —
     the area-only pushdown of overlay_union_legs: the intersection leg
     streams piece areas (no WKB), the right-difference leg runs the Klee
@@ -1044,9 +994,10 @@ def overlay_union_leg_areas(
     legs decode geometry."""
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from .dissolve import default_join_partitions
+
+    concurrency = default_pool(concurrency)
 
     if how not in ("union", "symmetric_difference"):
         raise ValueError(how)
@@ -1111,8 +1062,6 @@ def overlay_union_leg_areas(
     if pairs.count() == 0:
         legs.append(leg_of(right_rows, "right", "geometry"))
     else:
-        _ = Count  # fine-grained aggregate replaced by coarse distinct
-
         def batch_ids(b: pa.Table) -> pa.Table:
             u = np.unique(b["right_row"].to_numpy(zero_copy_only=False))
             return pa.table(
@@ -1131,6 +1080,9 @@ def overlay_union_leg_areas(
             pairs.map_batches(batch_ids, batch_format="pyarrow")
             .groupby("sup")
             .map_groups(distinct_ids, batch_format="pandas")
+            # block coalesce: empty hash partitions emit schema-less 0-row
+            # blocks that crash Dataset.join (see DEVNOTES round-3 review)
+            .repartition(default_join_partitions(num_partitions))
         )
         um = right_rows.join(
             matched_ids,
@@ -1151,79 +1103,6 @@ def overlay_union_leg_areas(
 
 
 _RIGHT_SUPER_GROUPS = 512
-
-
-class RightRectPairsEmitter:
-    """Area-plan right-leg pair emitter: for RECTILINEAR left rows, ships
-    the decomposed clip RECTS (4 floats) instead of WKB geometry — at
-    sf0.1 the WKB pair shuffle was 2.6 GB and 27.8M per-group decodes;
-    rows also carry a coarse ``super`` key (right_row % 512) so the
-    downstream kernel processes hundreds of right rows per group instead
-    of paying per-group overhead on 150k fine groups. Non-rectilinear
-    left rows still ship geometry (nullable column)."""
-
-    def __init__(self, right_ref):
-        self.idx_state = None
-        self.right_ref = right_ref
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.idx_state is None:
-            right: pa.Table = ray.get(self.right_ref)
-            rpg = wkb.decode_polygons(right["geometry_wkb"])
-            self.idx_state = (
-                rpg, STRtree(kernels.polygon_bounds(rpg)),
-                kernels.detect_axis_rects(rpg),
-            )
-        rpg, tree, r_is_rect = self.idx_state
-        lpg = wkb.decode_polygons(batch["geometry_wkb"])
-        l_is_rect = kernels.detect_axis_rects(lpg)
-        lb = kernels.polygon_bounds(lpg)
-        qi, pi = tree.query_bbox(lb)
-        if len(qi):
-            both_rect = l_is_rect[qi] & r_is_rect[pi]
-            keep = np.ones(len(qi), dtype=bool)
-            gi = np.nonzero(~both_rect)[0]
-            if len(gi):
-                keep[gi] = kernels.polygons_intersect_pairs(lpg, rpg, qi[gi], pi[gi])
-            qi, pi = qi[keep], pi[keep]
-        l_rects, l_offs, l_rlin = kernels.decompose_rectilinear(lpg)
-        is_rl = l_rlin[qi] if len(qi) else np.zeros(0, bool)
-        # rectilinear pairs -> one row per decomposed clip rect
-        qr, pr = qi[is_rl], pi[is_rl]
-        counts = (l_offs[qr + 1] - l_offs[qr]).astype(np.int64)
-        T = int(counts.sum())
-        rep = np.repeat(np.arange(len(qr)), counts)
-        base = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        ridx = np.repeat(l_offs[qr], counts) + (np.arange(T) - np.repeat(base, counts))
-        rect_rows = {
-            "right_row": pr[rep].astype(np.int64),
-            "x0": l_rects[ridx, 0], "y0": l_rects[ridx, 1],
-            "x1": l_rects[ridx, 2], "y1": l_rects[ridx, 3],
-        }
-        # non-rectilinear pairs -> geometry payload
-        qg, pg_ = qi[~is_rl], pi[~is_rl]
-        n_g = len(qg)
-        cols = {
-            "super": pa.array(
-                np.concatenate([rect_rows["right_row"], pg_.astype(np.int64)])
-                % _RIGHT_SUPER_GROUPS,
-                pa.int64(),
-            ),
-            "right_row": pa.array(
-                np.concatenate([rect_rows["right_row"], pg_.astype(np.int64)]),
-                pa.int64(),
-            ),
-        }
-        for c in ("x0", "y0", "x1", "y1"):
-            cols[c] = pa.array(
-                np.concatenate([rect_rows[c], np.full(n_g, np.nan)]), pa.float64()
-            )
-        geom = batch["geometry_wkb"].take(pa.array(qg, pa.int64()))
-        nulls = pa.nulls(T, pa.binary())
-        cols["left_geom"] = pa.concat_arrays(
-            [nulls, geom.combine_chunks() if hasattr(geom, "combine_chunks") else geom]
-        )
-        return pa.table(cols)
 
 
 def _right_diff_area_super_kernel(right_table: pa.Table, s_rects, s_offs, s_rlin):
@@ -1519,8 +1398,10 @@ def _materialize_small(ds, limit: int) -> pa.Table | None:
     to the driver."""
     if isinstance(ds, pa.Table):
         return ds
-    n = ds.count()
-    if n > limit:
+    # limit-probe: the streaming executor short-circuits after limit+1
+    # rows, so a LARGE side costs a truncated execution — never a full
+    # count pass or an object-store materialization of the big side
+    if ds.limit(limit + 1).count() > limit:
         return None
     import pyarrow as _pa
 
