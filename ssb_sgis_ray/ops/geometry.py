@@ -113,15 +113,20 @@ def make_all_singlepart(batch: pa.Table, id_col: str,
         return batch.append_column(
             "part_no", pa.array(np.zeros(len(batch), np.int64), pa.int64())
         )
-    take_idx: list[int] = []
-    part_no: list[int] = []
-    geoms: list[bytes] = []
     raw = bytes(buf)
-    for i in np.nonzero(~is_multi)[0]:
-        take_idx.append(int(i))
-        part_no.append(0)
-        geoms.append(raw[offsets[i]:offsets[i + 1]])
+    raw_np = np.frombuffer(raw, dtype=np.uint8)
+    # single-part rows: (start, end) spans taken straight from the Arrow
+    # offsets — no per-row Python slicing even in a mixed batch
+    single_idx = np.nonzero(~is_multi)[0].astype(np.int64)
+    s_start = offsets[single_idx].astype(np.int64)
+    s_end = offsets[single_idx + 1].astype(np.int64)
+    # multi rows: per-part spans need the nested length walk (python loop
+    # over MULTI rows only — typically the small minority of a batch)
     u32 = lambda at: int.from_bytes(raw[at:at + 4], "little")
+    m_take: list[int] = []
+    m_part: list[int] = []
+    m_start: list[int] = []
+    m_end: list[int] = []
     for i in np.nonzero(is_multi)[0]:
         i = int(i)
         t = int(types[i])
@@ -137,16 +142,40 @@ def make_all_singlepart(batch: pa.Table, id_col: str,
                 end = p + 9
                 for _ in range(nrings):
                     end += 4 + u32(end) * 16
-            take_idx.append(i)
-            part_no.append(j)
-            geoms.append(raw[p:end])
+            m_take.append(i)
+            m_part.append(j)
+            m_start.append(p)
+            m_end.append(end)
             p = end
-    idx = pa.array(np.asarray(take_idx, dtype=np.int64), pa.int64())
+    take_np = np.concatenate([single_idx, np.asarray(m_take, dtype=np.int64)])
+    part_np = np.concatenate(
+        [np.zeros(len(single_idx), np.int64), np.asarray(m_part, dtype=np.int64)]
+    )
+    start = np.concatenate([s_start, np.asarray(m_start, dtype=np.int64)])
+    end = np.concatenate([s_end, np.asarray(m_end, dtype=np.int64)])
+    # one fused gather builds the whole output binary column: multi-range
+    # byte copy via repeat/cumsum indexing, then a zero-copy Arrow wrap
+    lens = end - start
+    tot = int(lens.sum())
+    if tot >= 1 << 31:  # Arrow binary offsets are int32; bound per batch
+        raise ValueError("batch WKB exceeds 2 GB — lower batch_size")
+    base = np.repeat(start, lens)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    values = raw_np[base + within]
+    out_off = np.zeros(len(lens) + 1, dtype=np.int32)
+    out_off[1:] = np.cumsum(lens)
+    geom_arr = pa.BinaryArray.from_buffers(
+        pa.binary(), len(lens),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+    idx = pa.array(take_np, pa.int64())
     cols = {
-        name: (pa.array(geoms, pa.binary()) if name == wkb_col
-               else batch[name].take(idx))
+        name: (geom_arr if name == wkb_col else batch[name].take(idx))
         for name in batch.schema.names
     }
+    part_no = part_np
     cols["part_no"] = pa.array(np.asarray(part_no, dtype=np.int64), pa.int64())
     return pa.table(cols)
 
