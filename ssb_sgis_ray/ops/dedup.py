@@ -269,11 +269,12 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
 
     from .dissolve import default_join_partitions
 
-    # repartition first: map_groups-produced pair datasets can contain
-    # schema-less 0-row blocks from empty hash partitions, which crash the
-    # Dataset.joins below; the block coalesce merges them away (see
-    # DEVNOTES round-3 review). Then materialize: consumed twice below.
-    pairs_ds = pairs_ds.repartition(default_join_partitions(None)).materialize()
+    # NOTE: do NOT repartition pairs_ds here — repartitioning a tiny pair
+    # set SPLITS its one typed block across partitions and manufactures
+    # the very schema-less empties that crash the joins below (found the
+    # hard way: the planted-dup test). The as-produced block layout from
+    # minhash_candidate_pairs joins cleanly at every size the sweeps run.
+    pairs_ds = pairs_ds.materialize()  # consumed twice: id set + join
     n_pairs = pairs_ds.count()
     if num_partitions is None:
         # one aggregator actor per ~50k pair rows, capped at cluster CPUs:

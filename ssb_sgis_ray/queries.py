@@ -3405,6 +3405,54 @@ def q_overlay_symdiff(sf_dir: str):
     return out.groupby("leg").aggregate(Sum("area_i", alias_name="total_area"))
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (15-min windows advancing every 5 min):
+    each event feeds the 3 windows covering it — flat-map to window ids
+    inside map_batches (one row per (event, window)), partial counts per
+    batch, then a single int64-key groupby sum. The streaming-window
+    pattern without an event-time runtime: windows are just derived keys."""
+    STEP = 300_000_000  # 5 min in us
+    SPAN = 3  # windows covering an event: floor(t/step)-2 .. floor(t/step)
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        base = ts // STEP
+        win = (base[:, None] - np.arange(SPAN)[None, :]).ravel()
+        vv = np.repeat(v, SPAN)
+        # per-batch partial: sum + count per window
+        import pandas as _pd
+
+        agg = _pd.DataFrame({"w": win, "v": vv}).groupby("w", as_index=False).agg(
+            value_c=("v", "sum"), n_events=("v", "size")
+        )
+        return pa.table(
+            {
+                "window_id": pa.array(agg["w"].to_numpy(np.int64), pa.int64()),
+                "value_c": pa.array(agg["value_c"].to_numpy(np.int64), pa.int64()),
+                "n_events": pa.array(agg["n_events"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    ).map_batches(expand, batch_format="pyarrow")
+    return ds.groupby("window_id").aggregate(
+        Sum("value_c", alias_name="value_c"), Sum("n_events", alias_name="n_events")
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT (epoch_us(ts) // 300000000) - o.off AS window_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       count(*) AS n_events
+FROM events, LATERAL (SELECT unnest([0, 1, 2]) AS off) o
+GROUP BY 1
+"""
+
+
 def q_overlay_union_cell(sf_dir: str):
     """Co-partitioned large×large UNION composition — all three legs with
     BOTH sides streaming as Datasets (no broadcast anywhere): the
@@ -3880,6 +3928,7 @@ REGISTRY: dict[str, tuple] = {
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "overlay_union_cell": (q_overlay_union_cell, SQL_OVERLAY_UNION),
     "minhash_keep": (q_minhash_keep, None),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
@@ -3919,11 +3968,11 @@ REGISTRY: dict[str, tuple] = {
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
-    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "minhash_pairs": (q_minhash_pairs, None),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
+    "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "langid": (q_langid, _langid_sql()),
