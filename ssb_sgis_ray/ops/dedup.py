@@ -110,6 +110,10 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 BUCKET_CAP = 4096  # band-bucket size beyond which all-pairs is refused
 SUPER_GROUPS = 256  # shuffle groups for the LSH bucket stage
+# verify dual-plan bounds: below these the broadcast verify path runs
+# (driver holds 16 B/pair of ids + the candidate docs' texts once)
+SMALL_VERIFY_PAIRS = 5_000_000
+BROADCAST_DOCS_LIMIT = 200_000
 
 
 def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -269,11 +273,6 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
 
     from .dissolve import default_join_partitions
 
-    # NOTE: do NOT repartition pairs_ds here — repartitioning a tiny pair
-    # set SPLITS its one typed block across partitions and manufactures
-    # the very schema-less empties that crash the joins below (found the
-    # hard way: the planted-dup test). The as-produced block layout from
-    # minhash_candidate_pairs joins cleanly at every size the sweeps run.
     pairs_ds = pairs_ds.materialize()  # consumed twice: id set + join
     n_pairs = pairs_ds.count()
     if num_partitions is None:
@@ -292,6 +291,77 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
                 }
             )
         )
+
+    # Dual plan. SMALL regime (the common one): pull the pair ID COLUMNS
+    # (16 bytes/pair) to the driver, broadcast the candidate docs' texts,
+    # verify in one map over the pairs — no Dataset.join anywhere. This is
+    # both faster at bench sizes AND immune to the map_groups empty-block
+    # join crash (schema-less 0-row blocks on a join side — see DEVNOTES):
+    # pairs datasets produced by groupby().map_groups can carry such
+    # blocks, and whether a join partition ends up column-less depends on
+    # block-to-partition luck. LARGE regime: the semi-join + two text
+    # joins below — at that density every partition is non-empty.
+    if n_pairs <= SMALL_VERIFY_PAIRS:
+        import ray
+
+        chunks = [
+            b for b in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20
+            )
+        ]
+        a_all = np.concatenate(
+            [c["id_a"].to_numpy(zero_copy_only=False) for c in chunks]
+        ).astype(np.int64)
+        b_all = np.concatenate(
+            [c["id_b"].to_numpy(zero_copy_only=False) for c in chunks]
+        ).astype(np.int64)
+        cand = np.unique(np.concatenate([a_all, b_all]))
+        if len(cand) <= BROADCAST_DOCS_LIMIT:
+            cand_arr = cand  # closure-shipped (<= 1.6 MB at the limit)
+
+            def pick(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = np.isin(ids, cand_arr)
+                return b.filter(pa.array(keep))
+
+            docs_tbl_batches = docs_ds.map_batches(
+                pick, batch_format="pyarrow"
+            ).take_all()  # bounded by BROADCAST_DOCS_LIMIT rows
+            ids_l = np.array([r["doc_id"] for r in docs_tbl_batches], dtype=np.int64)
+            texts_l = [r["text"] for r in docs_tbl_batches]
+            order = np.argsort(ids_l)
+            ref = ray.put((ids_l[order], [texts_l[i] for i in order]))
+
+            class VerifySmall:
+                def __init__(self, ref):
+                    self.ids, self.texts = ray.get(ref)
+
+                def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                    if not len(batch):
+                        return pd.DataFrame(
+                            {"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")}
+                        )
+                    a = batch["id_a"].to_numpy().astype(np.int64)
+                    bb = batch["id_b"].to_numpy().astype(np.int64)
+                    pa_ = np.searchsorted(self.ids, a)
+                    pb_ = np.searchsorted(self.ids, bb)
+                    sims = np.array([
+                        ngram_jaccard(self.texts[int(pa_[i])],
+                                      self.texts[int(pb_[i])], k)
+                        for i in range(len(a))
+                    ])
+                    keep = sims >= threshold
+                    return pd.DataFrame(
+                        {"id_a": a[keep], "id_b": bb[keep],
+                         "jaccard": sims[keep]}
+                    )
+
+            return pairs_ds.map_batches(
+                VerifySmall, batch_format="pandas", batch_size=4096,
+                fn_constructor_args=(ref,), concurrency=(1, 8),
+            )
 
     def both_ids(b: pa.Table) -> pa.Table:
         a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
