@@ -892,12 +892,24 @@ def shared_border_length(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -
     return float(seg_len.sum())
 
 
+_GRID_UNION_CELL_CAP = 4_000_000  # int32 grid ≤ 16 MB (under glibc's 32 MB
+# DEFAULT_MMAP_THRESHOLD_MAX — a bigger grid would page-fault on first touch)
+
+
 def rects_union_area(rects: np.ndarray) -> float:
     """Union area of possibly-overlapping axis rects (Klee sweep).
 
-    Slab loop over distinct x-cuts with a numpy interval merge per slab —
-    O(n · slabs) with vectorized inner math; no sequential painter
-    subtraction (whose piece lists grow quadratically)."""
+    Two plans behind one exact contract:
+    - compressed diff-grid (default): scatter ±1 at rect corners on the
+      (x-cuts × y-cuts) grid, double cumsum, sum cell areas where count>0.
+      Fully vectorized — ~10× the slab loop for the ≲1k-rect unions the
+      overlay right-diff leg runs per row.
+    - slab loop over distinct x-cuts with a numpy interval merge per slab —
+      O(n · slabs) memory-light fallback when the compressed grid would
+      exceed _GRID_UNION_CELL_CAP cells.
+    Both sum exact products of the input coordinates (integer-exact in the
+    fixture world); no sequential painter subtraction (whose piece lists
+    grow quadratically)."""
     if len(rects) == 0:
         return 0.0
     x0s_, y0s_, x1s_, y1s_ = rects[:, 0], rects[:, 1], rects[:, 2], rects[:, 3]
@@ -909,6 +921,23 @@ def rects_union_area(rects: np.ndarray) -> float:
     xs = np.unique(np.concatenate([rects[:, 0], rects[:, 2]]))
     x0s, x1s = rects[:, 0], rects[:, 2]
     y0s, y1s = rects[:, 1], rects[:, 3]
+    ys = np.unique(np.concatenate([y0s, y1s]))
+    if (len(xs) - 1) * (len(ys) - 1) <= _GRID_UNION_CELL_CAP:
+        xi0 = np.searchsorted(xs, x0s)
+        xi1 = np.searchsorted(xs, x1s)
+        yi0 = np.searchsorted(ys, y0s)
+        yi1 = np.searchsorted(ys, y1s)
+        d = np.zeros((len(xs), len(ys)), dtype=np.int32)
+        np.add.at(d, (xi0, yi0), 1)
+        np.add.at(d, (xi1, yi0), -1)
+        np.add.at(d, (xi0, yi1), -1)
+        np.add.at(d, (xi1, yi1), 1)
+        # grid stays under the 32 MB mmap threshold, so the strided axis-0
+        # cumsum runs on heap-resident memory (no first-touch faults)
+        cov = d.cumsum(axis=1).cumsum(axis=0)[: len(xs) - 1, : len(ys) - 1]
+        dy = np.diff(ys)
+        dx = np.diff(xs)
+        return float(((cov > 0) * dy[None, :]).sum(axis=1) @ dx)
     total = 0.0
     for i in range(len(xs) - 1):
         a, b = xs[i], xs[i + 1]

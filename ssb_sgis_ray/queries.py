@@ -2031,6 +2031,39 @@ SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 20
 """
 
 
+def q_token_quantiles(sf_dir: str):
+    """Exact rank-based token-count percentiles via the distributed
+    histogram-refinement k-select (ops/quantile.py): one aggregate pass
+    for min/max/count plus one per refinement round — no shuffle, O(bins)
+    driver state. Rank k = ceil(q_pct*n/100.0), the value
+    ``ORDER BY n_tokens LIMIT 1 OFFSET k-1`` returns; both sides compute
+    the rank with the same double-precision op order so ties are
+    impossible."""
+    from .ops import quantile as quantile_ops
+
+    ds = (
+        q_token_stats(sf_dir)
+        .select_columns(["n_tokens"])
+        .materialize()  # narrow int64 projection, consumed once per round
+    )
+    pcts = np.array([10, 50, 90, 99], dtype=np.int64)
+    n = ds.count()
+    ranks = np.ceil(pcts * n / 100.0).astype(np.int64)
+    vals = quantile_ops.exact_kth_smallest(ds, "n_tokens", ranks=ranks)
+    return pd.DataFrame({"q_pct": pcts, "value": vals.astype(np.int64)})
+
+
+SQL_TOKEN_QUANTILES = f"""
+WITH t AS (SELECT n_tokens FROM ({SQL_TOKEN_STATS})),
+r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM t),
+n AS (SELECT count(*) AS cnt FROM t)
+SELECT CAST(q.q_pct AS BIGINT) AS q_pct, r.n_tokens AS value
+FROM (VALUES (10), (50), (90), (99)) AS q(q_pct)
+CROSS JOIN n
+JOIN r ON r.rn = CAST(ceil(q.q_pct * n.cnt / 100.0) AS BIGINT)
+"""
+
+
 def q_quality_filter(sf_dir: str):
     stats = q_token_stats(sf_dir)
 
@@ -3968,6 +4001,7 @@ REGISTRY: dict[str, tuple] = {
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "minhash_pairs": (q_minhash_pairs, None),

@@ -541,3 +541,45 @@ def test_voronoi_lattice_and_duplicates():
     areas2 = [kernels.ring_area(c) if len(c) else 0.0 for c in cells2]
     assert areas2[1] == 0.0
     assert abs(sum(areas2) - 10000) < 1e-9
+
+
+def test_rects_union_area_grid_vs_slab_differential(monkeypatch):
+    """Both Klee plans (compressed diff-grid and slab loop) must return the
+    same union area on random overlapping rect mixes, including degenerate
+    duplicates and rects touching at edges."""
+    from ssb_sgis_ray.geo import kernels as K
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 17, 120, 700):
+        x0 = rng.integers(0, 500, n).astype(float)
+        y0 = rng.integers(0, 500, n).astype(float)
+        w = rng.integers(1, 120, n).astype(float)
+        h = rng.integers(1, 120, n).astype(float)
+        rects = np.stack([x0, y0, x0 + w, y0 + h], axis=1)
+        # duplicate a few rows and add an edge-touching pair
+        rects = np.concatenate([rects, rects[: max(1, n // 5)]])
+        rects = np.concatenate(
+            [rects, np.array([[0.0, 0.0, 10.0, 10.0], [10.0, 0.0, 20.0, 10.0]])]
+        )
+        got_grid = K.rects_union_area(rects)
+        monkeypatch.setattr(K, "_GRID_UNION_CELL_CAP", 0)
+        got_slab = K.rects_union_area(rects)
+        monkeypatch.undo()
+        assert got_grid == pytest.approx(got_slab, abs=1e-6)
+        # independent pixel-accumulation check on a small instance
+        if n <= 17:
+            xs = np.unique(rects[:, [0, 2]])
+            ys = np.unique(rects[:, [1, 3]])
+            area = 0.0
+            for i in range(len(xs) - 1):
+                for j in range(len(ys) - 1):
+                    cx = (xs[i] + xs[i + 1]) / 2
+                    cy = (ys[j] + ys[j + 1]) / 2
+                    if (
+                        (rects[:, 0] <= cx)
+                        & (rects[:, 2] >= cx)
+                        & (rects[:, 1] <= cy)
+                        & (rects[:, 3] >= cy)
+                    ).any():
+                        area += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+            assert got_grid == pytest.approx(area, abs=1e-6)

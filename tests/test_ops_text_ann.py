@@ -234,3 +234,31 @@ def test_simhash_batch_properties(ray_session):
     d_far = int(dedup_ops.hamming64(np.array([hs[0]]), np.array([hs[2]]))[0])
     assert d_near <= 8 < d_far
     assert hs[3] == 0
+
+
+def test_exact_quantiles_differential(ray_session):
+    """Histogram-refinement k-select == numpy sorted ranks, on a
+    duplicate-heavy signed mix; tiny bins force multi-round refinement."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import quantile as quantile_ops
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [rng.integers(-1000, 50000, 5000), np.full(800, 42), np.full(3, -1000)]
+    )
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    srt = np.sort(vals)
+    qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+    got = quantile_ops.exact_quantiles(ds, "v", qs)
+    exp = [srt[max(int(np.ceil(q * len(vals))), 1) - 1] for q in qs]
+    assert list(got) == [int(x) for x in exp]
+    # explicit ranks + forced multi-round (bins=4 -> ~8 rounds for 51k range)
+    ranks = [1, 17, len(vals)]
+    got2 = quantile_ops.exact_kth_smallest(ds, "v", ranks=ranks, bins=4,
+                                           max_rounds=40)
+    assert list(got2) == [int(srt[r - 1]) for r in ranks]
+    with pytest.raises(ValueError):
+        quantile_ops.exact_kth_smallest(ds, "v", ranks=[0])
+    with pytest.raises(ValueError):
+        quantile_ops.exact_kth_smallest(ds, "v", ranks=[len(vals) + 1])
