@@ -984,14 +984,22 @@ def overlay_union_leg_areas(
     right_table: pa.Table,
     how: str = "union",
     concurrency: int | tuple | None = None,
-    batch_size: int = 512,
+    batch_size: int = 128,
     num_partitions: int | None = None,
 ):
     """(leg, area_i) rows of the union/symmetric_difference composition —
     the area-only pushdown of overlay_union_legs: the intersection leg
     streams piece areas (no WKB), the right-difference leg runs the Klee
     area kernel, and only the (small) left-difference and unmatched-right
-    legs decode geometry."""
+    legs decode geometry.
+
+    batch_size default is 128, measured not guessed: with ~1,400 matched
+    rights per left row the per-batch pair expansion is T ≈ batch_size *
+    1,400 rows, and every (T,4) temporary past glibc's 32 MB
+    DEFAULT_MMAP_THRESHOLD_MAX page-faults on first touch. sf0.1 / 32
+    CPUs interleaved trials: bs=128 45-61 s, bs=256 74-133 s, bs=512
+    87-105 s, bs=2048 223-293 s — smaller batches keep temporaries
+    heap-reusable and halve the wall."""
     import pyarrow.compute as pc
     import ray.data as rd
 
