@@ -2189,8 +2189,24 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def _head_rowgroups(path: str, columns: list[str], min_rows: int) -> "pa.Table":
+    """Read only as many leading row groups as needed for ``min_rows`` rows —
+    a bounded sample read, not a full-table scan (at 100 TB the difference
+    is the whole job)."""
+    f = pq.ParquetFile(path)
+    tabs, got = [], 0
+    for g in range(f.num_row_groups):
+        tabs.append(f.read_row_group(g, columns=columns))
+        got += tabs[-1].num_rows
+        if got >= min_rows:
+            break
+    return pa.concat_tables(tabs)
+
+
 def _query_vectors(sf_dir: str, n: int = 10) -> dict:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = _head_rowgroups(
+        f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], min_rows=n
+    )
     df = t.to_pandas()
     df = df[df["vec_id"] < n].sort_values("vec_id")
     return {
@@ -2228,7 +2244,7 @@ SELECT query_id, vec_id, ann_rank FROM (
 def q_ann_ivf(sf_dir: str):
     """IVF with nprobe == n_lists == exact (proves plumbing on the same
     oracle); recall<1 configs are exercised in pytest."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    t = _head_rowgroups(f"{sf_dir}/embeddings.parquet", ["embedding"], min_rows=2000)
     sample = ann_ops.embedding_matrix(t)[:2000]
     cent = ann_ops.kmeans_fit(sample, n_lists=8)
     out = ann_ops.ann_ivf(
@@ -2273,7 +2289,7 @@ def q_embed_dedup_pairs(sf_dir: str, threshold: float = 0.995):
     centroid lists, within-list all-pairs, distributed pair dedup — no
     full-matrix broadcast (the brute-force _EmbedDedupStage remains as
     the per-bucket kernel / pytest cross-check)."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    t = _head_rowgroups(f"{sf_dir}/embeddings.parquet", ["embedding"], min_rows=2000)
     sample = ann_ops.embedding_matrix(t)[:2000]
     cent = ann_ops.kmeans_fit(sample, n_lists=8)
     out = dedup_ops.embed_dedup_pairs_bucketed(
