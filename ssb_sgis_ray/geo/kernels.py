@@ -957,3 +957,194 @@ def rects_union_area(rects: np.ndarray) -> float:
         np.maximum.at(seg_hi, seg_id, hi)
         total += (b - a) * float(np.sum(seg_hi - seg_lo))
     return total
+
+
+# ---------------------------------------------------------------------------
+# Expression-layer kernels: representative point, unique vertices,
+# boundary shortest-line (SURVEY §2.9; reference duplicates.py:242,
+# point_operations.py:197-223, closing_network_holes.py:307)
+# ---------------------------------------------------------------------------
+
+
+def _row_coord_spans(pg: PolygonArray) -> tuple[np.ndarray, np.ndarray]:
+    """(start, stop) coord spans per ROW (all parts and rings)."""
+    r0 = pg.poly_offsets[pg.geom_offsets[:-1]]
+    r1 = pg.poly_offsets[pg.geom_offsets[1:]]
+    return pg.ring_offsets[r0], pg.ring_offsets[r1]
+
+
+def representative_points(pg: PolygonArray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic interior point per row (reference representative_point,
+    duplicates.py:242): horizontal scanline through the bbox midline, midpoint
+    of the WIDEST even-odd covered interval (ties -> leftmost interval).
+
+    If the midline y hits any vertex y of the row exactly, the scanline moves
+    to halfway between the midline and the next distinct vertex level BELOW it
+    — one step suffices, since that open interval contains no vertex y, so
+    every crossing comparison is strict. Holes and multiple parts are handled
+    by crossing ALL rings (even-odd rule). Fully vectorized across the batch.
+    """
+    n = len(pg)
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    c0, c1 = _row_coord_spans(pg)
+    xs_all = pg.coords[:, 0]
+    ys_all = pg.coords[:, 1]
+    ymin = np.minimum.reduceat(ys_all, c0)
+    ymax = np.maximum.reduceat(ys_all, c0)
+    yb = 0.5 * (ymin + ymax)
+    row_of_coord = np.repeat(np.arange(n), c1 - c0)
+    yb_c = yb[row_of_coord]
+    hit = np.bincount(row_of_coord[ys_all == yb_c], minlength=n) > 0
+    below = np.where(ys_all < yb_c, ys_all, -np.inf)
+    lo = np.maximum.reduceat(below, c0)
+    ystar = np.where(hit, 0.5 * (yb + lo), yb)
+
+    # edges: every coord except each ring's last (rings are stored closed)
+    edge_mask = np.ones(len(pg.coords), dtype=bool)
+    edge_mask[pg.ring_offsets[1:] - 1] = False
+    eidx = np.nonzero(edge_mask)[0]
+    erow = row_of_coord[eidx]
+    ya, yb2 = ys_all[eidx], ys_all[eidx + 1]
+    t = ystar[erow]
+    cross = (ya < t) != (yb2 < t)
+    ei = eidx[cross]
+    rowc = erow[cross]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xc = xs_all[ei] + (ystar[rowc] - ys_all[ei]) * (
+            xs_all[ei + 1] - xs_all[ei]
+        ) / (ys_all[ei + 1] - ys_all[ei])
+    order = np.lexsort((xc, rowc))
+    xs_s, rows_s = xc[order], rowc[order]
+    counts = np.bincount(rows_s, minlength=n)
+    base = np.concatenate([[0], np.cumsum(counts)])
+    within = np.arange(len(xs_s)) - base[rows_s]
+    iv0 = np.nonzero(within % 2 == 0)[0]
+    widths = xs_s[iv0 + 1] - xs_s[iv0]
+    iv_row = rows_s[iv0]
+    iv_counts = counts // 2
+    has = iv_counts > 0
+    rep_x = 0.5 * (
+        np.minimum.reduceat(xs_all, c0) + np.maximum.reduceat(xs_all, c0)
+    )  # fallback: bbox center (degenerate rows only)
+    if widths.size:
+        seg_starts = np.concatenate([[0], np.cumsum(iv_counts)])[:-1][has]
+        wmax_h = np.maximum.reduceat(widths, seg_starts)
+        wmax = np.full(n, -np.inf)
+        wmax[has] = wmax_h
+        cand = np.where(
+            widths == wmax[iv_row], np.arange(len(widths)), len(widths)
+        )
+        pick_h = np.minimum.reduceat(cand, seg_starts)
+        sel = iv0[pick_h]
+        rep_x[has] = 0.5 * (xs_s[sel] + xs_s[sel + 1])
+    return rep_x, ystar
+
+
+def unique_vertex_stats(pg: PolygonArray) -> dict:
+    """Per-row vertex dedup (reference extract_unique_points,
+    polygon_operations.py:7-20 usage): counts raw and distinct vertices over
+    ALL rings/parts and sums the distinct coordinates. Vectorized: one global
+    lexsort by (row, x, y), first-occurrence mask, bincount reductions."""
+    n = len(pg)
+    c0, c1 = _row_coord_spans(pg)
+    xs_all = pg.coords[:, 0]
+    ys_all = pg.coords[:, 1]
+    row = np.repeat(np.arange(n), c1 - c0)
+    order = np.lexsort((ys_all, xs_all, row))
+    r_s, x_s, y_s = row[order], xs_all[order], ys_all[order]
+    first = np.ones(len(r_s), dtype=bool)
+    if len(r_s) > 1:
+        first[1:] = (
+            (r_s[1:] != r_s[:-1]) | (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1])
+        )
+    return {
+        "n_raw": (c1 - c0).astype(np.int64),
+        "n_unique": np.bincount(r_s[first], minlength=n).astype(np.int64),
+        "x_sum": np.bincount(r_s[first], weights=x_s[first], minlength=n),
+        "y_sum": np.bincount(r_s[first], weights=y_s[first], minlength=n),
+    }
+
+
+def _seg_seg_closest(P1, P2, Q1, Q2):
+    """Closest points between segment pairs (vectorized Ericson 5.1.9).
+    Returns (dist2, cp_on_P, cp_on_Q)."""
+    d1 = P2 - P1
+    d2 = Q2 - Q1
+    r = P1 - Q1
+    a = (d1 * d1).sum(axis=1)
+    e = (d2 * d2).sum(axis=1)
+    f = (d2 * r).sum(axis=1)
+    c = (d1 * r).sum(axis=1)
+    b = (d1 * d2).sum(axis=1)
+    denom = a * e - b * b
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.where(denom > 0, np.clip((b * f - c * e) / np.where(denom > 0, denom, 1.0), 0.0, 1.0), 0.0)
+        t = np.where(e > 0, (b * s + f) / np.where(e > 0, e, 1.0), 0.0)
+        t_cl = np.clip(t, 0.0, 1.0)
+        s = np.where(
+            t != t_cl,
+            np.clip((b * t_cl - c) / np.where(a > 0, a, 1.0), 0.0, 1.0),
+            s,
+        )
+    cp1 = P1 + s[:, None] * d1
+    cp2 = Q1 + t_cl[:, None] * d2
+    diff = cp1 - cp2
+    return (diff * diff).sum(axis=1), cp1, cp2
+
+
+def boundary_shortest_lines(
+    a: PolygonArray, b: PolygonArray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-paired shortest_line / nearest_points (reference shapely
+    shortest_line at closing_network_holes.py:307, nearest_points at
+    point_operations.py:197-223): for each row i, the minimum distance
+    between the BOUNDARIES of a[i] and b[i] and the achieving point pair.
+    Rows whose polygons intersect (overlap/touch/containment) get dist2=0
+    and zero points. Vectorized edge-pair expansion across the batch."""
+    n = len(a)
+    assert len(b) == n
+    dist2 = np.zeros(n)
+    cpa = np.zeros((n, 2))
+    cpb = np.zeros((n, 2))
+    if n == 0:
+        return dist2, cpa, cpb
+    inter = polygons_intersect_pairs(a, b, np.arange(n), np.arange(n))
+    todo = np.nonzero(~inter)[0]
+    if len(todo) == 0:
+        return dist2, cpa, cpb
+
+    def _edges(pg: PolygonArray, rows: np.ndarray):
+        c0, c1 = _row_coord_spans(pg)
+        d = np.zeros(len(pg.coords) + 1, dtype=np.int32)
+        np.add.at(d, c0[rows], 1)
+        np.add.at(d, c1[rows], -1)
+        mask = np.cumsum(d[:-1]) > 0
+        mask[pg.ring_offsets[1:] - 1] = False
+        idx = np.nonzero(mask)[0]
+        row_of = np.repeat(np.arange(len(pg)), c1 - c0)
+        return idx, row_of[idx]
+
+    ia, ra = _edges(a, todo)
+    ib, rb = _edges(b, todo)
+    ea = np.bincount(ra, minlength=n)[todo]
+    eb = np.bincount(rb, minlength=n)[todo]
+    pair_counts = ea * eb
+    pair_base = np.concatenate([[0], np.cumsum(pair_counts)])
+    T = int(pair_base[-1])
+    pr = np.repeat(np.arange(len(todo)), pair_counts)  # index into todo
+    k = np.arange(T) - pair_base[pr]
+    a_base = np.concatenate([[0], np.cumsum(ea)])
+    b_base = np.concatenate([[0], np.cumsum(eb)])
+    ai_g = ia[a_base[pr] + k // eb[pr]]
+    bi_g = ib[b_base[pr] + k % eb[pr]]
+    d2, c1p, c2p = _seg_seg_closest(
+        a.coords[ai_g], a.coords[ai_g + 1], b.coords[bi_g], b.coords[bi_g + 1]
+    )
+    best = np.minimum.reduceat(d2, pair_base[:-1])
+    cand = np.where(best[pr] == d2, np.arange(T), T)
+    pick = np.minimum.reduceat(cand, pair_base[:-1])
+    dist2[todo] = best
+    cpa[todo] = c1p[pick]
+    cpb[todo] = c2p[pick]
+    return dist2, cpa, cpb

@@ -149,6 +149,30 @@ def encode_points_arrow(x: np.ndarray, y: np.ndarray) -> pa.Array:
     )
 
 
+def encode_segments_arrow(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray
+) -> pa.Array:
+    """Vectorized WKB 2-point LINESTRING encoding -> pa.binary (no loop).
+
+    Each segment is 41 bytes: 01 | 02000000 | 02000000 | x1 y1 x2 y2.
+    """
+    n = len(x1)
+    buf = np.empty((n, 41), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:9] = np.array([LINESTRING, 2], dtype="<u4").view(np.uint8)
+    for j, col in enumerate((x1, y1, x2, y2)):
+        s = 9 + 8 * j
+        buf[:, s : s + 8] = (
+            np.ascontiguousarray(col, dtype="<f8").view(np.uint8).reshape(n, 8)
+        )
+    offsets = np.arange(0, 41 * (n + 1), 41, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+
+
 def _ring_bytes(ring: np.ndarray) -> bytes:
     npts = np.array([len(ring)], dtype="<u4").tobytes()
     return npts + np.ascontiguousarray(ring, dtype="<f8").tobytes()
@@ -436,3 +460,79 @@ def encode_boxes_arrow(boxes: np.ndarray) -> pa.Array:
         n,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
     )
+
+
+# ---------------------------------------------------------------------------
+# force_2d: Z/M-stripping IO shim (reference force_2d, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _strip_zm_one(buf: bytes, pos: int, out: list) -> int:
+    """Copy one geometry from buf[pos:] into out with Z/M dropped; returns
+    the new read position. Handles EWKB flags and ISO 1000/2000/3000 type
+    offsets on all six geometry types (little-endian input)."""
+    if buf[pos] != 1:
+        raise ValueError("big-endian WKB not supported")
+    (raw,) = np.frombuffer(buf, "<u4", 1, pos + 1)
+    raw = int(raw)
+    has_srid = bool(raw & _EWKB_SRID)
+    flags_z = bool(raw & _EWKB_Z)
+    flags_m = bool(raw & _EWKB_M)
+    base = raw & 0x0FFFFFFF
+    iso = base // 1000  # 1=Z, 2=M, 3=ZM per ISO 13249-3
+    base = base % 1000
+    ndims = 2 + (1 if flags_z or iso in (1, 3) else 0) + (1 if flags_m or iso in (2, 3) else 0)
+    pos += 5
+    if has_srid:
+        pos += 4  # drop SRID
+    out.append(b"\x01" + np.array([base], dtype="<u4").tobytes())
+    if base == POINT:
+        c = np.frombuffer(buf, "<f8", ndims, pos)
+        out.append(c[:2].tobytes())
+        return pos + 8 * ndims
+    if base in (LINESTRING,):
+        (npts,) = np.frombuffer(buf, "<u4", 1, pos)
+        pos += 4
+        c = np.frombuffer(buf, "<f8", int(npts) * ndims, pos).reshape(-1, ndims)
+        out.append(np.array([npts], dtype="<u4").tobytes())
+        out.append(np.ascontiguousarray(c[:, :2]).tobytes())
+        return pos + 8 * ndims * int(npts)
+    if base == POLYGON:
+        (nrings,) = np.frombuffer(buf, "<u4", 1, pos)
+        pos += 4
+        out.append(np.array([nrings], dtype="<u4").tobytes())
+        for _ in range(int(nrings)):
+            (npts,) = np.frombuffer(buf, "<u4", 1, pos)
+            pos += 4
+            c = np.frombuffer(buf, "<f8", int(npts) * ndims, pos).reshape(-1, ndims)
+            out.append(np.array([npts], dtype="<u4").tobytes())
+            out.append(np.ascontiguousarray(c[:, :2]).tobytes())
+            pos += 8 * ndims * int(npts)
+        return pos
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, 7):  # 7 = collection
+        (ngeom,) = np.frombuffer(buf, "<u4", 1, pos)
+        pos += 4
+        out.append(np.array([ngeom], dtype="<u4").tobytes())
+        for _ in range(int(ngeom)):
+            pos = _strip_zm_one(buf, pos, out)
+        return pos
+    raise ValueError(f"unsupported WKB type {raw}")
+
+
+def force_2d(wkb_col) -> np.ndarray:
+    """Strip Z/M ordinates from WKB geometries (reference shapely force_2d,
+    SURVEY §2.9 expression layer). 2-D input round-trips byte-identically.
+    Per-geometry parser: an IO-compat shim applied at load time (as the
+    reference does), not a per-batch hot-path kernel."""
+    blobs, offs = _as_bytes_and_offsets(wkb_col)
+    raw = blobs.tobytes()
+    res = []
+    for i in range(len(offs) - 1):
+        out: list = []
+        _strip_zm_one(raw, int(offs[i]), out)
+        res.append(b"".join(out))
+    return np.array(res, dtype=object)

@@ -1341,3 +1341,27 @@ class SplitLinesByNearestPoint:
                 "geometry_wkb": pa.array(out_geom, pa.binary()),
             }
         )
+
+
+def reverse_lines(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Table:
+    """Reverse vertex order of every (multi)linestring (reference shapely
+    reverse, SURVEY §2.9; used for TF-oneway flipping in
+    directednetwork.py:85-202). Coordinate reversal is one vectorized index
+    permutation per batch; only the WKB re-assembly walks rows."""
+    la = wkb.decode_lines(batch[wkb_col])
+    starts = la.line_offsets[:-1]
+    stops = la.line_offsets[1:]
+    line_of = np.repeat(np.arange(len(starts)), stops - starts)
+    rev_idx = starts[line_of] + stops[line_of] - 1 - np.arange(len(la.coords))
+    rev = la.coords[rev_idx]
+    blobs = []
+    for i in range(len(la)):
+        l0, l1 = la.geom_offsets[i], la.geom_offsets[i + 1]
+        parts = [rev[starts[l] : stops[l]] for l in range(l0, l1)]
+        blobs.append(
+            wkb.encode_linestring(parts[0])
+            if l1 - l0 == 1
+            else wkb.encode_multilinestring(parts)
+        )
+    out = batch.remove_column(batch.column_names.index(wkb_col))
+    return out.append_column(wkb_col, pa.array(blobs, pa.binary()))

@@ -351,3 +351,183 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
         batch_format="pyarrow",
         concurrency=default_pool(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# line_merge (SURVEY §2.9; the reference calls shapely line_merge in
+# Network.__init__ network.py:24-110 and centerlines.py:116)
+# ---------------------------------------------------------------------------
+
+
+def _seg_endpoint_rows(batch: pa.Table, id_col: str, tolerance: float,
+                       num_groups: int) -> pa.Table:
+    """Per segment: two (sg, node_key, seg_id, end_no) rows, sg a coarse
+    shuffle key so the degree kernel regroups exact nodes in-kernel
+    (single-int coarse shuffle beats a fine-grained per-node groupby)."""
+    t = add_node_keys(batch, id_col, tolerance)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    node = np.concatenate(
+        [t["node_a"].to_numpy(zero_copy_only=False),
+         t["node_b"].to_numpy(zero_copy_only=False)]
+    )
+    n = len(ids)
+    seg = np.concatenate([ids, ids])
+    end_no = np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
+    return pa.table(
+        {
+            "sg": pa.array((node % num_groups + num_groups) % num_groups, pa.int64()),
+            "node_key": pa.array(node, pa.int64()),
+            "seg_id": pa.array(seg, pa.int64()),
+            "end_no": pa.array(end_no, pa.int64()),
+        }
+    )
+
+
+def _degree2_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one coarse group: degree-2 nodes link their two incident
+    segments; every end_no==0 row emits a self-pair so isolated segments
+    survive the components step. Vectorized via one lexsort."""
+    node = g["node_key"].to_numpy(np.int64)
+    seg = g["seg_id"].to_numpy(np.int64)
+    order = np.lexsort((seg, node))
+    node_s, seg_s = node[order], seg[order]
+    first = np.ones(len(node_s), dtype=bool)
+    first[1:] = node_s[1:] != node_s[:-1]
+    starts = np.nonzero(first)[0]
+    counts = np.diff(np.concatenate([starts, [len(node_s)]]))
+    deg2 = starts[counts == 2]
+    a, b = seg_s[deg2], seg_s[deg2 + 1]
+    keep = a != b  # a 1-segment closed loop links nothing
+    self_seg = g["seg_id"].to_numpy(np.int64)[g["end_no"].to_numpy(np.int64) == 0]
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate([a[keep], self_seg]),
+            "id_b": np.concatenate([b[keep], self_seg]),
+        }
+    )
+
+
+def _walk_chains_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Order each chain in the group (the one inherently sequential step,
+    bounded by chain length); emits one direction-normalized row per
+    merged line."""
+    out = {"merge_label": [], "start_x": [], "start_y": [],
+           "end_x": [], "end_y": [], "n_points": []}
+    labels = g["label"].to_numpy(np.int64)
+    for lab in np.unique(labels):
+        c = g[labels == lab]
+        na = c["node_a"].to_numpy(np.int64)
+        nb = c["node_b"].to_numpy(np.int64)
+        xs1 = c["x1"].to_numpy(); ys1 = c["y1"].to_numpy()
+        xs2 = c["x2"].to_numpy(); ys2 = c["y2"].to_numpy()
+        adj: dict[int, list[tuple[int, int]]] = {}
+        coord: dict[int, tuple[float, float]] = {}
+        for i in range(len(c)):
+            adj.setdefault(int(na[i]), []).append((i, 0))
+            adj.setdefault(int(nb[i]), []).append((i, 1))
+            coord[int(na[i])] = (float(xs1[i]), float(ys1[i]))
+            coord[int(nb[i])] = (float(xs2[i]), float(ys2[i]))
+        ends = [k for k, v in adj.items() if len(v) == 1]
+        pool = ends if ends else list(adj)
+        start = min(pool, key=lambda k: coord[k])
+        visited = np.zeros(len(c), dtype=bool)
+        cur = start
+        npts = 1
+        for _ in range(len(c)):
+            for i, e in adj[cur]:
+                if not visited[i]:
+                    visited[i] = True
+                    cur = int(nb[i]) if e == 0 else int(na[i])
+                    npts += 1
+                    break
+            else:
+                break
+        sx, sy = coord[start]
+        ex, ey = coord[cur]
+        if (ex, ey) < (sx, sy):
+            sx, sy, ex, ey = ex, ey, sx, sy
+        out["merge_label"].append(int(lab))
+        out["start_x"].append(sx)
+        out["start_y"].append(sy)
+        out["end_x"].append(ex)
+        out["end_y"].append(ey)
+        out["n_points"].append(npts)
+    # explicit dtypes keep the emitted schema stable on empty groups
+    return pd.DataFrame(
+        {
+            "merge_label": pd.array(out["merge_label"], dtype="int64"),
+            "start_x": np.asarray(out["start_x"], dtype=np.float64),
+            "start_y": np.asarray(out["start_y"], dtype=np.float64),
+            "end_x": np.asarray(out["end_x"], dtype=np.float64),
+            "end_y": np.asarray(out["end_y"], dtype=np.float64),
+            "n_points": pd.array(out["n_points"], dtype="int64"),
+        }
+    )
+
+
+def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
+               num_partitions: int | None = None, num_groups: int = 256):
+    """GEOS-style line_merge, fully distributed: merge 2-point segments that
+    meet end-to-end at nodes of degree exactly 2 into maximal paths
+    (junction nodes of degree >= 3 never link, matching GEOS; general
+    polylines can be pre-exploded to segments).
+
+    Plan: endpoint rows -> coarse (node % num_groups) shuffle with exact
+    in-kernel per-node regroup (degree-2 nodes emit one segment-pair edge,
+    every segment emits a self-pair so isolated segments survive) ->
+    connected_components over segment ids -> hash join of labels back to the
+    segment table -> coarse-grouped per-chain ordering walk. label = min
+    seg_id of the merged line. Returns (merge_label, start_x, start_y,
+    end_x, end_y, n_points), endpoints direction-normalized (lex-smaller
+    end first; closed rings report start == end).
+    """
+    from .dissolve import connected_components, default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+
+    def seg_table(batch: pa.Table) -> pa.Table:
+        t = add_node_keys(batch, id_col, tolerance)
+        la = wkb.decode_lines(batch["geometry_wkb"])
+        first = la.coords[la.line_offsets[la.geom_offsets[:-1]]]
+        last = la.coords[la.line_offsets[la.geom_offsets[1:]] - 1]
+        return pa.table(
+            {
+                "seg_id": t[id_col].cast(pa.int64()),
+                "node_a": t["node_a"],
+                "node_b": t["node_b"],
+                "x1": pa.array(first[:, 0]),
+                "y1": pa.array(first[:, 1]),
+                "x2": pa.array(last[:, 0]),
+                "y2": pa.array(last[:, 1]),
+            }
+        )
+
+    segs = segments_ds.map_batches(seg_table, batch_format="pyarrow").materialize()
+    pairs = (
+        segments_ds.map_batches(
+            lambda b: _seg_endpoint_rows(b, id_col, tolerance, num_groups),
+            batch_format="pyarrow",
+        )
+        .groupby("sg")
+        .map_groups(_degree2_pairs_group, batch_format="pandas")
+    )
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    joined = segs.join(
+        labels,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("seg_id",),
+        right_on=("node",),
+    )
+
+    def add_cg(b: pa.Table) -> pa.Table:
+        lab = b["label"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cg", pa.array((lab % num_groups + num_groups) % num_groups, pa.int64())
+        )
+
+    return (
+        joined.map_batches(add_cg, batch_format="pyarrow")
+        .groupby("cg")
+        .map_groups(_walk_chains_group, batch_format="pandas")
+    )

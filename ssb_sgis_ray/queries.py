@@ -3964,11 +3964,208 @@ FROM n
 # registry
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Expression-layer queries (SURVEY §2.9): representative_point,
+# extract_unique_points, shortest_line/nearest_points, line_merge
+# ---------------------------------------------------------------------------
+
+
+def q_rep_point(sf_dir: str):
+    """representative_point (reference duplicates.py:242) on the concave
+    part L-shapes: scanline through the bbox midline, widest even-odd
+    interval midpoint, vertex-hit avoidance rule mirrored in closed form
+    (all coordinates ≡ 0 mod 4, so doubled outputs are integer-exact)."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        rx, ry = kernels.representative_points(pg)
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "rep_x2_i": pa.array(np.round(2 * rx).astype(np.int64), pa.int64()),
+                "rep_y2_i": pa.array(np.round(2 * ry).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return parts_l(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
+# vertex-y levels of the L-shape are {y0, y1, y2}; the midline hits a vertex
+# iff y0+y2 = 2*y1, in which case the scanline drops to (y0+y1)/2 (below y1,
+# so the full-width slab applies)
+SQL_REP_POINT = f"""
+WITH {L_CTE}
+SELECT p_partkey,
+  CASE WHEN (CASE WHEN y0 + y2 = 2 * y1 THEN y0 + y1 ELSE y0 + y2 END) < 2 * y1
+       THEN x0 + x2 ELSE x0 + x1 END AS rep_x2_i,
+  CASE WHEN y0 + y2 = 2 * y1 THEN y0 + y1 ELSE y0 + y2 END AS rep_y2_i
+FROM l
+"""
+
+
+def q_unique_points(sf_dir: str):
+    """extract_unique_points (reference polygon vertex extraction,
+    polygons_as_rings.py:17-48 usage): each supplier diamond is segmentized
+    (4 edges -> k parts each) and DUPLICATED as a two-part multipolygon, so
+    the dedup must collapse both the ring-closing repeats and a bit-identical
+    second part. Closed form: 4k distinct vertices summing to (4k·sx, 4k·sy)
+    by symmetry."""
+    from .ops import geometry as geom_ops
+
+    def stage(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        blobs = []
+        for i in range(len(pg)):
+            r0 = pg.poly_offsets[pg.geom_offsets[i]]
+            ring = pg.coords[pg.ring_offsets[r0] : pg.ring_offsets[r0 + 1]]
+            seg = geom_ops.segmentize_coords(ring, float(_SEG_MAX))
+            blobs.append(wkb.encode_multipolygon([[seg], [seg]]))
+        pg2 = wkb.decode_polygons(np.array(blobs, dtype=object))
+        st = kernels.unique_vertex_stats(pg2)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "n_raw": pa.array(st["n_raw"], pa.int64()),
+                "n_unique": pa.array(st["n_unique"], pa.int64()),
+                "x_sum_i": pa.array(np.round(st["x_sum"]).astype(np.int64), pa.int64()),
+                "y_sum_i": pa.array(np.round(st["y_sum"]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return suppliers_ds(sf_dir).map_batches(stage, batch_format="pyarrow")
+
+
+SQL_UNIQUE_POINTS = f"""
+WITH s AS ({SUP_SQL}),
+k0 AS (
+  SELECT s_suppkey, sx, sy, 2 * r * r AS len2,
+         CAST(ceil(sqrt(CAST(2 * r * r AS DOUBLE)) / {{segmax}}) AS BIGINT) AS k0
+  FROM s
+),
+kk AS (
+  SELECT s_suppkey, sx, sy,
+         greatest(CASE WHEN k0 > 1 AND (k0 - 1) * (k0 - 1) * {{segmax2}} >= len2
+                       THEN k0 - 1 ELSE k0 END, 1) AS k
+  FROM k0
+)
+SELECT s_suppkey,
+       2 * (4 * k + 1) AS n_raw,
+       4 * k AS n_unique,
+       4 * k * sx AS x_sum_i,
+       4 * k * sy AS y_sum_i
+FROM kk
+""".replace("{segmax}", str(_SEG_MAX)).replace("{segmax2}", str(_SEG_MAX * _SEG_MAX))
+
+
+def q_shortest_line(sf_dir: str):
+    """shortest_line / nearest_points (reference closing_network_holes.py:307,
+    point_operations.py:197-223) between each part box and its key-derived
+    pair box: intersecting pairs report 0; disjoint pairs report the exact
+    integer boundary gap² (the achieving point pair is asserted in pytest)."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        a = wkb.decode_polygons(b["geometry_wkb"])
+        bb = wkb.decode_polygons(b["wkb_b"])
+        d2, _, _ = kernels.boundary_shortest_lines(a, bb)
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "dist2_i": pa.array(np.round(d2).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(synth.add_part_box_pairs, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow")
+    )
+
+
+SQL_SHORTEST_LINE = f"""
+WITH a AS ({PART_SQL}),
+b AS (SELECT p_partkey, {synth.PART_PAIR_SQL['bminx']} AS bminx,
+             {synth.PART_PAIR_SQL['bminy']} AS bminy,
+             {synth.PART_PAIR_SQL['bmaxx']} AS bmaxx,
+             {synth.PART_PAIR_SQL['bmaxy']} AS bmaxy FROM part),
+g AS (
+  SELECT a.p_partkey,
+         greatest(0, greatest(a.minx, b.bminx) - least(a.maxx, b.bmaxx)) AS gx,
+         greatest(0, greatest(a.miny, b.bminy) - least(a.maxy, b.bmaxy)) AS gy
+  FROM a JOIN b USING (p_partkey)
+)
+SELECT p_partkey, gx * gx + gy * gy AS dist2_i FROM g
+"""
+
+
+def q_line_merge(sf_dir: str):
+    """Distributed GEOS-style line_merge (reference Network.__init__
+    network.py:24-110, centerlines.py:116) over per-order lineitem chain
+    segments: duplicate (o, j) keys are dropped first (the synthetic
+    lineitem has them), then gaps in j split each order's polyline into
+    maximal paths the merge must rediscover. merge_label = min seg_id."""
+    from .ops import network as net_ops
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(synth.add_chain_segments, batch_format="pyarrow")
+
+    def add_dg(b: pa.Table) -> pa.Table:
+        sid = b["seg_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("dg", pa.array(sid % 256, pa.int64()))
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["seg_id"]).drop(columns=["dg"])
+
+    distinct = (
+        li.map_batches(add_dg, batch_format="pyarrow")
+        .groupby("dg")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+    merged = net_ops.line_merge(distinct, id_col="seg_id", tolerance=1.0)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "merge_label": b["merge_label"].cast(pa.int64()),
+                "start_x": b["start_x"].cast(pa.int64()),
+                "start_y": b["start_y"].cast(pa.int64()),
+                "end_x": b["end_x"].cast(pa.int64()),
+                "end_y": b["end_y"].cast(pa.int64()),
+                "n_points": b["n_points"].cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_LINE_MERGE = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_linenumber AS j FROM lineitem),
+isl AS (SELECT o, j,
+               j - row_number() OVER (PARTITION BY o ORDER BY j) AS grp
+        FROM d),
+agg AS (SELECT o, grp, min(j) AS j0, max(j) AS j1, count(*) AS c
+        FROM isl GROUP BY o, grp)
+SELECT o * 8 + j0 AS merge_label,
+       50 * o + 4 * (j0 - 1) AS start_x,
+       4 * ((o * 7 + (j0 - 1) * 13) % 1000) AS start_y,
+       50 * o + 4 * j1 AS end_x,
+       4 * ((o * 7 + j1 * 13) % 1000) AS end_y,
+       c + 1 AS n_points
+FROM agg
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "rep_point": (q_rep_point, SQL_REP_POINT),
+    "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
+    "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),
+    "line_merge": (q_line_merge, SQL_LINE_MERGE),
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),

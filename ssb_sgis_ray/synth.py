@@ -582,3 +582,66 @@ def tsp_ring_points(n_nationkey: np.ndarray):
     x = rad[rep] * np.cos(th)
     y = rad[rep] * np.sin(th)
     return k[rep], seq.astype(np.int64), x, y
+
+
+def part_pair_boxes(p_partkey):
+    """Second box per part for shortest_line/nearest_points: key-derived,
+    a mix of disjoint (positive gap) and overlapping (distance 0) pairs
+    against part_boxes. All coords ≡ 0 (mod 4)."""
+    k = _i64(p_partkey)
+    bminx = 4 * ((k * 101) % 10000)
+    bminy = 4 * ((k * 103) % 10000)
+    bmaxx = bminx + 4 * (100 + (k * 7) % 300)
+    bmaxy = bminy + 4 * (100 + (k * 11) % 300)
+    return bminx, bminy, bmaxx, bmaxy
+
+
+PART_PAIR_SQL = {
+    "bminx": "4 * ((p_partkey * 101) % 10000)",
+    "bminy": "4 * ((p_partkey * 103) % 10000)",
+    "bmaxx": "4 * ((p_partkey * 101) % 10000) + 4 * (100 + (p_partkey * 7) % 300)",
+    "bmaxy": "4 * ((p_partkey * 103) % 10000) + 4 * (100 + (p_partkey * 11) % 300)",
+}
+
+
+def add_part_box_pairs(batch: "pa.Table") -> "pa.Table":
+    """Part box (geometry_wkb) plus its derived pair box (wkb_b)."""
+    batch = add_part_boxes(batch)
+    b = part_pair_boxes(batch["p_partkey"].to_numpy(zero_copy_only=False))
+    for name, col in zip(("bminx", "bminy", "bmaxx", "bmaxy"), b):
+        batch = batch.append_column(name, pa.array(col, pa.int64()))
+    return batch.append_column("wkb_b", pa.array(box_wkb(*b), pa.binary()))
+
+
+# --- line_merge chains -------------------------------------------------------
+# Each DISTINCT (l_orderkey, l_linenumber=j) is the segment v_{j-1} -> v_j of
+# its order's polyline. x strictly increases along the chain and orders live
+# in disjoint 50-unit x bands (j <= 7 -> max offset 28), so chains never touch
+# each other. Gaps in j split an order into multiple islands — exactly the
+# maximal paths line_merge must discover.
+
+
+def chain_vertex(o, j):
+    o = _i64(o)
+    j = _i64(j)
+    return 50 * o + 4 * j, 4 * ((o * 7 + j * 13) % 1000)
+
+
+CHAIN_X_SQL = "50 * {o} + 4 * {j}"
+CHAIN_Y_SQL = "4 * (({o} * 7 + {j} * 13) % 1000)"
+
+
+def add_chain_segments(batch: "pa.Table") -> "pa.Table":
+    o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+    j = batch["l_linenumber"].to_numpy(zero_copy_only=False)
+    x1, y1 = chain_vertex(o, _i64(j) - 1)
+    x2, y2 = chain_vertex(o, j)
+    seg_id = _i64(o) * 8 + _i64(j)
+    t = batch.append_column("seg_id", pa.array(seg_id, pa.int64()))
+    return t.append_column(
+        "geometry_wkb",
+        wkb.encode_segments_arrow(
+            x1.astype(np.float64), y1.astype(np.float64),
+            x2.astype(np.float64), y2.astype(np.float64),
+        ),
+    )
