@@ -359,34 +359,31 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
 # ---------------------------------------------------------------------------
 
 
-def _seg_endpoint_rows(batch: pa.Table, id_col: str, tolerance: float,
-                       num_groups: int) -> pa.Table:
-    """Per segment: two (sg, node_key, seg_id, end_no) rows, sg a coarse
-    shuffle key so the degree kernel regroups exact nodes in-kernel
-    (single-int coarse shuffle beats a fine-grained per-node groupby)."""
-    t = add_node_keys(batch, id_col, tolerance)
-    ids = t[id_col].to_numpy(zero_copy_only=False)
+def _seg_endpoint_rows(batch: pa.Table, num_groups: int) -> pa.Table:
+    """Per segment of an already-node-keyed seg table: two
+    (sg, node_key, seg_id) rows, sg a coarse shuffle key so the degree
+    kernel regroups exact nodes in-kernel (single-int coarse shuffle beats
+    a fine-grained per-node groupby)."""
+    ids = batch["seg_id"].to_numpy(zero_copy_only=False)
     node = np.concatenate(
-        [t["node_a"].to_numpy(zero_copy_only=False),
-         t["node_b"].to_numpy(zero_copy_only=False)]
+        [batch["node_a"].to_numpy(zero_copy_only=False),
+         batch["node_b"].to_numpy(zero_copy_only=False)]
     )
-    n = len(ids)
     seg = np.concatenate([ids, ids])
-    end_no = np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
     return pa.table(
         {
             "sg": pa.array((node % num_groups + num_groups) % num_groups, pa.int64()),
             "node_key": pa.array(node, pa.int64()),
             "seg_id": pa.array(seg, pa.int64()),
-            "end_no": pa.array(end_no, pa.int64()),
         }
     )
 
 
 def _degree2_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
     """Within one coarse group: degree-2 nodes link their two incident
-    segments; every end_no==0 row emits a self-pair so isolated segments
-    survive the components step. Vectorized via one lexsort."""
+    segments (junctions and chain ends link nothing, matching GEOS).
+    Isolated segments are re-labeled by the left-outer join downstream, so
+    no self-pairs inflate the components input. Vectorized via one lexsort."""
     node = g["node_key"].to_numpy(np.int64)
     seg = g["seg_id"].to_numpy(np.int64)
     order = np.lexsort((seg, node))
@@ -398,13 +395,7 @@ def _degree2_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
     deg2 = starts[counts == 2]
     a, b = seg_s[deg2], seg_s[deg2 + 1]
     keep = a != b  # a 1-segment closed loop links nothing
-    self_seg = g["seg_id"].to_numpy(np.int64)[g["end_no"].to_numpy(np.int64) == 0]
-    return pd.DataFrame(
-        {
-            "id_a": np.concatenate([a[keep], self_seg]),
-            "id_b": np.concatenate([b[keep], self_seg]),
-        }
-    )
+    return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
 
 
 def _walk_chains_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -413,16 +404,41 @@ def _walk_chains_group(g: pd.DataFrame) -> pd.DataFrame:
     merged line."""
     out = {"merge_label": [], "start_x": [], "start_y": [],
            "end_x": [], "end_y": [], "n_points": []}
-    labels = g["label"].to_numpy(np.int64)
-    for lab in np.unique(labels):
-        c = g[labels == lab]
-        na = c["node_a"].to_numpy(np.int64)
-        nb = c["node_b"].to_numpy(np.int64)
-        xs1 = c["x1"].to_numpy(); ys1 = c["y1"].to_numpy()
-        xs2 = c["x2"].to_numpy(); ys2 = c["y2"].to_numpy()
+    labels_all = g["label"].to_numpy(np.int64)
+    # one sort, then each chain is a contiguous slice (a per-label boolean
+    # scan would be O(rows x chains) in the group)
+    order = np.argsort(labels_all, kind="stable")
+    lab_s = labels_all[order]
+    na_s = g["node_a"].to_numpy(np.int64)[order]
+    nb_s = g["node_b"].to_numpy(np.int64)[order]
+    x1_s = g["x1"].to_numpy()[order]
+    y1_s = g["y1"].to_numpy()[order]
+    x2_s = g["x2"].to_numpy()[order]
+    y2_s = g["y2"].to_numpy()[order]
+    uniq, starts_idx = np.unique(lab_s, return_index=True)
+    bounds = np.concatenate([starts_idx, [len(lab_s)]])
+    for u in range(len(uniq)):
+        lab = uniq[u]
+        s, e = bounds[u], bounds[u + 1]
+        na = na_s[s:e]; nb = nb_s[s:e]
+        xs1 = x1_s[s:e]; ys1 = y1_s[s:e]
+        xs2 = x2_s[s:e]; ys2 = y2_s[s:e]
+        m = e - s
+        if m == 1:  # the common case: nothing to walk
+            sx, sy, ex, ey = float(xs1[0]), float(ys1[0]), float(xs2[0]), float(ys2[0])
+            npts = 2
+            if (ex, ey) < (sx, sy):
+                sx, sy, ex, ey = ex, ey, sx, sy
+            out["merge_label"].append(int(lab))
+            out["start_x"].append(sx)
+            out["start_y"].append(sy)
+            out["end_x"].append(ex)
+            out["end_y"].append(ey)
+            out["n_points"].append(npts)
+            continue
         adj: dict[int, list[tuple[int, int]]] = {}
         coord: dict[int, tuple[float, float]] = {}
-        for i in range(len(c)):
+        for i in range(m):
             adj.setdefault(int(na[i]), []).append((i, 0))
             adj.setdefault(int(nb[i]), []).append((i, 1))
             coord[int(na[i])] = (float(xs1[i]), float(ys1[i]))
@@ -430,14 +446,14 @@ def _walk_chains_group(g: pd.DataFrame) -> pd.DataFrame:
         ends = [k for k, v in adj.items() if len(v) == 1]
         pool = ends if ends else list(adj)
         start = min(pool, key=lambda k: coord[k])
-        visited = np.zeros(len(c), dtype=bool)
+        visited = np.zeros(m, dtype=bool)
         cur = start
         npts = 1
-        for _ in range(len(c)):
-            for i, e in adj[cur]:
+        for _ in range(m):
+            for i, e2 in adj[cur]:
                 if not visited[i]:
                     visited[i] = True
-                    cur = int(nb[i]) if e == 0 else int(na[i])
+                    cur = int(nb[i]) if e2 == 0 else int(na[i])
                     npts += 1
                     break
             else:
@@ -472,18 +488,21 @@ def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
     (junction nodes of degree >= 3 never link, matching GEOS; general
     polylines can be pre-exploded to segments).
 
-    Plan: endpoint rows -> coarse (node % num_groups) shuffle with exact
-    in-kernel per-node regroup (degree-2 nodes emit one segment-pair edge,
-    every segment emits a self-pair so isolated segments survive) ->
-    connected_components over segment ids -> hash join of labels back to the
-    segment table -> coarse-grouped per-chain ordering walk. label = min
-    seg_id of the merged line. Returns (merge_label, start_x, start_y,
-    end_x, end_y, n_points), endpoints direction-normalized (lex-smaller
-    end first; closed rings report start == end).
+    Plan: node-keyed seg table materialized ONCE (both downstream legs read
+    it) -> endpoint rows on a coarse (node % num_groups) shuffle with exact
+    in-kernel per-node regroup (only degree-2 nodes emit a segment-pair
+    edge) -> connected_components over segment ids -> LEFT-OUTER hash join
+    back to the seg table, label coalesced to seg_id so unlinked segments
+    survive without self-pair inflation -> coarse-grouped per-chain
+    ordering walk. Join partitions are sized to the data (~50k rows per
+    aggregator), not the CPU count. label = min seg_id of the merged line.
+    Returns (merge_label, start_x, start_y, end_x, end_y, n_points),
+    endpoints direction-normalized (lex-smaller end first; closed rings
+    report start == end).
     """
-    from .dissolve import connected_components, default_join_partitions
+    import pyarrow.compute as pc
 
-    num_partitions = default_join_partitions(num_partitions)
+    from .dissolve import connected_components, default_join_partitions
 
     def seg_table(batch: pa.Table) -> pa.Table:
         t = add_node_keys(batch, id_col, tolerance)
@@ -504,26 +523,43 @@ def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
 
     segs = segments_ds.map_batches(seg_table, batch_format="pyarrow").materialize()
     pairs = (
-        segments_ds.map_batches(
-            lambda b: _seg_endpoint_rows(b, id_col, tolerance, num_groups),
-            batch_format="pyarrow",
+        segs.map_batches(
+            lambda b: _seg_endpoint_rows(b, num_groups), batch_format="pyarrow"
         )
         .groupby("sg")
         .map_groups(_degree2_pairs_group, batch_format="pandas")
     )
     labels = connected_components(pairs, num_partitions=num_partitions)
-    joined = segs.join(
-        labels,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("seg_id",),
-        right_on=("node",),
-    )
+    n_rows = segs.count()  # free: segs is materialized
+    if num_partitions is None:
+        num_partitions = default_join_partitions(max(2, n_rows // 50_000))
+
+    if labels.count() == 0:
+        # nothing links (or empty input): every segment is its own line —
+        # skip the join (Ray's hash join crashes on an all-empty side)
+        joined = segs.map_batches(
+            lambda b: b.append_column("label", b["seg_id"]),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = segs.join(
+            labels,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("seg_id",),
+            right_on=("node",),
+        )
 
     def add_cg(b: pa.Table) -> pa.Table:
-        lab = b["label"].to_numpy(zero_copy_only=False)
+        lab = pc.coalesce(
+            b["label"].combine_chunks() if isinstance(b["label"], pa.ChunkedArray) else b["label"],
+            b["seg_id"].combine_chunks() if isinstance(b["seg_id"], pa.ChunkedArray) else b["seg_id"],
+        )
+        lab_np = lab.to_numpy(zero_copy_only=False)
+        b = b.drop_columns([c for c in ("label", "node") if c in b.column_names])
+        b = b.append_column("label", lab.cast(pa.int64()))
         return b.append_column(
-            "cg", pa.array((lab % num_groups + num_groups) % num_groups, pa.int64())
+            "cg", pa.array((lab_np % num_groups + num_groups) % num_groups, pa.int64())
         )
 
     return (

@@ -4109,19 +4109,26 @@ def q_line_merge(sf_dir: str):
 
     li = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
-    ).map_batches(synth.add_chain_segments, batch_format="pyarrow")
+    )
 
+    # distinct BEFORE geometry synthesis: the shuffle moves two int64
+    # columns, not WKB blobs (the synthetic lineitem has duplicate keys)
     def add_dg(b: pa.Table) -> pa.Table:
-        sid = b["seg_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("dg", pa.array(sid % 256, pa.int64()))
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        j = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        k = o.astype(np.int64) * 8 + j.astype(np.int64)
+        return b.append_column("dg", pa.array(k % 256, pa.int64()))
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["seg_id"]).drop(columns=["dg"])
+        return g.drop_duplicates(subset=["l_orderkey", "l_linenumber"]).drop(
+            columns=["dg"]
+        )
 
     distinct = (
         li.map_batches(add_dg, batch_format="pyarrow")
         .groupby("dg")
         .map_groups(dedup_group, batch_format="pandas")
+        .map_batches(synth.add_chain_segments, batch_format="pyarrow")
     )
     merged = net_ops.line_merge(distinct, id_col="seg_id", tolerance=1.0)
 
