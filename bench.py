@@ -81,7 +81,7 @@ def run_bench() -> dict:
         "close_small_holes", "od_cost_points",
         "audio_features", "video_frames", "geotiff_clip_zonal",
         "events_asof", "destination_count", "top_tokens",
-        "line_merge", "shortest_line", "rep_point",
+        "line_merge", "shortest_line", "rep_point", "image_resize",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -4164,11 +4164,37 @@ FROM agg
 """
 
 
+
+def q_image_resize(sf_dir: str):
+    """Area-average resize stage (codecs/resize.py) over every image:
+    decode -> resize to (h//2, w//2) -> validate against the resized
+    deterministic source (png exact, jpeg PSNR>=40). Oracle recomputes the
+    output dims from the content-key rule and requires every row valid."""
+    from .sources import images as img_src
+
+    return _images_ds(sf_dir).map_batches(
+        img_src.ResizeValidate, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+SQL_IMAGE_RESIZE = f"""
+WITH k AS (SELECT {IMAGE_ID_SQL} AS image_id,
+                  {CONTENT_KEY_SQL} AS ck FROM documents)
+SELECT image_id,
+       (32 + (ck * 7) % 33) // 2 AS out_w,
+       (32 + (ck * 11) % 33) // 2 AS out_h,
+       TRUE AS resize_ok
+FROM k
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
     "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),

@@ -170,6 +170,53 @@ class DecodeValidate:
         return t.append_column("psnr_c", pa.array(psnr_c, pa.int64()))
 
 
+class ResizeValidate:
+    """Actor stage: decode -> area-average resize to (h//2, w//2) ->
+    validate against the resized deterministic source (the multimodal
+    'resize' stage of the task's image layer; kernel in codecs/resize.py).
+
+    * png: resized-decoded EXACTLY equals resized-source (identical float
+      path on identical inputs — bit-stable);
+    * jpeg: PSNR(resized-decoded, resized-source) >= 40 dB (area averaging
+      only reduces codec noise, so the decode bound carries over).
+    Emits (image_id, out_w, out_h, resize_ok).
+    """
+
+    def __init__(self, factor: int = 2):
+        from ..codecs.resize import resize_area
+
+        self.factor = factor
+        self.resize = resize_area
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        keys = batch["ckey"].to_numpy(zero_copy_only=False)
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        out_w = np.maximum(ws.astype(np.int64) // self.factor, 1)
+        out_h = np.maximum(hs.astype(np.int64) // self.factor, 1)
+        for i, (fmt, blob) in enumerate(zip(fmts, blobs)):
+            img = png.decode_png(blob) if fmt == "png" else lossy.decode_lossy(blob)
+            small = self.resize(img, int(out_h[i]), int(out_w[i]))
+            src = render_pixels(int(keys[i]), int(ws[i]), int(hs[i]))
+            small_src = self.resize(src, int(out_h[i]), int(out_w[i]))
+            if fmt == "png":
+                ok[i] = np.array_equal(small, small_src)
+            else:
+                ok[i] = lossy.psnr(small, small_src) >= 40.0
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "out_w": pa.array(out_w, pa.int64()),
+                "out_h": pa.array(out_h, pa.int64()),
+                "resize_ok": pa.array(ok),
+            }
+        )
+
+
 def add_footprints(batch: pa.Table) -> pa.Table:
     minx, miny, maxx, maxy = footprint_boxes(
         batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -189,3 +189,47 @@ def test_line_merge_paths_junctions_rings(ray_session):
     assert len(ring) == 1  # closed ring reports start == end, 3+1 points
     singles = out[out["n_points"] == 2]
     assert len(singles) == 4  # 3 junction legs + 1 isolated
+
+
+def test_resize_area_matches_naive_reference():
+    from ssb_sgis_ray.codecs.resize import _area_weights, resize_area
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 10, 3), dtype=np.uint8)
+
+    def naive_float(img, oh, ow):
+        h, w = img.shape[:2]
+        sy, sx = h / oh, w / ow
+        out = np.zeros((oh, ow, img.shape[2]))
+        for i in range(oh):
+            for j in range(ow):
+                acc = np.zeros(img.shape[2])
+                tot = 0.0
+                for y in range(h):
+                    for x in range(w):
+                        dy = max(0.0, min((i + 1) * sy, y + 1) - max(i * sy, y))
+                        dx = max(0.0, min((j + 1) * sx, x + 1) - max(j * sx, x))
+                        acc += dy * dx * img[y, x]
+                        tot += dy * dx
+                out[i, j] = acc / tot
+        return out
+
+    for oh, ow in [(3, 5), (7, 10), (14, 20), (2, 2), (5, 3)]:
+        wy = _area_weights(img.shape[0], oh)
+        wx = _area_weights(img.shape[1], ow)
+        f = img.astype(np.float64)
+        mine = np.einsum(
+            "iwc,jw->ijc", (wy @ f.reshape(7, -1)).reshape(oh, 10, -1), wx
+        )
+        assert np.allclose(mine, naive_float(img, oh, ow), atol=1e-9)
+        # weights are row-stochastic: constant images stay constant
+        const = resize_area(np.full((7, 10), 77, np.uint8), oh, ow)
+        assert (const == 77).all()
+    # exact 2x2 block mean on even dims
+    img2 = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    r = resize_area(img2, 2, 2)
+    exp = np.clip(
+        np.rint(img2.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(2, 2, 4).mean(-1)),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(r, exp)
