@@ -181,10 +181,12 @@ def service_area_counts(origins_ds, graph: tuple, budget: float,
     )
 
 
-def percent_bidirectional(edges_ds) -> float:
+def percent_bidirectional(edges_ds, return_counts: bool = False):
     """Share of directed edges whose reverse also exists
     (directednetwork.py percent_bidirectional). Distributed: canonical
-    undirected key groupby, count pairs seen in both directions."""
+    undirected key groupby, count pairs seen in both directions.
+    ``return_counts`` yields the integer-exact (n_edges, n_bidir) pair
+    instead of the float ratio (oracle-hashable without float rounding)."""
     from ray.data.aggregate import Count, Max, Min
 
     def canon(b: pa.Table) -> pa.Table:
@@ -226,6 +228,8 @@ def percent_bidirectional(edges_ds) -> float:
     tot = g.sum(["n", "bidir"])
     n = tot["sum(n)"] if isinstance(tot, dict) else tot
     b = tot["sum(bidir)"] if isinstance(tot, dict) else 0
+    if return_counts:
+        return int(n or 0), int(b or 0)
     return float(b) / float(n) if n else 0.0
 
 

@@ -4189,12 +4189,58 @@ FROM k
 """
 
 
+
+def q_pct_bidirectional(sf_dir: str):
+    """percent_bidirectional (directednetwork.py): share of directed edges
+    whose reverse also exists, over the oneway-expanded part network.
+    Distributed canonical-key groupby; emitted as integer-exact counts."""
+    from .ops import routing as routing_ops
+
+    edges = q_directed_network(sf_dir)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node_a": b["from_node"], "node_b": b["to_node"]})
+
+    n, bidir = routing_ops.percent_bidirectional(
+        edges.map_batches(rename, batch_format="pyarrow"), return_counts=True
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "n_bidir": pa.array([bidir], pa.int64()),
+        }
+    )
+
+
+SQL_PCT_BIDIRECTIONAL = f"""
+WITH l AS (
+  SELECT {_NODE_A_SQL} AS na, {_NODE_B_SQL} AS nb, p_partkey % 3 AS code
+  FROM part
+),
+e AS (
+  SELECT na AS a, nb AS b FROM l WHERE code IN (0, 1)
+  UNION ALL
+  SELECT nb AS a, na AS b FROM l WHERE code IN (0, 2)
+),
+c AS (
+  SELECT least(a, b) * 2147483648 + greatest(a, b) AS uk,
+         CASE WHEN a <= b THEN 1 ELSE 0 END AS fwd
+  FROM e
+),
+g AS (SELECT uk, count(*) AS n, min(fwd) AS f0, max(fwd) AS f1 FROM c GROUP BY uk)
+SELECT sum(n) AS n_edges,
+       sum(CASE WHEN f0 = 0 AND f1 = 1 THEN n ELSE 0 END) AS n_bidir
+FROM g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
     "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),
