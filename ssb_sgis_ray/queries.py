@@ -4271,6 +4271,7 @@ REGISTRY: dict[str, tuple] = {
     "cut_lines_dist": (q_cut_lines_dist, SQL_CUT_LINES_DIST),
     "split_lines_nearest": (q_split_lines_nearest, SQL_SPLIT_LINES_NEAREST),
     "close_network_holes": (q_close_network_holes, SQL_CLOSE_NETWORK_HOLES),
+    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
     "phash_dedup": (q_phash_dedup, None),
@@ -4293,7 +4294,6 @@ REGISTRY: dict[str, tuple] = {
     "segmentize_simplify": (q_segmentize_simplify, SQL_SEGMENTIZE_SIMPLIFY),
     "rough_centerline": (q_rough_centerline, SQL_ROUGH_CENTERLINE),
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
-    "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "minhash_pairs": (q_minhash_pairs, None),
