@@ -4234,12 +4234,67 @@ FROM g
 """
 
 
+
+def q_image_channel_stats(sf_dir: str):
+    """Per-channel pixel-sum features over the lossless (png) images:
+    decode -> vectorized channel sums (the 'feature-extract' stage of the
+    image layer). Unusually strong oracle: DuckDB recomputes EVERY pixel of
+    the deterministic pattern via correlated unnest(generate_series) and
+    must match the decoded sums exactly."""
+    from .codecs import png as png_codec
+    from .sources import images as img_src  # noqa: F401 (images_dataset)
+
+    def stage(b: pa.Table) -> pa.Table:
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        ids = b["image_id"].to_pylist()
+        out_id, s0, s1, s2, npx = [], [], [], [], []
+        for i, fmt in enumerate(fmts):
+            if fmt != "png":
+                continue
+            img = png_codec.decode_png(blobs[i]).astype(np.int64)
+            out_id.append(ids[i])
+            s0.append(int(img[:, :, 0].sum()))
+            s1.append(int(img[:, :, 1].sum()))
+            s2.append(int(img[:, :, 2].sum()))
+            npx.append(img.shape[0] * img.shape[1])
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "sum_r": pa.array(s0, pa.int64()),
+                "sum_g": pa.array(s1, pa.int64()),
+                "sum_b": pa.array(s2, pa.int64()),
+                "n_px": pa.array(npx, pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=1024
+    )
+
+
+SQL_IMAGE_CHANNEL_STATS = f"""
+WITH k AS (SELECT {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck FROM documents),
+p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
+      FROM k WHERE ck % 2 = 0),
+xs AS (SELECT image_id, ck, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
+px AS (SELECT image_id, ck, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
+SELECT image_id,
+       sum((3 * gx + 5 * gy + 13 * ck) % 256) AS sum_r,
+       sum((7 * gx + 2 * gy + 29 * ck) % 256) AS sum_g,
+       sum((4 * (gx + gy) + 53 * ck) % 256) AS sum_b,
+       count(*) AS n_px
+FROM px GROUP BY image_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
+    "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
