@@ -361,3 +361,55 @@ def asof_join(
         _AsofGroupKernel, batch_format="pyarrow",
         fn_constructor_args=(carry_ref,), concurrency=(1, 8),
     )
+
+
+def sum_by_small_key(ds, key_col: str, val_col: str, keys) -> pa.Table:
+    """Grouped int64 sum for a column whose key set is SMALL and KNOWN
+    (e.g. the 3 overlay legs): ONE tree-merged AggregateFn pass with a
+    fixed numpy accumulator — no hash shuffle, and no schema-less empty
+    blocks (a Ray groupby over a 3-key column emits untyped empties for
+    empty hash partitions, which trip the executor's schema check and
+    poison downstream joins/concats). Keys absent from the data sum to 0
+    and are dropped from the result."""
+    from ray.data.aggregate import AggregateFn
+
+    keys = list(keys)
+    idx = {k: i for i, k in enumerate(keys)}
+
+    def init(_):
+        return np.zeros(len(keys) + 1, dtype=np.int64)  # last slot: row count
+
+    def acc(a, block):
+        if isinstance(block, pa.Table):
+            kv = block[key_col].to_numpy(zero_copy_only=False)
+            vv = block[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            kv = block[key_col].to_numpy()
+            vv = block[val_col].to_numpy().astype(np.int64)
+        if len(vv) == 0:
+            return a
+        u, inv = np.unique(kv, return_inverse=True)
+        slots = np.array([idx[k] for k in u], dtype=np.int64)
+        out = a.copy()
+        out[: len(keys)] += np.bincount(
+            slots[inv], weights=vv, minlength=len(keys)
+        ).astype(np.int64)
+        out[-1] += len(vv)
+        return out
+
+    def merge(a, b):
+        return a + b
+
+    res = ds.aggregate(
+        AggregateFn(init=init, merge=merge, name="ksum", accumulate_block=acc)
+    )["ksum"]
+    seen = res[-1] > 0
+    mask = res[: len(keys)] != 0
+    # keep keys with non-zero sums (matches the groupby result on data
+    # where every present key has a positive sum — true for areas)
+    return pa.table(
+        {
+            key_col: pa.array([k for k, m in zip(keys, mask) if m and seen], pa.string()),
+            "total_area": pa.array(res[: len(keys)][mask] if seen else [], pa.int64()),
+        }
+    )

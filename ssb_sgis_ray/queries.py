@@ -3357,8 +3357,6 @@ def q_overlay_union(sf_dir: str):
     """Full union composition (all three legs) of part × orders boxes —
     leg-summed areas (union geometry partition; rows-only, pytest proves
     the micro-geometry exactness and Σ == painter union area)."""
-    from ray.data.aggregate import Sum
-
     right = synth.add_orders_boxes(
         pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
     )
@@ -3366,7 +3364,7 @@ def q_overlay_union(sf_dir: str):
     # (no WKB round-trip of 280k pieces), the right-diff leg runs the
     # Klee area kernel; distributed groupby-sum to the 3-row answer
     out = overlay_ops.overlay_union_leg_areas(parts(sf_dir), right, how="union")
-    return out.groupby("leg").aggregate(Sum("area_i", alias_name="total_area"))
+    return rel.sum_by_small_key(out, "leg", "area_i", ("inter", "left", "right"))
 
 
 _OVERLAY_LEGS_CTE = (
@@ -3446,12 +3444,10 @@ SQL_OVERLAY_SYMDIFF = _OVERLAY_LEGS_CTE + _OVERLAY_LEFT_RIGHT_SELECTS
 def q_overlay_symdiff(sf_dir: str):
     """symmetric_difference leg areas through clean_overlay's composed-legs
     path (reference overlay.py:70-81 accepts all six hows in one call)."""
-    from ray.data.aggregate import Sum
-
     out = overlay_ops.overlay_union_leg_areas(
         parts(sf_dir), orders_tbl(sf_dir), how="symmetric_difference"
     )
-    return out.groupby("leg").aggregate(Sum("area_i", alias_name="total_area"))
+    return rel.sum_by_small_key(out, "leg", "area_i", ("inter", "left", "right"))
 
 
 def q_events_sliding(sf_dir: str):
@@ -3509,8 +3505,6 @@ def q_overlay_union_cell(sf_dir: str):
     legs via overlay_difference_cell run in both directions. Disjoint
     cell tiling makes per-cell piece areas additive, so the composition
     is exact. Shares overlay_union's 3-row Klee-sweep oracle."""
-    from ray.data.aggregate import Sum
-
     pairs = overlay_ops.cell_pair_table(
         parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
     )
@@ -3557,10 +3551,9 @@ def q_overlay_union_cell(sf_dir: str):
         pairs=overlay_ops.swap_pair_table(pairs),
     ).map_batches(rem_leg("right"), batch_format="pandas")
 
-    return (
-        inter.union(left_rem).union(right_rem)
-        .groupby("leg")
-        .aggregate(Sum("area_i", alias_name="total_area"))
+    return rel.sum_by_small_key(
+        inter.union(left_rem).union(right_rem), "leg", "area_i",
+        ("inter", "left", "right"),
     )
 
 
