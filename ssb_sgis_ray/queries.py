@@ -503,16 +503,22 @@ HOLED_CTE = (
 
 def q_overlay_concave_inter(sf_dir: str):
     """clean_overlay intersection with CONCAVE left operands (L-shaped
-    hexagons) — the generic boolean-engine leg, emit='area' pushdown."""
-    out = overlay_ops.clean_overlay(
-        parts_l(sf_dir), orders_tbl(sf_dir), how="intersection", emit="area"
+    hexagons) — the generic (non-rect) tiered math, emit='area' pushdown.
+
+    Dispatches broadcast-vs-cell by right-side size exactly like the rect
+    query: the cell co-group kernel shares intersection_pieces, so concave
+    operands cost the same plan as rects (sf0.1: 35-90 s broadcast vs
+    ~11 s cell for the identical 255k rows)."""
+    out = overlay_ops.overlay_intersection_auto(
+        parts_l(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
+        right_table=orders_tbl(sf_dir),
     )
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "p_partkey": b["p_partkey"].cast(pa.int64()),
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "p_partkey": b["left_id"].cast(pa.int64()),
+                "o_orderkey": b["right_id"].cast(pa.int64()),
                 "inter_area": pa.array(
                     np.round(
                         b["piece_area"].to_numpy(zero_copy_only=False)
@@ -541,18 +547,31 @@ SELECT p_partkey, o_orderkey, inter_area FROM ov WHERE inter_area > 0
 """
 
 
+def orders_holed_ds(sf_dir: str):
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        .map_batches(synth.add_orders_holed, batch_format="pyarrow")
+    )
+
+
 def q_overlay_holed_inter(sf_dir: str):
     """clean_overlay intersection with HOLED right operands (boxes with a
-    strictly interior rectangular hole): part∩outer − part∩hole."""
-    out = overlay_ops.clean_overlay(
-        parts(sf_dir), orders_holed_tbl(sf_dir), how="intersection", emit="area"
+    strictly interior rectangular hole): part∩outer − part∩hole.
+
+    Same broadcast-vs-cell auto dispatch as the rect/concave queries; a
+    holed box decomposes into 4 disjoint rects, so both plans stay in
+    vectorized interval math."""
+    out = overlay_ops.overlay_intersection_auto(
+        parts(sf_dir), orders_holed_ds(sf_dir), "p_partkey", "o_orderkey",
+        right_table=orders_holed_tbl(sf_dir),
     )
 
     def project(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "p_partkey": b["p_partkey"].cast(pa.int64()),
-                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "p_partkey": b["left_id"].cast(pa.int64()),
+                "o_orderkey": b["right_id"].cast(pa.int64()),
                 "inter_area": pa.array(
                     np.round(
                         b["piece_area"].to_numpy(zero_copy_only=False)
