@@ -1727,3 +1727,71 @@ def swap_pair_table(pairs):
         )
 
     return pairs.map_batches(fn, batch_format="pandas")
+
+
+def overlay_union_leg_areas_cell(
+    left_ds,
+    right_ds,
+    left_id: str,
+    right_id: str,
+    how: str = "union",
+    res: int = 10,
+):
+    """(leg, area_i) partials of the union/symmetric_difference composition
+    with BOTH sides streaming as Datasets — the cell co-partitioned
+    counterpart of ``overlay_union_leg_areas`` (no broadcast anywhere).
+
+    ONE cell co-group exchange produces the matched-pair table; the
+    intersection leg reruns the tiered pair math per pair batch, and the
+    left/right remainder legs run ``overlay_difference_cell`` in both
+    directions off the same pairs (the mirrored direction is a column
+    rename, not a second shuffle). Disjoint cell tiling makes per-cell
+    piece areas additive, so the composition is exact. Emits one partial
+    row per batch; finish with ``relational.sum_by_small_key``.
+    """
+    if how not in ("union", "symmetric_difference"):
+        raise ValueError(how)
+    pairs = cell_pair_table(left_ds, right_ds, left_id, right_id, res)
+
+    def inter_leg(b: pd.DataFrame) -> pa.Table:
+        total = 0
+        if len(b):
+            lpg = wkb.decode_polygons(b["left_geom"].to_numpy())
+            R = RightGeoms(pa.table(
+                {"geometry_wkb": pa.array(list(b["right_geom"]), pa.binary())}
+            ))
+            idx = np.arange(len(lpg))
+            _, _, areas, _ = intersection_pieces(
+                lpg, kernels.polygon_bounds(lpg),
+                kernels.decompose_rectilinear(lpg),
+                kernels.detect_axis_rects(lpg), R, idx, idx, True,
+            )
+            total = int(np.round(np.asarray(areas)).sum())
+        return pa.table(
+            {"leg": pa.array(["inter"]), "area_i": pa.array([total], pa.int64())}
+        )
+
+    def rem_leg(name: str):
+        def fn(b: pd.DataFrame) -> pa.Table:
+            if len(b):
+                pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+                total = int(np.round(kernels.polygon_areas(pg)).sum())
+            else:
+                total = 0
+            return pa.table(
+                {"leg": pa.array([name]), "area_i": pa.array([total], pa.int64())}
+            )
+
+        return fn
+
+    left_rem = overlay_difference_cell(
+        left_ds, right_ds, left_id, right_id, res=res, pairs=pairs,
+    ).map_batches(rem_leg("left"), batch_format="pandas")
+    right_rem = overlay_difference_cell(
+        right_ds, left_ds, right_id, left_id, res=res,
+        pairs=swap_pair_table(pairs),
+    ).map_batches(rem_leg("right"), batch_format="pandas")
+    legs = left_rem.union(right_rem)
+    if how == "union":
+        legs = pairs.map_batches(inter_leg, batch_format="pandas").union(legs)
+    return legs

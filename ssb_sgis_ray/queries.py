@@ -3372,17 +3372,38 @@ WHERE rn = 1
 """
 
 
+# The union-family crossover sits much further out than intersection's:
+# the fused broadcast pass wins as long as the right side fits the object
+# store (sf0.1 / 150k rights: broadcast 45-61 s vs cell 144-183 s — the
+# cell pair table materializes two WKB blobs per matched pair), so the
+# cell composition is the fallback for rights too big to broadcast at
+# all, not a same-scale optimization.
+_UNION_BROADCAST_LIMIT = 500_000
+
+
+def _overlay_union_dispatch(sf_dir: str, how: str):
+    """Broadcast-vs-cell dispatch for the union-family leg areas — same
+    shape as overlay_intersection_auto, measured crossover above."""
+    n_right = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_right <= _UNION_BROADCAST_LIMIT:
+        right = synth.add_orders_boxes(
+            pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+        )
+        # area-only leg pushdown: the intersection leg streams piece areas
+        # (no WKB round-trip of 280k pieces), the right-diff leg runs the
+        # Klee area kernel; distributed groupby-sum to the 3-row answer
+        return overlay_ops.overlay_union_leg_areas(parts(sf_dir), right, how=how)
+    return overlay_ops.overlay_union_leg_areas_cell(
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
+        how=how, res=10,
+    )
+
+
 def q_overlay_union(sf_dir: str):
     """Full union composition (all three legs) of part × orders boxes —
-    leg-summed areas (union geometry partition; rows-only, pytest proves
-    the micro-geometry exactness and Σ == painter union area)."""
-    right = synth.add_orders_boxes(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
-    )
-    # area-only leg pushdown: the intersection leg streams piece areas
-    # (no WKB round-trip of 280k pieces), the right-diff leg runs the
-    # Klee area kernel; distributed groupby-sum to the 3-row answer
-    out = overlay_ops.overlay_union_leg_areas(parts(sf_dir), right, how="union")
+    leg-summed areas (union geometry partition), broadcast or cell
+    co-partitioned by right-side size."""
+    out = _overlay_union_dispatch(sf_dir, "union")
     return rel.sum_by_small_key(out, "leg", "area_i", ("inter", "left", "right"))
 
 
@@ -3462,10 +3483,9 @@ SQL_OVERLAY_SYMDIFF = _OVERLAY_LEGS_CTE + _OVERLAY_LEFT_RIGHT_SELECTS
 
 def q_overlay_symdiff(sf_dir: str):
     """symmetric_difference leg areas through clean_overlay's composed-legs
-    path (reference overlay.py:70-81 accepts all six hows in one call)."""
-    out = overlay_ops.overlay_union_leg_areas(
-        parts(sf_dir), orders_tbl(sf_dir), how="symmetric_difference"
-    )
+    path (reference overlay.py:70-81 accepts all six hows in one call);
+    broadcast or cell co-partitioned by right-side size."""
+    out = _overlay_union_dispatch(sf_dir, "symmetric_difference")
     return rel.sum_by_small_key(out, "leg", "area_i", ("inter", "left", "right"))
 
 
@@ -3519,61 +3539,14 @@ GROUP BY 1
 
 def q_overlay_union_cell(sf_dir: str):
     """Co-partitioned large×large UNION composition — all three legs with
-    BOTH sides streaming as Datasets (no broadcast anywhere): the
-    intersection leg via overlay_pairs_cell, the left/right remainder
-    legs via overlay_difference_cell run in both directions. Disjoint
-    cell tiling makes per-cell piece areas additive, so the composition
-    is exact. Shares overlay_union's 3-row Klee-sweep oracle."""
-    pairs = overlay_ops.cell_pair_table(
-        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
+    BOTH sides streaming as Datasets (no broadcast anywhere), forced to
+    the cell plan regardless of right-side size so the driver sweep
+    exercises it even at sf0.01. Shares overlay_union's 3-row oracle."""
+    out = overlay_ops.overlay_union_leg_areas_cell(
+        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey",
+        how="union", res=10,
     )
-
-    def inter_leg(b: pd.DataFrame) -> pa.Table:
-        total = 0
-        if len(b):
-            lpg = wkb.decode_polygons(b["left_geom"].to_numpy())
-            R = overlay_ops.RightGeoms(pa.table(
-                {"geometry_wkb": pa.array(list(b["right_geom"]), pa.binary())}
-            ))
-            idx = np.arange(len(lpg))
-            _, _, areas, _ = overlay_ops.intersection_pieces(
-                lpg, kernels.polygon_bounds(lpg),
-                kernels.decompose_rectilinear(lpg),
-                kernels.detect_axis_rects(lpg), R, idx, idx, True,
-            )
-            total = int(np.round(np.asarray(areas)).sum())
-        return pa.table(
-            {"leg": pa.array(["inter"]), "area_i": pa.array([total], pa.int64())}
-        )
-
-    inter = pairs.map_batches(inter_leg, batch_format="pandas")
-
-    def rem_leg(name: str):
-        def fn(b: pd.DataFrame) -> pa.Table:
-            if len(b):
-                pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-                total = int(np.round(kernels.polygon_areas(pg)).sum())
-            else:
-                total = 0
-            return pa.table(
-                {"leg": pa.array([name]), "area_i": pa.array([total], pa.int64())}
-            )
-
-        return fn
-
-    left_rem = overlay_ops.overlay_difference_cell(
-        parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10,
-        pairs=pairs,
-    ).map_batches(rem_leg("left"), batch_format="pandas")
-    right_rem = overlay_ops.overlay_difference_cell(
-        orders_ds(sf_dir), parts(sf_dir), "o_orderkey", "p_partkey", res=10,
-        pairs=overlay_ops.swap_pair_table(pairs),
-    ).map_batches(rem_leg("right"), batch_format="pandas")
-
-    return rel.sum_by_small_key(
-        inter.union(left_rem).union(right_rem), "leg", "area_i",
-        ("inter", "left", "right"),
-    )
+    return rel.sum_by_small_key(out, "leg", "area_i", ("inter", "left", "right"))
 
 
 def q_events_sessions(sf_dir: str):
