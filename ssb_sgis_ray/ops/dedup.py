@@ -334,7 +334,13 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
 
             class VerifySmall:
                 def __init__(self, ref):
-                    self.ids, self.texts = ray.get(ref)
+                    self.ids, texts = ray.get(ref)
+                    # shingle each candidate doc ONCE per actor: a doc in a
+                    # near-dup cluster appears in ~cluster_size pairs, so
+                    # re-hashing per pair repeated every doc's k-gram pass
+                    # ~190x at bench density (40 s -> ~2 s for the stage).
+                    # _shingle_hashes already returns unique+sorted.
+                    self.sh = [_shingle_hashes(t, k) for t in texts]
 
                 def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
                     if not len(batch):
@@ -347,11 +353,15 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
                     bb = batch["id_b"].to_numpy().astype(np.int64)
                     pa_ = np.searchsorted(self.ids, a)
                     pb_ = np.searchsorted(self.ids, bb)
-                    sims = np.array([
-                        ngram_jaccard(self.texts[int(pa_[i])],
-                                      self.texts[int(pb_[i])], k)
-                        for i in range(len(a))
-                    ])
+                    sims = np.empty(len(a))
+                    for i in range(len(a)):
+                        sa = self.sh[int(pa_[i])]
+                        sb = self.sh[int(pb_[i])]
+                        if len(sa) == 0 and len(sb) == 0:
+                            sims[i] = 1.0
+                            continue
+                        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                        sims[i] = inter / (len(sa) + len(sb) - inter)
                     keep = sims >= threshold
                     return pd.DataFrame(
                         {"id_a": a[keep], "id_b": bb[keep],
