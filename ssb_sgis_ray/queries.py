@@ -4273,11 +4273,94 @@ FROM px GROUP BY image_id
 """
 
 
+def q_image_augment(sf_dir: str):
+    """Augmentation stage over the png images: horizontal flip, 90° CCW
+    rotation, center crop — each re-encoded to PNG and decoded back before
+    features are read (codec round-trip on the new dims is part of what
+    the oracle checks). DuckDB recomputes the position-weighted channel
+    sums per pixel from the closed-form pattern with the transform's index
+    substitution folded in (flip: x -> w-1-x ⇒ weight (w-gx))."""
+    from .sources import images as img_src
+
+    return _images_ds(sf_dir).map_batches(
+        img_src.AugmentStage, batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+
+SQL_IMAGE_AUGMENT = f"""
+WITH k AS (SELECT {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck FROM documents),
+p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
+      FROM k WHERE ck % 2 = 0),
+xs AS (SELECT image_id, ck, w, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
+px AS (SELECT image_id, ck, w, h, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
+SELECT image_id,
+       sum((w - gx) * (gy + 1) * ((3 * gx + 5 * gy + 13 * ck) % 256)) AS flip_wr,
+       sum((w - gx) * (gy + 1) * ((7 * gx + 2 * gy + 29 * ck) % 256)) AS rot_wg,
+       sum(CASE WHEN gx >= w // 4 AND gx < w // 4 + w // 2
+                 AND gy >= h // 4 AND gy < h // 4 + h // 2
+            THEN (4 * (gx + gy) + 53 * ck) % 256 ELSE 0 END) AS crop_sum_b,
+       max(h) AS rot_w, max(w) AS rot_h
+FROM px GROUP BY image_id
+"""
+
+
+def q_image_sharpness(sf_dir: str):
+    """Gradient-energy sharpness score per png image (the blur-detection /
+    quality-scoring stage of an image training pipeline): sum of absolute
+    horizontal and vertical first differences of the red channel. The
+    oracle recomputes every difference from the closed-form pattern."""
+    from .codecs import png as png_codec
+
+    def stage(b: pa.Table) -> pa.Table:
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        ids = b["image_id"].to_pylist()
+        out_id, gxs, gys = [], [], []
+        for i, fmt in enumerate(fmts):
+            if fmt != "png":
+                continue
+            r = png_codec.decode_png(blobs[i])[:, :, 0].astype(np.int64)
+            out_id.append(ids[i])
+            gxs.append(int(np.abs(np.diff(r, axis=1)).sum()))
+            gys.append(int(np.abs(np.diff(r, axis=0)).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "grad_x": pa.array(gxs, pa.int64()),
+                "grad_y": pa.array(gys, pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=1024
+    )
+
+
+SQL_IMAGE_SHARPNESS = f"""
+WITH k AS (SELECT {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck FROM documents),
+p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
+      FROM k WHERE ck % 2 = 0),
+xs AS (SELECT image_id, ck, w, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
+px AS (SELECT image_id, ck, w, h, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
+SELECT image_id,
+       sum(CASE WHEN gx < w - 1
+            THEN abs(((3 * (gx + 1) + 5 * gy + 13 * ck) % 256)
+                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS grad_x,
+       sum(CASE WHEN gy < h - 1
+            THEN abs(((3 * gx + 5 * (gy + 1) + 13 * ck) % 256)
+                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS grad_y
+FROM px GROUP BY image_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
+    "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
@@ -4320,8 +4403,8 @@ REGISTRY: dict[str, tuple] = {
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
     "overlay_concave_inter": (q_overlay_concave_inter, SQL_OVERLAY_CONCAVE_INTER),
     "buffer_line_area": (q_buffer_line_area, SQL_BUFFER_LINE_AREA),
-    "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
-    "knn3": (q_knn3, SQL_KNN3),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "overlay_intersection": (q_overlay_intersection, SQL_OVERLAY_INTERSECTION),
     "overlay_difference_area": (q_overlay_difference_area, SQL_OVERLAY_DIFFERENCE_AREA),
     "overlay_union": (q_overlay_union, SQL_OVERLAY_UNION),
@@ -4336,13 +4419,13 @@ REGISTRY: dict[str, tuple] = {
     "voronoi_assign": (q_voronoi_assign, SQL_VORONOI_ASSIGN),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "minhash_pairs": (q_minhash_pairs, None),
+    "pip_pairs": (q_pip_pairs, SQL_PIP_PAIRS),
+    "knn3": (q_knn3, SQL_KNN3),
     # ---- beyond the ~50-query sweep cap (r1/r2-pass or pytest-covered) ----
     "zonal_stats": (q_zonal_stats, SQL_ZONAL_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "langid": (q_langid, _langid_sql()),
-    "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "node_degrees": (q_node_degrees, SQL_NODE_DEGREES),
     "line_components": (q_line_components, SQL_LINE_COMPONENTS),
     "service_area": (q_service_area, SQL_SERVICE_AREA),

@@ -217,6 +217,63 @@ class ResizeValidate:
         )
 
 
+class AugmentStage:
+    """Actor stage: training-data image augmentation — horizontal flip,
+    90° counter-clockwise rotation, and center crop (h//2 × w//2 window
+    anchored at (h//4, w//4)) over the lossless rows.
+
+    Every augmented variant is re-encoded to PNG and decoded BACK before
+    any feature is read, so the emitted position-weighted channel sums
+    prove both the codec round-trip on the new dimensions and the exact
+    index mapping of each transform:
+
+    * ``flip_wr``  = Σ (x+1)(y+1)·R over the flipped image
+                   = Σ (w−x)(y+1)·R over the source — x-direction-sensitive;
+    * ``rot_wg``   = Σ (i+1)(j+1)·G over the rotated image (np.rot90 CCW:
+                   out[i,j] = src[j, w−1−i]) = Σ (w−x)(y+1)·G over the
+                   source — a clockwise rotation would NOT match;
+    * ``crop_sum_b`` = Σ B over the crop window only.
+
+    Emits (image_id, flip_wr, rot_wg, crop_sum_b, rot_w, rot_h).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        out_id, fwr, rwg, csb, rw, rh = [], [], [], [], [], []
+        for i, fmt in enumerate(fmts):
+            if fmt != "png":
+                continue
+            img = png.decode_png(blobs[i])
+            h, w = img.shape[:2]
+            flip = png.decode_png(png.encode_png(np.ascontiguousarray(img[:, ::-1])))
+            rot = png.decode_png(png.encode_png(np.ascontiguousarray(np.rot90(img))))
+            crop = png.decode_png(png.encode_png(np.ascontiguousarray(
+                img[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+            )))
+            wx = np.arange(1, flip.shape[1] + 1, dtype=np.int64)
+            wy = np.arange(1, flip.shape[0] + 1, dtype=np.int64)
+            fwr.append(int((wy[:, None] * wx[None, :] * flip[:, :, 0].astype(np.int64)).sum()))
+            ri = np.arange(1, rot.shape[0] + 1, dtype=np.int64)
+            rj = np.arange(1, rot.shape[1] + 1, dtype=np.int64)
+            rwg.append(int((ri[:, None] * rj[None, :] * rot[:, :, 1].astype(np.int64)).sum()))
+            csb.append(int(crop[:, :, 2].astype(np.int64).sum()))
+            rw.append(rot.shape[1])
+            rh.append(rot.shape[0])
+            out_id.append(ids[i])
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "flip_wr": pa.array(fwr, pa.int64()),
+                "rot_wg": pa.array(rwg, pa.int64()),
+                "crop_sum_b": pa.array(csb, pa.int64()),
+                "rot_w": pa.array(rw, pa.int64()),
+                "rot_h": pa.array(rh, pa.int64()),
+            }
+        )
+
+
 def add_footprints(batch: pa.Table) -> pa.Table:
     minx, miny, maxx, maxy = footprint_boxes(
         batch["doc_id"].to_numpy(zero_copy_only=False)

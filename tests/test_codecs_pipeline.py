@@ -146,3 +146,31 @@ def test_flagship_from_materialized_lance_source(ray_session, tmp_path):
     for k in sorted(done_a)[:5]:
         with open(done_a[k]["path"], "rb") as fa, open(done_b[k]["path"], "rb") as fb:
             assert fa.read() == fb.read()
+
+
+def test_augment_stage_weighted_sums_closed_form():
+    """AugmentStage's weighted sums must equal the index-substituted
+    closed forms the SQL oracle uses (flip: x -> w-1-x gives weight
+    (w-gx); rot90 CCW likewise; crop sums the center window only)."""
+    key = 6  # even content key -> png row
+    w, h = 32 + (key * 7) % 33, 32 + (key * 11) % 33
+    img = img_src.render_pixels(key, w, h)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["img6"], pa.string()),
+            "fmt": pa.array(["png"], pa.string()),
+            "bytes": pa.array([png.encode_png(img)], pa.binary()),
+        }
+    )
+    out = img_src.AugmentStage()(batch)
+    gx = np.arange(w)[None, :]
+    gy = np.arange(h)[:, None]
+    r = (3 * gx + 5 * gy + 13 * key) % 256
+    g = (7 * gx + 2 * gy + 29 * key) % 256
+    b = (4 * (gx + gy) + 53 * key) % 256
+    wgt = (w - gx) * (gy + 1)
+    assert out["flip_wr"][0].as_py() == int((wgt * r).sum())
+    assert out["rot_wg"][0].as_py() == int((wgt * g).sum())
+    crop = b[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+    assert out["crop_sum_b"][0].as_py() == int(crop.sum())
+    assert out["rot_w"][0].as_py() == h and out["rot_h"][0].as_py() == w
