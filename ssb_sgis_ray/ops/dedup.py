@@ -227,33 +227,7 @@ def minhash_candidate_pairs(docs_ds):
         .map_groups(_super_groups_to_pairs, batch_format="pandas")
     )
 
-    def pack(b: pa.Table) -> pa.Table:
-        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # in-kernel pre-dedup + coarse shuffle key: a fine-grained
-        # groupby("pk") pays per-group overhead on ~240k distinct keys
-        # (26 s at sf0.1); the coarse-key + in-kernel-unique pattern is
-        # the same one the band bucketing uses (2.7 s for the same data)
-        pk = np.unique(a * (1 << 31) + bb)
-        return pa.table(
-            {
-                "pk": pa.array(pk, pa.int64()),
-                "super": pa.array(pk % SUPER_GROUPS, pa.int64()),
-            }
-        )
-
-    def distinct_unpack(g: pd.DataFrame) -> pd.DataFrame:
-        pk = np.unique(g["pk"].to_numpy())
-        return pd.DataFrame(
-            {"id_a": (pk >> 31).astype(np.int64),
-             "id_b": (pk & ((1 << 31) - 1)).astype(np.int64)}
-        )
-
-    return (
-        pairs.map_batches(pack, batch_format="pyarrow")
-        .groupby("super")
-        .map_groups(distinct_unpack, batch_format="pandas")
-    )
+    return distinct_pairs(pairs)
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
@@ -620,6 +594,118 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def distinct_pairs(pairs_ds):
+    """Distributed distinct over (id_a, id_b) pair rows: pack both ids
+    into ONE int64 (ids must fit 31 bits), pre-dedup in-kernel, shuffle
+    on the coarse super key, and unpack unique pairs per group — the
+    same single-int-key + in-kernel-unique plan the LSH bucket stage
+    uses (a fine-grained groupby over ~240k distinct pair keys costs
+    ~26 s in per-group overhead; this runs in ~3 s on identical data)."""
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = np.unique(a * (1 << 31) + bb)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "super": pa.array(pk % SUPER_GROUPS, pa.int64()),
+            }
+        )
+
+    def distinct_unpack(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy())
+        return pd.DataFrame(
+            {"id_a": (pk >> 31).astype(np.int64),
+             "id_b": (pk & ((1 << 31) - 1)).astype(np.int64)}
+        )
+
+    return (
+        pairs_ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(distinct_unpack, batch_format="pandas")
+    )
+
+
+def phash_near_dup_pairs(imgs_ds, id_col: str = "doc_id",
+                         hash_col: str = "phash", max_hamming: int = 3):
+    """(id, 64-bit perceptual hash) rows -> verified near-dup pairs
+    (id_a < id_b, hamming(phash_a, phash_b) <= max_hamming).
+
+    Pigeonhole LSH over the hash: 4 disjoint 16-bit bands — two hashes
+    within Hamming distance 3 differ in at most 3 bands, so they agree
+    exactly on at least one. Band key = band value with the band index
+    folded in (ONE int64 shuffle key); the hash value rides along with
+    each band row, so candidates are Hamming-VERIFIED inside the bucket
+    kernel — no second join or broadcast at any scale. Cross-band dupes
+    are removed by the distributed packed-pair distinct. The image twin
+    of minhash_candidate_pairs (reference duplicates.py:15-127 semantics
+    over images instead of text)."""
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = b[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ph.view(np.uint64) if ph.dtype == np.int64 else ph.astype(np.uint64)
+        n = len(ids)
+        keys = np.empty(4 * n, np.int64)
+        for band in range(4):
+            val = ((u >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys[band * n : (band + 1) * n] = val * 4 + band
+        return pa.table(
+            {
+                "band_hash": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "ph": pa.array(np.tile(ph, 4), pa.int64()),
+                "super": pa.array(keys % SUPER_GROUPS, pa.int64()),
+            }
+        )
+
+    def super_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        h = g["band_hash"].to_numpy()
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        ph = g["ph"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, h))
+        h, d, ph = h[order], d[order], ph[order]
+        starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(h)]])
+        sizes = ends - starts
+        keep_bucket = (sizes >= 2) & (sizes <= BUCKET_CAP)
+        for k in np.nonzero(sizes > BUCKET_CAP)[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "phash band bucket of %d imgs exceeds cap %d: skipped "
+                "(an exact-band bucket this hot is a degenerate constant "
+                "band; the other 3 bands still cover its near-dups)",
+                int(sizes[k]), BUCKET_CAP,
+            )
+        in_keep = np.repeat(keep_bucket, sizes)
+        bucket_end = np.repeat(ends, sizes)
+        rows = np.arange(len(h))
+        k_r = np.where(in_keep, bucket_end - rows - 1, 0)
+        T = int(k_r.sum())
+        if not T:
+            return empty
+        a_idx = np.repeat(rows, k_r)
+        base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
+        within = np.arange(T) - np.repeat(base, k_r)
+        b_idx = a_idx + within + 1
+        ok = (hamming64(ph[a_idx], ph[b_idx]) <= max_hamming) & (
+            d[a_idx] != d[b_idx]
+        )
+        a, b = d[a_idx][ok], d[b_idx][ok]
+        return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+
+    bands = imgs_ds.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = bands.groupby("super").map_groups(super_to_pairs,
+                                              batch_format="pandas")
+    return distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -3658,6 +3658,30 @@ def q_phash_dedup(sf_dir: str):
     return out
 
 
+def q_phash_keep(sf_dir: str):
+    """Image near-dup KEEP LIST — the artifact an image dedup pipeline
+    ships: banded-phash LSH pairs (4×16-bit pigeonhole bands, Hamming<=3
+    verified INSIDE the bucket kernel, no second join) -> connected
+    components -> every clustered image mapped to its cluster's min
+    doc_id. The image twin of minhash_keep; deterministic, rows-only
+    (the perceptual hash is not SQL-recomputable)."""
+    imgs = _images_ds(sf_dir)
+    pairs = dedup_ops.phash_near_dup_pairs(
+        imgs.select_columns(["doc_id", "phash"])
+    )
+    labels = dis.connected_components(pairs)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["node"].cast(pa.int64()),
+                "keep_id": b["label"].cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(norm, batch_format="pyarrow")
+
+
 def q_image_tiles(sf_dir: str):
     """Covering-tile assignment of every image footprint (the raster<->
     vector half of the flagship)."""
@@ -4361,6 +4385,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
+    "phash_keep": (q_phash_keep, None),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),

@@ -262,3 +262,28 @@ def test_exact_quantiles_differential(ray_session):
         quantile_ops.exact_kth_smallest(ds, "v", ranks=[0])
     with pytest.raises(ValueError):
         quantile_ops.exact_kth_smallest(ds, "v", ranks=[len(vals) + 1])
+
+
+def test_phash_near_dup_pairs_pigeonhole(ray_session):
+    """Banded-phash LSH: pairs within Hamming<=3 are found (pigeonhole
+    over 4x16-bit bands guarantees a shared exact band), pairs further
+    than the threshold are rejected even when they share a band."""
+    import ray.data as rd
+
+    base = 0x0123456789ABCDEF
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "phash": [
+            base,                      # anchor
+            base ^ 0b101,              # hamming 2 -> pair with 1
+            base ^ (1 << 62),          # hamming 1 -> pair with 1 (and 2: h=3)
+            base ^ 0x0F0F,             # hamming 8, shares bands 2,3 -> no pair
+            0x7EDCBA9876543210,        # far from everything
+        ],
+    }
+    ds = rd.from_arrow(pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}))
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.phash_near_dup_pairs(ds).take_all()
+    )
+    assert got == [(1, 2), (1, 3), (2, 3)]
