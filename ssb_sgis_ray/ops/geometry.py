@@ -307,9 +307,49 @@ def buff_lines_batch(batch: pa.Table, distance, resolution: int = 50,
     return pa.table(cols)
 
 
+def erode_polygon_rings_area(rings, holes, r: float, resolution: int) -> float:
+    """AREA of the negative buffer (erosion) of one polygon ringset.
+
+    Reference ``buff`` accepts negative distances (GEOS buffer semantics,
+    buffer_dissolve_explode.py:303-335). Erosion by radius r equals the
+    region minus the r-neighbourhood of its boundary:
+
+        P ⊖ disc(r) = P − (∂P ⊕ disc(r))
+
+    and the boundary neighbourhood is exactly the union of the per-edge
+    tubes and per-vertex discs that ``_buffer_components`` already builds
+    for dilation (without the interior component). Straight edges offset
+    exactly, so axis-rect rows erode to the closed form
+    max(0, w−2r)·max(0, h−2r); hole rings expand (their tubes eat into
+    the surrounding region), matching GEOS."""
+    from ..geo import booleans
+
+    comps = _buffer_components(rings, r, resolution, include_interior=False)
+    b_rings = [ring for comp in comps for ring in comp[0]]
+    return booleans.boolean_area(
+        rings, b_rings, "difference", holes, [False] * len(b_rings)
+    )
+
+
+def erode_polygon_rings(rings, holes, r: float, resolution: int):
+    """Negative buffer (erosion) geometry: [[shell, holes...], ...]."""
+    from ..geo import booleans
+
+    comps = _buffer_components(rings, r, resolution, include_interior=False)
+    b_rings = [ring for comp in comps for ring in comp[0]]
+    return booleans.boolean_polygons(
+        rings, b_rings, "difference", holes, [False] * len(b_rings)
+    )
+
+
 def buff_polygons_batch(batch: pa.Table, distance, resolution: int = 50,
                         wkb_col: str = "geometry_wkb", emit: str = "geometry") -> pa.Table:
-    """map_batches stage: buffer every polygon row (holes included)."""
+    """map_batches stage: buffer every polygon row (holes included).
+
+    Negative per-row distances run the erosion path (reference buff with
+    d<0); fully-eroded rows stay in the output with buf_area 0 / empty
+    WKB geometry, so the stage is schema-stable and row-count preserving.
+    """
     from ..geo import booleans
     from ..ops.overlay import _polys_to_wkb
 
@@ -322,6 +362,16 @@ def buff_polygons_batch(batch: pa.Table, distance, resolution: int = 50,
     out_geom, out_area = [], np.zeros(len(pg))
     for i in range(len(pg)):
         rings, holes = booleans.ringset_of_row(pg, i)
+        if dists[i] < 0:
+            if emit == "area":
+                out_area[i] = erode_polygon_rings_area(
+                    rings, holes, -dists[i], resolution
+                )
+            else:
+                out_geom.append(_polys_to_wkb(
+                    erode_polygon_rings(rings, holes, -dists[i], resolution)
+                ))
+            continue
         comps = _buffer_components(rings, dists[i], resolution, True)
         # hole rings contribute their tubes/discs (inward dilation) but
         # the interior component must exclude them

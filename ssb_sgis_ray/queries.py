@@ -843,6 +843,51 @@ FROM ({PART_SQL}) p,
 """
 
 
+def q_buffer_negative_area(sf_dir: str):
+    """buff with NEGATIVE distance (erosion, reference buff/GEOS d<0,
+    buffer_dissolve_explode.py:303-335): part boxes shrunk by a per-row
+    radius. Axis-rect erosion is closed-form — max(0, w−2d)·max(0, h−2d)
+    — because straight edges offset exactly and the corner discs are
+    subsets of the edge-tube union; rows eroded to nothing stay in the
+    output with area 0 (row-count-preserving stage)."""
+    from .ops import geometry as geom_ops
+
+    def stage(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = -(4 * ((k * 43) % 200) + 20)
+        return batch.append_column("d", pa.array(d, pa.int64()))
+
+    out = (
+        parts(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .map_batches(
+            lambda b: geom_ops.buff_polygons_batch(b, "d", resolution=50, emit="area"),
+            batch_format="pyarrow",
+        )
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"].cast(pa.int64()),
+                "ero_area_i": pa.array(
+                    np.round(b["buf_area"].to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BUFFER_NEGATIVE_AREA = f"""
+SELECT p.p_partkey,
+       CAST(GREATEST(0, (p.maxx - p.minx) - 2 * d.d)
+            * GREATEST(0, (p.maxy - p.miny) - 2 * d.d) AS BIGINT) AS ero_area_i
+FROM ({PART_SQL}) p,
+     LATERAL (SELECT {_BUF_D_SQL} AS d) d
+"""
+
+
 def q_eliminate_by_longest(sf_dir: str):
     """eliminate_by_longest host assignment
     (polygon_operations.py:240-259): slivers in odd checkerboard tiles
@@ -4410,6 +4455,7 @@ REGISTRY: dict[str, tuple] = {
     "clean_clip": (q_clean_clip, SQL_CLEAN_CLIP),
     "explode_all_singlepart": (q_explode_all_singlepart, SQL_EXPLODE_ALL_SINGLEPART),
     "voronoi_centerline": (q_voronoi_centerline, SQL_VORONOI_CENTERLINE),
+    "buffer_negative_area": (q_buffer_negative_area, SQL_BUFFER_NEGATIVE_AREA),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

@@ -583,3 +583,60 @@ def test_rects_union_area_grid_vs_slab_differential(monkeypatch):
                     ).any():
                         area += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
             assert got_grid == pytest.approx(area, abs=1e-6)
+
+
+def test_negative_buffer_rect_closed_form():
+    """Erosion of an axis rect: max(0, w-2d)*max(0, h-2d), exact — straight
+    edges offset exactly and corner discs are subsets of the tube union."""
+    from ssb_sgis_ray.ops import geometry as G
+
+    ring = np.array([[0, 0], [100, 0], [100, 60], [0, 60], [0, 0]], float)
+    assert G.erode_polygon_rings_area([ring], [False], 10.0, 16) == pytest.approx(
+        80 * 40, abs=1e-9
+    )
+    # full erosion: min dimension < 2d -> empty
+    assert G.erode_polygon_rings_area([ring], [False], 35.0, 16) == 0.0
+    assert G.erode_polygon_rings([ring], [False], 35.0, 16) == []
+
+
+def test_negative_buffer_hole_grows_rounded():
+    """Eroding a holed polygon GROWS the hole by its Minkowski dilation
+    (rounded corners): hole area becomes A + P*d + ngon(d)."""
+    from ssb_sgis_ray.ops import geometry as G
+
+    d, res = 5.0, 16
+    n = 4 * res
+    ngon = 0.5 * n * d * d * np.sin(2 * np.pi / n)
+    shell = np.array([[0, 0], [100, 0], [100, 60], [0, 60], [0, 0]], float)
+    hole = np.array([[40, 20], [60, 20], [60, 40], [40, 40], [40, 20]], float)
+    area = G.erode_polygon_rings_area([shell, hole], [False, True], d, res)
+    expect = (100 - 2 * d) * (60 - 2 * d) - (400 + 80 * d + ngon)
+    assert area == pytest.approx(expect, abs=1e-8)
+
+
+def test_buff_polygons_batch_mixed_sign_distances():
+    """Per-row distance column mixing dilation, identity-free erosion and
+    full erosion through one schema-stable stage."""
+    from ssb_sgis_ray.ops import geometry as G
+
+    ring = np.array([[0, 0], [80, 0], [80, 40], [0, 40], [0, 0]], float)
+    blob = wkb.encode_polygon([ring])
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "d": pa.array([10, -10, -30], pa.int64()),
+            "geometry_wkb": pa.array([blob, blob, blob], pa.binary()),
+        }
+    )
+    out = G.buff_polygons_batch(t, "d", 16, emit="area")
+    a = out["buf_area"].to_pylist()
+    n = 64
+    ngon = 0.5 * n * 100.0 * np.sin(2 * np.pi / n)
+    assert a[0] == pytest.approx(80 * 40 + 2 * (80 + 40) * 10 + ngon, abs=1e-8)
+    assert a[1] == pytest.approx(60 * 20, abs=1e-9)
+    assert a[2] == 0.0
+    # WKB emit path: fully-eroded row carries a null geometry
+    geo = G.buff_polygons_batch(t, "d", 16, emit="geometry")
+    assert geo["geometry_wkb"][2].as_py() is None
+    pg = wkb.decode_polygons(geo["geometry_wkb"].slice(1, 1))
+    assert kernels.polygon_areas(pg)[0] == pytest.approx(60 * 20, abs=1e-9)
