@@ -196,3 +196,132 @@ def ann_ivf(vectors_ds, queries: dict, k: int, centroids: np.ndarray,
     return partials.groupby("query_id").map_groups(
         lambda g: _finalize_topk(g, k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH (signed random projections) — the other classic ANN bucket scheme
+# ---------------------------------------------------------------------------
+
+
+def lsh_planes(dim: int, n_tables: int = 4, n_bits: int = 8,
+               seed: int = 11) -> np.ndarray:
+    """Deterministic random-hyperplane family, shape (T, bits, dim).
+
+    Each table hashes a vector to an ``n_bits``-bit code: bit b is the
+    sign of the projection onto plane (t, b). Vectors with high cosine
+    similarity collide in at least one table with high probability
+    (P[bit match] = 1 - theta/pi per Goemans-Williamson)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    return planes / np.linalg.norm(planes, axis=2, keepdims=True)
+
+
+def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors -> (n, T) packed int64 sign codes."""
+    n_tables, n_bits, _ = planes.shape
+    codes = np.zeros((len(m), n_tables), dtype=np.int64)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    for t in range(n_tables):
+        bits = (m @ planes[t].T) > 0  # (n, bits)
+        codes[:, t] = bits @ weights
+    return codes
+
+
+def _hamming_ball(code: int, n_bits: int, radius: int) -> np.ndarray:
+    """All codes within Hamming distance <= radius of ``code``, sorted."""
+    from itertools import combinations
+
+    out = [code]
+    for r in range(1, min(radius, n_bits) + 1):
+        for flips in combinations(range(n_bits), r):
+            c = code
+            for b in flips:
+                c ^= 1 << b
+            out.append(c)
+    return np.unique(np.array(out, dtype=np.int64))
+
+
+class LshPartialTopK:
+    """Actor stage: per-batch top-k restricted to LSH bucket collisions.
+
+    A vector is a candidate for a query iff in ANY table its code lies
+    within Hamming distance ``radius`` of the query's code (multi-probe).
+    ``radius == n_bits`` probes every bucket and reproduces brute force
+    exactly — the same plumbing proof convention as IvfPartialTopK with
+    nprobe == n_lists."""
+
+    def __init__(self, queries_ref, planes_ref, k: int, radius: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        q = ray.get(queries_ref)
+        self.qids = q["id"].astype(np.int64)
+        self.qm = _normalize(q["matrix"].astype(np.float64))
+        self.planes = ray.get(planes_ref)  # (T, bits, d)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+        n_bits = self.planes.shape[1]
+        qcodes = _lsh_codes(self.qm, self.planes)  # (q, T)
+        # probe sets: per (query, table) the sorted Hamming ball
+        self.probe = [
+            [_hamming_ball(int(qcodes[qi, t]), n_bits, radius)
+             for t in range(self.planes.shape[0])]
+            for qi in range(len(self.qids))
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(embedding_matrix(batch, self.col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _lsh_codes(m, self.planes)  # (n, T)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            mask = np.zeros(len(m), dtype=bool)
+            for t in range(self.planes.shape[0]):
+                mask |= np.isin(codes[:, t], self.probe[qi][t])
+            if not mask.any():
+                continue
+            s = m[mask] @ self.qm[qi]
+            sel_ids = ids[mask]
+            k_eff = min(self.k, len(sel_ids))
+            part = (
+                np.argpartition(-s, k_eff - 1)[:k_eff]
+                if k_eff < len(sel_ids)
+                else np.arange(len(sel_ids))
+            )
+            out_q.append(np.full(len(part), self.qids[qi]))
+            out_v.append(sel_ids[part])
+            out_s.append(s[part])
+        cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q, np.int64), pa.int64()),
+                "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+                "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+            }
+        )
+
+
+def ann_lsh(vectors_ds, queries: dict, k: int, planes: np.ndarray,
+            radius: int = 1, id_col: str = "vec_id", col: str = "embedding",
+            concurrency=None, batch_size: int = 8192):
+    """LSH-bucketed ANN (signed random projections, multi-probe).
+
+    ``planes`` from lsh_planes(). radius == n_bits reproduces brute force
+    exactly (plumbing proof); radius 0-2 trades recall for a candidate
+    set that shrinks ~2^-bits per table. Scale path: codes are computed
+    per batch inside the actor, queries+planes broadcast once via
+    ray.put — no shuffle; at 100 TB the same stage runs unchanged."""
+    qref = ray.put(queries)
+    pref = ray.put(np.asarray(planes, dtype=np.float64))
+    partials = vectors_ds.map_batches(
+        LshPartialTopK,
+        fn_constructor_kwargs={
+            "queries_ref": qref, "planes_ref": pref, "k": k,
+            "radius": radius, "id_col": id_col, "col": col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _finalize_topk(g, k), batch_format="pandas"
+    )

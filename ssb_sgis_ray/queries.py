@@ -2317,6 +2317,19 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "ann_rank"])
 
 
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (signed random projections) with multiprobe
+    radius == n_bits == exact (probes every bucket — proves the code/
+    bucket/candidate plumbing on the same oracle, the convention
+    q_ann_ivf uses with nprobe == n_lists); recall<1 radii are exercised
+    in pytest."""
+    planes = ann_ops.lsh_planes(64, n_tables=4, n_bits=8)
+    out = ann_ops.ann_lsh(
+        embeddings_ds(sf_dir), _query_vectors(sf_dir), k=5, planes=planes, radius=8
+    )
+    return out.select_columns(["query_id", "vec_id", "ann_rank"])
+
+
 class _EmbedDedupStage:
     """Pairs with cosine >= threshold vs broadcast full matrix.
 
@@ -4456,6 +4469,7 @@ REGISTRY: dict[str, tuple] = {
     "explode_all_singlepart": (q_explode_all_singlepart, SQL_EXPLODE_ALL_SINGLEPART),
     "voronoi_centerline": (q_voronoi_centerline, SQL_VORONOI_CENTERLINE),
     "buffer_negative_area": (q_buffer_negative_area, SQL_BUFFER_NEGATIVE_AREA),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_TOPK),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

@@ -185,6 +185,38 @@ def test_ann_ivf_exact_when_full_probe(ray_session):
     assert recall >= 0.5
 
 
+def test_ann_lsh_exact_when_full_probe(ray_session):
+    import ray.data as rd
+
+    m = _toy_vectors(300, 16, seed=9)
+    ids = np.arange(len(m), dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": pa.array(list(m), pa.list_(pa.float64()))})
+    queries = {"id": ids[:3], "matrix": m[:3]}
+    planes = ann_ops.lsh_planes(16, n_tables=4, n_bits=6)
+    full = ann_ops.ann_lsh(rd.from_arrow(tbl), queries, k=3, planes=planes, radius=6).to_pandas()
+    brute = ann_ops.ann_bruteforce(rd.from_arrow(tbl), queries, k=3).to_pandas()
+    key = ["query_id", "ann_rank"]
+    f = full.sort_values(key).reset_index(drop=True)
+    b = brute.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(f[key + ["vec_id"]], b[key + ["vec_id"]])
+    # multiprobe radius 1: queries are corpus members, so their own bucket
+    # always holds the rank-1 self match; recall stays well above chance
+    part = ann_ops.ann_lsh(rd.from_arrow(tbl), queries, k=3, planes=planes, radius=1).to_pandas()
+    merged = part.merge(b[key + ["vec_id"]], on=key, suffixes=("", "_true"))
+    recall = (merged["vec_id"] == merged["vec_id_true"]).mean()
+    assert recall >= 0.5
+
+
+def test_lsh_codes_and_ball():
+    planes = ann_ops.lsh_planes(8, n_tables=2, n_bits=4)
+    m = ann_ops._normalize(np.array([[1.0] * 8, [-1.0] * 8]))
+    codes = ann_ops._lsh_codes(m, planes)
+    # antipodal vectors get complementary codes in every table
+    assert ((codes[0] ^ codes[1]) == 15).all()
+    ball = ann_ops._hamming_ball(0b0101, 4, 1)
+    assert set(ball) == {0b0101, 0b0100, 0b0111, 0b0001, 0b1101}
+
+
 def test_embedding_matrix_shapes():
     m = _toy_vectors(7, 4)
     tbl = pa.table({"embedding": pa.array(list(m), pa.list_(pa.float64()))})
