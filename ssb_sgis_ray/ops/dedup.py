@@ -729,3 +729,180 @@ def exact_dedup_groups(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     return hashed.groupby("h").aggregate(
         Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-hash Jaccard
+# (the sequence analogue of MinHash doc dedup — a video's fingerprint is
+# its SET of frame content hashes; two videos are near-dups when the
+# Jaccard of their frame sets clears a threshold)
+# ---------------------------------------------------------------------------
+
+
+class VideoFrameHashStage:
+    """(doc_id, video:binary) -> one row per DISTINCT frame content:
+    (doc_id, fh, nfu).
+
+    Decodes the real RVID bytes and hashes each frame's pixel buffer
+    (dims prefixed — two frames with identical flat bytes but different
+    shapes must not collide). fh is the top 63 bits of md5, kept positive
+    for int64 packing; nfu is the video's distinct-frame count, carried
+    on every row so the pair stage can compute Jaccard denominators
+    without a join back. Per-frame loop is inherent codec work (same as
+    VideoFrameSample); frames are small."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import struct
+
+        from ..sources import media
+
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch["video"].to_pylist()
+        out_d, out_h, out_n = [], [], []
+        for d, blob in zip(doc_ids, blobs):
+            frames = media.decode_video(blob)
+            nf, h, w = frames.shape
+            hdr = struct.pack("<HH", w, h)
+            digs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(hdr + frames[f].tobytes()).digest()[:8],
+                        "little",
+                    ) >> 1
+                    for f in range(nf)
+                ),
+                dtype=np.int64,
+                count=nf,
+            )
+            u = np.unique(digs)
+            out_d.append(np.full(len(u), d, dtype=np.int64))
+            out_h.append(u)
+            out_n.append(np.full(len(u), len(u), dtype=np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(cat(out_d), pa.int64()),
+                "fh": pa.array(cat(out_h), pa.int64()),
+                "nfu": pa.array(cat(out_n), pa.int64()),
+            }
+        )
+
+
+def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
+    """One super-group of frame rows -> PAIR INSTANCES (one row per
+    shared frame): (pk, na, nb).
+
+    Same sort + boundary-scan + repeat-arithmetic triangular expansion as
+    _super_groups_to_pairs, but WITHOUT a hot-bucket star cap: the pair
+    count downstream IS the Jaccard numerator, so every co-occurrence
+    must be emitted. A frame shared by b videos emits C(b,2) rows —
+    bounded here by the frame-content key space; log if a bucket is
+    degenerate."""
+    empty = pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                          "na": pd.Series([], dtype="int64"),
+                          "nb": pd.Series([], dtype="int64")})
+    if len(g) < 2:
+        return empty
+    h = g["fh"].to_numpy()
+    d = g["doc_id"].to_numpy().astype(np.int64)
+    n = g["nfu"].to_numpy().astype(np.int64)
+    order = np.lexsort((d, h))
+    h, d, n = h[order], d[order], n[order]
+    starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(h)]])
+    sizes = ends - starts
+    big = sizes[sizes > BUCKET_CAP]
+    if len(big):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "video frame bucket of %d videos: exact Jaccard forbids a star "
+            "cap, emitting all pairs", int(big.max()),
+        )
+    rows = np.arange(len(h))
+    bucket_end = np.repeat(ends, sizes)
+    k_r = bucket_end - rows - 1
+    T = int(k_r.sum())
+    if not T:
+        return empty
+    a_idx = np.repeat(rows, k_r)
+    base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
+    within = np.arange(T) - np.repeat(base, k_r)
+    b_idx = a_idx + within + 1
+    a, b = d[a_idx], d[b_idx]
+    na, nb = n[a_idx], n[b_idx]
+    keep = a != b  # same video twice in a bucket is impossible post-unique,
+    a, b, na, nb = a[keep], b[keep], na[keep], nb[keep]  # but stay defensive
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    # keep (na, nb) aligned with the (lo, hi) orientation
+    nlo = np.where(a <= b, na, nb)
+    nhi = np.where(a <= b, nb, na)
+    return pd.DataFrame({"pk": lo * (1 << 31) + hi, "na": nlo, "nb": nhi})
+
+
+def _pair_instances_to_jaccard(t_num: int, t_den: int):
+    """Per super-group: count instances per pk (= |A∩B|), filter on the
+    EXACT integer Jaccard predicate t_den*c >= t_num*(na+nb-c)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy().astype(np.int64)
+        na = g["na"].to_numpy().astype(np.int64)
+        nb = g["nb"].to_numpy().astype(np.int64)
+        u, first, c = np.unique(pk, return_index=True, return_counts=True)
+        na_u, nb_u = na[first], nb[first]
+        den = na_u + nb_u - c
+        keep = t_den * c >= t_num * den
+        return pd.DataFrame(
+            {
+                "id_a": (u[keep] >> 31).astype(np.int64),
+                "id_b": (u[keep] & ((1 << 31) - 1)).astype(np.int64),
+                "jac_num": c[keep].astype(np.int64),
+                "jac_den": den[keep].astype(np.int64),
+            }
+        )
+
+    return fn
+
+
+def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
+                              concurrency=None, batch_size: int = 128):
+    """Video near-dup pairs by frame-set Jaccard >= t_num/t_den.
+
+    Plan (all-distributed, no driver materialization):
+      1. decode + per-frame hash, distinct within video (actor pool;
+         denominator sizes ride along on every frame row — no join back)
+      2. shuffle on fh % SUPER_GROUPS, vectorized triangular pair
+         instances per frame bucket (one row per SHARED frame)
+      3. shuffle on pk % SUPER_GROUPS, np.unique count per packed pair
+         = |A∩B|, exact integer threshold filter
+
+    Output: (id_a, id_b, jac_num=|A∩B|, jac_den=|A∪B|) — integers, so
+    the oracle comparison has no float rounding ties. Doc ids must fit
+    31 bits (same packing bound as minhash_candidate_pairs)."""
+    hashed = videos_ds.map_batches(
+        VideoFrameHashStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+
+    def add_super(b: pa.Table) -> pa.Table:
+        h = b["fh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(h % SUPER_GROUPS, pa.int64()))
+
+    inst = (
+        hashed.map_batches(add_super, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(_frame_super_to_pair_instances, batch_format="pandas")
+    )
+
+    def add_super2(b: pa.Table) -> pa.Table:
+        pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(pk % SUPER_GROUPS, pa.int64()))
+
+    return (
+        inst.map_batches(add_super2, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(_pair_instances_to_jaccard(t_num, t_den),
+                    batch_format="pandas")
+    )

@@ -3868,6 +3868,56 @@ LATERAL (
 """
 
 
+def q_video_near_dup(sf_dir: str):
+    """Video near-dup by frame-set Jaccard >= 1/3 (the sequence analogue
+    of MinHash dedup): synthesize RVID blobs, decode real bytes, hash
+    every frame's pixel buffer, bucket by frame hash, count shared
+    frames per video pair, exact integer threshold. Output carries
+    (jac_num, jac_den) as integers so the oracle has no rounding ties.
+    Oracle rebuilds every frame's content key from doc_id arithmetic via
+    lateral generate_series and runs the identical integer predicate —
+    the engine side never sees the closed form (it hashes decoded
+    bytes)."""
+    from .ops import dedup as dedup_ops
+    from .sources import media as media_src
+
+    out = dedup_ops.video_frame_jaccard_pairs(
+        media_src.video_dataset(sf_dir), t_num=1, t_den=3
+    ).to_pandas()
+    if out.empty:  # all-empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({c: pd.Series(dtype="int64")
+                            for c in ("id_a", "id_b", "jac_num", "jac_den")})
+    return out
+
+
+SQL_VIDEO_NEAR_DUP = """
+WITH p AS (
+  SELECT doc_id AS k,
+         16 * (2 + doc_id % 4) AS w,
+         8 + (doc_id * 5) % 9 AS h,
+         8 + doc_id % 9 AS nf
+  FROM documents
+),
+f AS (
+  SELECT p.k, p.w, p.h, p.nf, (p.k * 31 + u.f * 17) % 200 AS base
+  FROM p, LATERAL (
+    SELECT unnest(generate_series(0, CAST(p.nf - 1 AS BIGINT))) AS f
+  ) u
+),
+pairs AS (
+  SELECT a.k AS id_a, b.k AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS jac_num,
+         CAST(a.nf + b.nf - COUNT(*) AS BIGINT) AS jac_den
+  FROM f a JOIN f b
+    ON a.w = b.w AND a.h = b.h AND a.base = b.base AND a.k < b.k
+  GROUP BY a.k, b.k, a.nf, b.nf
+)
+SELECT id_a, id_b, jac_num, jac_den
+FROM pairs
+WHERE 3 * jac_num >= 1 * jac_den
+"""
+
+
 def q_geotiff_clip_zonal(sf_dir: str):
     """Raster.from_path/load/clip on real GeoTIFF bytes: encode every doc's
     raster as a spec-conformant striped GeoTIFF (uint8/uint16, none/deflate
@@ -4470,6 +4520,7 @@ REGISTRY: dict[str, tuple] = {
     "voronoi_centerline": (q_voronoi_centerline, SQL_VORONOI_CENTERLINE),
     "buffer_negative_area": (q_buffer_negative_area, SQL_BUFFER_NEGATIVE_AREA),
     "ann_lsh": (q_ann_lsh, SQL_ANN_TOPK),
+    "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),

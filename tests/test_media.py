@@ -101,3 +101,42 @@ def test_truncated_headers_raise_valueerror():
     good = geotiff.encode_geotiff(__import__("numpy").zeros((4, 4), dtype="uint8"))
     with pytest.raises(ValueError):
         geotiff.decode_geotiff(good[:20])  # truncated IFD
+
+
+def test_video_frame_jaccard_pairs_planted(ray_session):
+    """Planted near-dup videos: A and B share 3 of 5 distinct frames
+    (J = 3/7 >= 1/3), C is disjoint; repeated frames within a video must
+    count once (distinct-set semantics)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import dedup as dedup_ops
+
+    def frame(v):
+        return np.full((4, 16), v, dtype=np.uint8)
+
+    def blob(vals):
+        return media.encode_video(np.stack([frame(v) for v in vals]))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # A: {10,20,30,40,50}; B: {10,20,30,60,70} (+ a repeat of 10)
+            "video": pa.array(
+                [blob([10, 20, 30, 40, 50]),
+                 blob([10, 10, 20, 30, 60, 70]),
+                 blob([99, 98])],
+                pa.binary(),
+            ),
+        }
+    )
+    out = dedup_ops.video_frame_jaccard_pairs(
+        rd.from_arrow(t), t_num=1, t_den=3
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.id_a, row.id_b, row.jac_num, row.jac_den) == (1, 2, 3, 7)
+    # tighter threshold kills the pair
+    strict = dedup_ops.video_frame_jaccard_pairs(
+        rd.from_arrow(t), t_num=4, t_den=5
+    ).to_pandas()
+    assert len(strict) == 0
