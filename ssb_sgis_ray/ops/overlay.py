@@ -986,197 +986,95 @@ def overlay_union_leg_areas(
     concurrency: int | tuple | None = None,
     batch_size: int = 128,
     num_partitions: int | None = None,
+    left_table: pa.Table | None = None,
 ):
     """(leg, area_i) rows of the union/symmetric_difference composition —
-    the area-only pushdown of overlay_union_legs: the intersection leg
-    streams piece areas (no WKB), the right-difference leg runs the Klee
-    area kernel, and only the (small) left-difference and unmatched-right
-    legs decode geometry.
+    the area-only pushdown of overlay_union_legs, as TWO shuffle-free
+    broadcast passes:
+
+      pass 1 (stream LEFT, broadcast right): intersection-piece partial
+        sums (union only) + left-remainder partial sums per batch
+      pass 2 (stream RIGHT, broadcast left): right-remainder areas via
+        the same ``difference_areas`` kernel with the roles flipped —
+        each right row subtracts the union of its matched lefts;
+        unmatched rights pass through at full area, so no join and no
+        global match-state exchange is needed at all
+
+    The previous plan shipped one row per (left piece, clip rect) — 28M
+    rows at sf0.1 — through a groupby(super) sort and a left_outer join
+    for the unmatched-right leg; under one composed streaming execution
+    that Sort alone ran 69 s and the end-to-end wall was 120-250 s.
+    The two-pass form does the identical per-row math in two actor-pool
+    scans (~15 s each at sf0.1/32 CPUs) with only (leg, area_i) partial
+    rows leaving any worker.
+
+    Envelope: BOTH sides must fit the object store as broadcast tables
+    (the reference's clean_overlay materializes both frames too,
+    overlay.py:199-257); overlay_union_leg_areas_cell is the co-
+    partitioned large×large fallback.
 
     batch_size default is 128, measured not guessed: with ~1,400 matched
-    rights per left row the per-batch pair expansion is T ≈ batch_size *
-    1,400 rows, and every (T,4) temporary past glibc's 32 MB
-    DEFAULT_MMAP_THRESHOLD_MAX page-faults on first touch. sf0.1 / 32
-    CPUs interleaved trials: bs=128 45-61 s, bs=256 74-133 s, bs=512
-    87-105 s, bs=2048 223-293 s — smaller batches keep temporaries
-    heap-reusable and halve the wall."""
-    import pyarrow.compute as pc
+    rights per left row the per-batch pair expansion past glibc's 32 MB
+    DEFAULT_MMAP_THRESHOLD_MAX page-faults on first touch; smaller
+    batches keep temporaries heap-reusable (45-61 s vs 223-293 s at
+    bs=2048 under the old plan's single pass)."""
     import ray.data as rd
-
-    from .dissolve import default_join_partitions
 
     concurrency = default_pool(concurrency)
 
     if how not in ("union", "symmetric_difference"):
         raise ValueError(how)
     ref = ray.put(right_table)
-
-    def leg_of(ds, leg_name, area_from):
-        def fn(b: pd.DataFrame) -> pa.Table:
-            if area_from == "piece_area":
-                areas = np.round(b["piece_area"].to_numpy()).astype(np.int64)
-            elif area_from == "geometry":
-                pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-                areas = np.round(kernels.polygon_areas(pg)).astype(np.int64)
-            else:  # already area_i
-                areas = b["area_i"].to_numpy().astype(np.int64)
-            return pa.table(
-                {
-                    "leg": pa.array([leg_name] * len(areas), pa.string()),
-                    "area_i": pa.array(areas, pa.int64()),
-                }
-            )
-
-        return ds.map_batches(fn, batch_format="pandas")
-
-    # ONE fused broadcast pass computes every leg (the separate-legs plan
-    # repeated the same STRtree candidate query three times); right-leg
-    # rows ship decomposed clip rects (4 floats) with coarse super keys —
-    # the naive plan shuffled 2.6 GB of WKB through 150k fine groups
-    # (359 s at sf0.1)
-    mixed = left.map_batches(
+    left_legs = left.map_batches(
         UnionAreaLegsActor,
         fn_constructor_kwargs={"right_ref": ref, "how": how},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    ).materialize()  # consumed three times: direct legs, pairs, matched ids
-
-    legs = [
-        mixed.map_batches(
-            lambda b: b.filter(pc.invert(pc.equal(b["leg"], "pair"))).select(
-                ["leg", "area_i"]
-            ),
-            batch_format="pyarrow",
+    )
+    if left_table is None:
+        # the broadcast envelope already bounds the left side; collecting
+        # it once on the driver is the same cost class as the right_table
+        # argument the caller built
+        left_table = pa.concat_tables(
+            [t for t in ray.get(left.to_arrow_refs()) if t.num_rows],
+            promote_options="default",
         )
-    ]
-    pairs = mixed.map_batches(
-        lambda b: b.filter(pc.equal(b["leg"], "pair")).select(
-            ["super", "right_row", "x0", "y0", "x1", "y1", "left_geom"]
-        ),
-        batch_format="pyarrow",
-    )
-    s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(
-        wkb.decode_polygons(right_table["geometry_wkb"])
-    )
-    rdiff = pairs.groupby("super").map_groups(
-        _right_diff_area_super_kernel(right_table, s_rects, s_offs, s_rlin),
-        batch_format="pandas",
-    )
-    legs.append(leg_of(rdiff, "right", "area_i"))
-    right_rows = rd.from_arrow(
-        right_table.append_column(
-            "right_row", pa.array(np.arange(len(right_table)), pa.int64())
+    lref = ray.put(left_table.select(["geometry_wkb"]))
+    right_leg = (
+        rd.from_arrow(right_table.select(["geometry_wkb"]))
+        .repartition(max(int(np.ceil(len(right_table) / 2048)), 1))
+        .map_batches(
+            ReverseDiffAreaActor,
+            fn_constructor_kwargs={"left_ref": lref},
+            batch_format="pyarrow", batch_size=512, concurrency=concurrency,
         )
     )
-    if pairs.count() == 0:
-        legs.append(leg_of(right_rows, "right", "geometry"))
-    else:
-        def batch_ids(b: pa.Table) -> pa.Table:
-            u = np.unique(b["right_row"].to_numpy(zero_copy_only=False))
-            return pa.table(
-                {"right_row": pa.array(u, pa.int64()),
-                 "sup": pa.array(u % 256, pa.int64())}
-            )
+    return left_legs.union(right_leg)
 
-        def distinct_ids(g: pd.DataFrame) -> pd.DataFrame:
-            u = np.unique(g["right_row"].to_numpy())
-            return pd.DataFrame(
-                {"right_row": u.astype(np.int64),
-                 "__m": np.ones(len(u), dtype=np.int64)}
-            )
 
-        matched_ids = (
-            pairs.map_batches(batch_ids, batch_format="pyarrow")
-            .groupby("sup")
-            .map_groups(distinct_ids, batch_format="pandas")
-            # block coalesce: empty hash partitions emit schema-less 0-row
-            # blocks that crash Dataset.join (see DEVNOTES round-3 review)
-            .repartition(default_join_partitions(num_partitions))
+class ReverseDiffAreaActor:
+    """Pass-2 stage of overlay_union_leg_areas: per-batch partial sum of
+    (right row − union(matched left geometries)) areas, computed by
+    ``difference_areas`` with the broadcast/stream roles flipped.
+    Pass-through (unmatched) right rows contribute their full area —
+    the unmatched-right leg of the union composition with no join."""
+
+    def __init__(self, left_ref):
+        self.L = RightGeoms(ray.get(left_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rpg = wkb.decode_polygons(batch["geometry_wkb"])
+        r_is_rect = kernels.detect_axis_rects(rpg)
+        r_decomp = kernels.decompose_rectilinear(rpg)
+        qi, pi = find_candidate_pairs(rpg, r_is_rect, self.L, r_decomp[2])
+        d = difference_areas(rpg, self.L, qi, pi, r_decomp)
+        pos = d > 0
+        total = int(np.round(d[pos]).astype(np.int64).sum()) if pos.any() else 0
+        return pa.table(
+            {
+                "leg": pa.array(["right"], pa.string()),
+                "area_i": pa.array([total], pa.int64()),
+            }
         )
-        um = right_rows.join(
-            matched_ids,
-            join_type="left_outer",
-            num_partitions=default_join_partitions(num_partitions),
-            on=("right_row",),
-        ).map_batches(
-            lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(
-                ["__m", "right_row"]
-            ),
-            batch_format="pyarrow",
-        )
-        legs.append(leg_of(um, "right", "geometry"))
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.union(leg)
-    return out
-
-
-_RIGHT_SUPER_GROUPS = 512
-
-
-def _right_diff_area_super_kernel(right_table: pa.Table, s_rects, s_offs, s_rlin):
-    """Super-group kernel: AREA of (right row − union(matched lefts)) for
-    every right row in the group. Clip rects arrive pre-decomposed; the
-    rare non-rectilinear lefts arrive as WKB."""
-    rpg_full = wkb.decode_polygons(right_table["geometry_wkb"])
-
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        rr = g["right_row"].to_numpy().astype(np.int64)
-        order = np.argsort(rr, kind="stable")
-        rr = rr[order]
-        x0 = g["x0"].to_numpy()[order]
-        y0 = g["y0"].to_numpy()[order]
-        x1 = g["x1"].to_numpy()[order]
-        y1 = g["y1"].to_numpy()[order]
-        geoms = g["left_geom"].to_numpy()[order]
-        starts = np.nonzero(np.concatenate([[True], rr[1:] != rr[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(rr)]])
-        out = np.zeros(len(starts), dtype=np.int64)
-        keep = np.zeros(len(starts), dtype=bool)
-        for s_i in range(len(starts)):
-            a, b = int(starts[s_i]), int(ends[s_i])
-            row = int(rr[a])
-            has_geom = pd.notna(geoms[a:b])
-            rects = np.stack(
-                [x0[a:b][~has_geom], y0[a:b][~has_geom],
-                 x1[a:b][~has_geom], y1[a:b][~has_geom]], axis=1,
-            )
-            if s_rlin[row] and not has_geom.any():
-                area = 0.0
-                for t in range(s_offs[row], s_offs[row + 1]):
-                    sb = s_rects[t]
-                    cx0 = np.maximum(rects[:, 0], sb[0])
-                    cy0 = np.maximum(rects[:, 1], sb[1])
-                    cx1 = np.minimum(rects[:, 2], sb[2])
-                    cy1 = np.minimum(rects[:, 3], sb[3])
-                    m = (cx1 > cx0) & (cy1 > cy0)
-                    cov = (
-                        kernels.rects_union_area(
-                            np.stack([cx0[m], cy0[m], cx1[m], cy1[m]], axis=1)
-                        )
-                        if m.any()
-                        else 0.0
-                    )
-                    area += (sb[2] - sb[0]) * (sb[3] - sb[1]) - cov
-            else:
-                from ..geo import booleans as B
-
-                s_r, s_h = B.ringset_of_row(rpg_full, row)
-                c_r = [kernels.rects_to_rings(rects[k : k + 1])[0]
-                       for k in range(len(rects))]
-                c_h = [False] * len(c_r)
-                if has_geom.any():
-                    gpg = wkb.decode_polygons(geoms[a:b][has_geom])
-                    for i in range(len(gpg)):
-                        rr2, hh2 = B.ringset_of_row(gpg, i)
-                        c_r.extend(rr2)
-                        c_h.extend(hh2)
-                area = B.boolean_area(s_r, c_r, "difference", s_h, c_h)
-            if area > 0:
-                out[s_i] = np.int64(round(area))
-                keep[s_i] = True
-        return pd.DataFrame({"area_i": out[keep]})
-
-    return fn
 
 
 def difference_areas(lpg: wkb.PolygonArray, R: RightGeoms,
@@ -1252,17 +1150,13 @@ def difference_areas(lpg: wkb.PolygonArray, R: RightGeoms,
 
 
 class UnionAreaLegsActor:
-    """ONE broadcast pass emitting every area-plan leg at once.
-
-    The separate-legs plan ran THREE full left×right passes (intersection,
-    left difference, right-pair emission) — each repeating the same
-    STRtree candidate query. This actor computes candidate pairs once per
-    batch and emits a single mixed table:
-      leg='inter'  piece areas per pair        (union only)
-      leg='left'   remainder area per left row (incl. pass-through)
-      leg='pair'   (super, right_row, clip rect | left_geom) rows for the
-                   downstream right-leg group kernel + matched-id set
-    """
+    """Pass-1 stage of overlay_union_leg_areas: one broadcast scan of the
+    left side emitting per-batch PARTIAL SUMS for the intersection leg
+    (union only) and the left-remainder leg. Candidate pairs are computed
+    once per batch and shared by both legs; per-piece int64 rounding
+    happens before the sum, matching the SQL oracle's round-then-sum
+    exactly. Output is schema-stable (leg, area_i) — the right leg comes
+    from ReverseDiffAreaActor's flipped pass, not from pair rows."""
 
     def __init__(self, right_ref, how: str = "union"):
         right: pa.Table = ray.get(right_ref)
@@ -1270,8 +1164,6 @@ class UnionAreaLegsActor:
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         R = self.R
         lpg = wkb.decode_polygons(batch["geometry_wkb"])
         l_is_rect = kernels.detect_axis_rects(lpg)
@@ -1279,79 +1171,26 @@ class UnionAreaLegsActor:
         lbounds = kernels.polygon_bounds(lpg)
         qi, pi = find_candidate_pairs(lpg, l_is_rect, R, l_decomp[2])
 
-        # every consumer groupby-sums per leg, so the inter/left legs are
-        # PRE-AGGREGATED here (one partial-sum row per batch instead of
-        # one row per piece — 28M of the 56M materialized rows at sf0.1);
-        # per-piece int64 rounding happens before the sum, matching the
-        # SQL oracle's round-then-sum exactly
-        inter_areas = np.zeros(0, np.int64)
+        legs: list[str] = []
+        areas: list[int] = []
         if self.how == "union":
             _, _, iareas, _ = intersection_pieces(
                 lpg, lbounds, l_decomp, l_is_rect, R, qi, pi, area_only=True
             )
             if len(iareas):
-                inter_areas = np.array(
-                    [np.round(iareas).astype(np.int64).sum()], np.int64
-                )
-        k_inter = len(inter_areas)
+                legs.append("inter")
+                areas.append(int(np.round(iareas).astype(np.int64).sum()))
 
         dareas = difference_areas(lpg, R, qi, pi, l_decomp)
         pos = dareas > 0
-        left_areas = np.zeros(0, np.int64)
         if pos.any():
-            left_areas = np.array(
-                [np.round(dareas[pos]).astype(np.int64).sum()], np.int64
-            )
-        k_left = len(left_areas)
+            legs.append("left")
+            areas.append(int(np.round(dareas[pos]).astype(np.int64).sum()))
 
-        # right-leg pair rows: decomposed clip rects | WKB for general rows
-        l_rects, l_offs, l_rlin = l_decomp
-        is_rl = l_rlin[qi] if len(qi) else np.zeros(0, bool)
-        qr, pr = qi[is_rl], pi[is_rl]
-        counts = (l_offs[qr + 1] - l_offs[qr]).astype(np.int64)
-        T = int(counts.sum())
-        rep = np.repeat(np.arange(len(qr)), counts)
-        base = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        ridx = np.repeat(l_offs[qr], counts) + (np.arange(T) - np.repeat(base, counts))
-        qg, pg_ = qi[~is_rl], pi[~is_rl]
-        n_g = len(qg)
-        rr_all = np.concatenate([pr[rep].astype(np.int64), pg_.astype(np.int64)])
-        k_pair = len(rr_all)
-
-        n_tot = k_inter + k_left + k_pair
-        codes = np.empty(n_tot, np.int8)
-        codes[:k_inter] = 0
-        codes[k_inter : k_inter + k_left] = 1
-        codes[k_inter + k_left :] = 2
-        leg = pc.take(
-            pa.array(["inter", "left", "pair"]), pa.array(codes, pa.int8())
-        )
-        area_i = np.zeros(n_tot, np.int64)
-        area_i[:k_inter] = inter_areas
-        area_i[k_inter : k_inter + k_left] = left_areas
-        sup = np.zeros(n_tot, np.int64)
-        sup[k_inter + k_left :] = rr_all % _RIGHT_SUPER_GROUPS
-        rrow = np.zeros(n_tot, np.int64)
-        rrow[k_inter + k_left :] = rr_all
-        nanpad = np.full(k_inter + k_left, np.nan)
-        gpad = np.full(n_g, np.nan)
-        rect_of = lambda col: np.concatenate([nanpad, l_rects[ridx, col], gpad])
-        geoms = batch["geometry_wkb"].take(pa.array(qg, pa.int64()))
-        geoms = geoms.combine_chunks() if hasattr(geoms, "combine_chunks") else geoms
-        left_geom = pa.concat_arrays(
-            [pa.nulls(k_inter + k_left + T, pa.binary()), geoms]
-        )
         return pa.table(
             {
-                "leg": leg,
-                "area_i": pa.array(area_i, pa.int64()),
-                "super": pa.array(sup, pa.int64()),
-                "right_row": pa.array(rrow, pa.int64()),
-                "x0": pa.array(rect_of(0), pa.float64()),
-                "y0": pa.array(rect_of(1), pa.float64()),
-                "x1": pa.array(rect_of(2), pa.float64()),
-                "y1": pa.array(rect_of(3), pa.float64()),
-                "left_geom": left_geom,
+                "leg": pa.array(legs, pa.string()),
+                "area_i": pa.array(areas, pa.int64()),
             }
         )
 
