@@ -82,6 +82,7 @@ def run_bench() -> dict:
         "audio_features", "video_frames", "geotiff_clip_zonal",
         "events_asof", "destination_count", "top_tokens",
         "line_merge", "shortest_line", "rep_point", "image_resize",
+        "video_near_dup", "ann_lsh",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:
