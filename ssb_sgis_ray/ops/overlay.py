@@ -1034,9 +1034,11 @@ def overlay_union_leg_areas(
         # the broadcast envelope already bounds the left side; collecting
         # it once on the driver is the same cost class as the right_table
         # argument the caller built
-        left_table = pa.concat_tables(
-            [t for t in ray.get(left.to_arrow_refs()) if t.num_rows],
-            promote_options="default",
+        blocks = [t for t in ray.get(left.to_arrow_refs()) if t.num_rows]
+        left_table = (
+            pa.concat_tables(blocks, promote_options="default")
+            if blocks
+            else pa.table({"geometry_wkb": pa.array([], pa.binary())})
         )
     lref = ray.put(left_table.select(["geometry_wkb"]))
     right_leg = (

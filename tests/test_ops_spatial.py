@@ -716,3 +716,34 @@ def test_clean_clip_concave_mask_and_holes(ray_session):
     )
     assert out["id"].tolist() == [1, 2, 4]
     assert out["clip_area"].tolist() == pytest.approx([4.0, 4.0, 15.0])
+
+
+def test_union_leg_areas_empty_left(ray_session):
+    """Empty left side: union legs reduce to every right row at full
+    area through the flipped pass-through (no join, no crash)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import overlay as ov
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import relational as rel
+
+    def box(x0, y0, x1, y1):
+        return W.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    left = pa.table(
+        {"lid": pa.array([], pa.int64()),
+         "geometry_wkb": pa.array([], pa.binary())}
+    )
+    right = pa.table(
+        {"rid": pa.array([1, 2], pa.int64()),
+         "geometry_wkb": pa.array([box(0, 0, 10, 10), box(20, 20, 25, 30)],
+                                  pa.binary())}
+    )
+    out = rel.sum_by_small_key(
+        ov.overlay_union_leg_areas(rd.from_arrow(left), right, how="union"),
+        "leg", "area_i", ("inter", "left", "right"),
+    ).to_pydict()
+    assert out["leg"] == ["right"]
+    assert out["total_area"] == [100 + 50]
