@@ -116,6 +116,37 @@ SMALL_VERIFY_PAIRS = 5_000_000
 BROADCAST_DOCS_LIMIT = 200_000
 
 
+def _bucket_bounds(h: np.ndarray):
+    """SORTED bucket keys -> (starts, ends, sizes) of the equal-key runs."""
+    starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(h)]])
+    return starts, ends, ends - starts
+
+
+def _triangular_pair_indices(ends: np.ndarray, sizes: np.ndarray,
+                             bucket_mask: np.ndarray):
+    """Vectorized within-bucket triangular expansion (shared by the
+    minhash, phash and video-frame pair stages).
+
+    ``bucket_mask`` selects which buckets expand. Row r of an expanding
+    bucket has (bucket_end - r - 1) later partners; the (a, b) GLOBAL row
+    index pairs are generated with repeat arithmetic — no Python loop.
+    Returns (a_idx, b_idx), possibly empty."""
+    n = int(sizes.sum())
+    bucket_end = np.repeat(ends, sizes)
+    in_mask = np.repeat(bucket_mask, sizes)
+    rows = np.arange(n)
+    k_r = np.where(in_mask, bucket_end - rows - 1, 0)
+    T = int(k_r.sum())
+    if not T:
+        e = np.empty(0, np.int64)
+        return e, e
+    a_idx = np.repeat(rows, k_r)
+    base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
+    within = np.arange(T) - np.repeat(base, k_r)
+    return a_idx, a_idx + within + 1
+
+
 def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     """One SUPER-group (band_hash % SUPER_GROUPS) -> candidate pairs.
 
@@ -134,9 +165,7 @@ def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     d = g["doc_id"].to_numpy().astype(np.int64)
     order = np.lexsort((d, h))
     h, d = h[order], d[order]
-    starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(h)]])
-    sizes = ends - starts
+    starts, ends, sizes = _bucket_bounds(h)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     # star-cap giant buckets
@@ -151,18 +180,8 @@ def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_b.append(d[starts[k] + 1 : ends[k]])
     norm = (sizes >= 2) & (sizes <= BUCKET_CAP)
     if norm.any():
-        # per-ROW partner counts: row r in its bucket has (end_r - r - 1)
-        # later partners; expand with repeat arithmetic (no python loop)
-        bucket_end = np.repeat(ends, sizes)  # per global row
-        in_norm = np.repeat(norm, sizes)
-        rows = np.arange(len(h))
-        k_r = np.where(in_norm, bucket_end - rows - 1, 0)
-        T = int(k_r.sum())
-        if T:
-            a_idx = np.repeat(rows, k_r)
-            base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
-            within = np.arange(T) - np.repeat(base, k_r)
-            b_idx = a_idx + within + 1
+        a_idx, b_idx = _triangular_pair_indices(ends, sizes, norm)
+        if len(a_idx):
             out_a.append(d[a_idx])
             out_b.append(d[b_idx])
     if not out_a:
@@ -672,9 +691,7 @@ def phash_near_dup_pairs(imgs_ds, id_col: str = "doc_id",
         ph = g["ph"].to_numpy().astype(np.int64)
         order = np.lexsort((d, h))
         h, d, ph = h[order], d[order], ph[order]
-        starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
-        ends = np.concatenate([starts[1:], [len(h)]])
-        sizes = ends - starts
+        _, ends, sizes = _bucket_bounds(h)
         keep_bucket = (sizes >= 2) & (sizes <= BUCKET_CAP)
         for k in np.nonzero(sizes > BUCKET_CAP)[0]:
             import logging
@@ -685,17 +702,9 @@ def phash_near_dup_pairs(imgs_ds, id_col: str = "doc_id",
                 "band; the other 3 bands still cover its near-dups)",
                 int(sizes[k]), BUCKET_CAP,
             )
-        in_keep = np.repeat(keep_bucket, sizes)
-        bucket_end = np.repeat(ends, sizes)
-        rows = np.arange(len(h))
-        k_r = np.where(in_keep, bucket_end - rows - 1, 0)
-        T = int(k_r.sum())
-        if not T:
+        a_idx, b_idx = _triangular_pair_indices(ends, sizes, keep_bucket)
+        if not len(a_idx):
             return empty
-        a_idx = np.repeat(rows, k_r)
-        base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
-        within = np.arange(T) - np.repeat(base, k_r)
-        b_idx = a_idx + within + 1
         ok = (hamming64(ph[a_idx], ph[b_idx]) <= max_hamming) & (
             d[a_idx] != d[b_idx]
         )
@@ -809,9 +818,7 @@ def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
     n = g["nfu"].to_numpy().astype(np.int64)
     order = np.lexsort((d, h))
     h, d, n = h[order], d[order], n[order]
-    starts = np.nonzero(np.concatenate([[True], h[1:] != h[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(h)]])
-    sizes = ends - starts
+    _, ends, sizes = _bucket_bounds(h)
     big = sizes[sizes > BUCKET_CAP]
     if len(big):
         import logging
@@ -820,16 +827,11 @@ def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
             "video frame bucket of %d videos: exact Jaccard forbids a star "
             "cap, emitting all pairs", int(big.max()),
         )
-    rows = np.arange(len(h))
-    bucket_end = np.repeat(ends, sizes)
-    k_r = bucket_end - rows - 1
-    T = int(k_r.sum())
-    if not T:
+    a_idx, b_idx = _triangular_pair_indices(
+        ends, sizes, np.ones(len(sizes), dtype=bool)
+    )
+    if not len(a_idx):
         return empty
-    a_idx = np.repeat(rows, k_r)
-    base = np.concatenate([[0], np.cumsum(k_r)])[:-1]
-    within = np.arange(T) - np.repeat(base, k_r)
-    b_idx = a_idx + within + 1
     a, b = d[a_idx], d[b_idx]
     na, nb = n[a_idx], n[b_idx]
     keep = a != b  # same video twice in a bucket is impossible post-unique,

@@ -985,7 +985,6 @@ def overlay_union_leg_areas(
     how: str = "union",
     concurrency: int | tuple | None = None,
     batch_size: int = 128,
-    num_partitions: int | None = None,
     left_table: pa.Table | None = None,
 ):
     """(leg, area_i) rows of the union/symmetric_difference composition —
@@ -1014,10 +1013,9 @@ def overlay_union_leg_areas(
     partitioned large×large fallback.
 
     batch_size default is 128, measured not guessed: with ~1,400 matched
-    rights per left row the per-batch pair expansion past glibc's 32 MB
-    DEFAULT_MMAP_THRESHOLD_MAX page-faults on first touch; smaller
-    batches keep temporaries heap-reusable (45-61 s vs 223-293 s at
-    bs=2048 under the old plan's single pass)."""
+    rights per left row, per-batch candidate/piece temporaries past
+    glibc's 32 MB DEFAULT_MMAP_THRESHOLD_MAX page-fault on first touch;
+    smaller batches keep them heap-reusable."""
     import ray.data as rd
 
     concurrency = default_pool(concurrency)
@@ -1025,21 +1023,25 @@ def overlay_union_leg_areas(
     if how not in ("union", "symmetric_difference"):
         raise ValueError(how)
     ref = ray.put(right_table)
-    left_legs = left.map_batches(
-        UnionAreaLegsActor,
-        fn_constructor_kwargs={"right_ref": ref, "how": how},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
-    )
     if left_table is None:
         # the broadcast envelope already bounds the left side; collecting
         # it once on the driver is the same cost class as the right_table
-        # argument the caller built
+        # argument the caller built. Pass 1 then streams from the collected
+        # blocks instead of re-executing the caller's left pipeline.
         blocks = [t for t in ray.get(left.to_arrow_refs()) if t.num_rows]
         left_table = (
             pa.concat_tables(blocks, promote_options="default")
             if blocks
             else pa.table({"geometry_wkb": pa.array([], pa.binary())})
         )
+        left = rd.from_arrow(left_table.select(["geometry_wkb"])).repartition(
+            max(int(np.ceil(len(left_table) / batch_size)), 1)
+        )
+    left_legs = left.map_batches(
+        UnionAreaLegsActor,
+        fn_constructor_kwargs={"right_ref": ref, "how": how},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
     lref = ray.put(left_table.select(["geometry_wkb"]))
     right_leg = (
         rd.from_arrow(right_table.select(["geometry_wkb"]))
