@@ -2621,6 +2621,27 @@ FROM ({CUST_SQL}) c JOIN ({SUP_SQL}) s
 """
 
 
+def q_all_distances(sf_dir: str):
+    """get_all_distances (reference neighbors.py get_all_distances: every
+    left×right pair with its distance, no cutoff): the within-distance
+    join degenerate at d=∞ — full cross product streamed per batch, exact
+    squared-L2 integers. Only swept at sf0.01 (the cross product is the
+    point; at scale a user bounds it with max_distance, within_distance ★)."""
+    from .ops import geometry as geom_ops
+
+    return geom_ops.within_distance_pairs(
+        customers(sf_dir), _supplier_neighbors(sf_dir), distance=float("inf"),
+        id_col="c_custkey",
+    )
+
+
+SQL_ALL_DISTANCES = f"""
+SELECT c.c_custkey, s.s_suppkey AS neighbor_id,
+       (c.px - s.sx) * (c.px - s.sx) + (c.py - s.sy) * (c.py - s.sy) AS dist2
+FROM ({CUST_SQL}) c CROSS JOIN ({SUP_SQL}) s
+"""
+
+
 def q_size_rank(sf_dir: str):
     """sort_large_first as explicit ranks over supplier diamond areas."""
     from .ops import geometry as geom_ops
@@ -4521,6 +4542,7 @@ REGISTRY: dict[str, tuple] = {
     "buffer_negative_area": (q_buffer_negative_area, SQL_BUFFER_NEGATIVE_AREA),
     "ann_lsh": (q_ann_lsh, SQL_ANN_TOPK),
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
+    "all_distances": (q_all_distances, SQL_ALL_DISTANCES),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),
