@@ -92,12 +92,19 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    # headline: flagship image pipeline (fresh output dir, no resume skip)
-    out_dir = f"/tmp/bench_flagship_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    res = fl.flagship(SF_DIR, out_dir, concurrency=max(3, NUM_CPUS * 3 // 4), copies=COPIES)
-    headline = round(time.time() - t0, 3)
+    # headline: flagship image pipeline (fresh output dir, no resume skip).
+    # Two trials, min reported (both recorded): single-run wall times on
+    # this host swing ±30% and occasionally 2-4x (see BASELINE.md's host-
+    # state band), so a one-shot headline conflates engine and host.
+    trials = []
+    res = None
+    for t in range(int(os.environ.get("GRAFT_HEADLINE_TRIALS", "2"))):
+        out_dir = f"/tmp/bench_flagship_{NUM_CPUS}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = fl.flagship(SF_DIR, out_dir, concurrency=max(3, NUM_CPUS * 3 // 4), copies=COPIES)
+        trials.append(round(time.time() - t0, 3))
+    headline = min(trials)
     timings["flagship"] = headline
 
     import pyarrow.parquet as pq
@@ -112,6 +119,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "images_per_sec": round(n_images / headline, 1),
+        "flagship_all_trials": trials,
         "rows_written": res["rows_written"],
     }
     ray.shutdown()
@@ -128,7 +136,9 @@ def run_scaling():
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   GRAFT_HEADLINE_ONLY="1", GRAFT_COPIES=str(scale_copies))
+                   GRAFT_HEADLINE_ONLY="1", GRAFT_COPIES=str(scale_copies),
+                   # the scaling protocol interleaves its own trials
+                   GRAFT_HEADLINE_TRIALS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
