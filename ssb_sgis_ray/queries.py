@@ -2659,6 +2659,85 @@ FROM ({SUP_SQL})
 """
 
 
+def q_sort_long_first(sf_dir: str):
+    """sort_long_first (general.py:312-344): explicit length ranks over
+    the part line fixture — rank 1 = longest, ties by ascending key.
+    Squared length keeps the comparison integer-exact on both sides."""
+    from .ops import geometry as geom_ops
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dx = (4 * ((k * 89) % 10000) + 2) - (4 * ((k * 71) % 10000) + 2)
+    dy = (4 * ((k * 101) % 10000) + 2) - (4 * ((k * 83) % 10000) + 2)
+    out = geom_ops.size_ranks(t, (dx * dx + dy * dy).astype(np.float64), "p_partkey")
+    return out.rename_columns(["p_partkey", "length_rank"])
+
+
+_LL_DX = "(4 * ((p_partkey * 89) % 10000) - 4 * ((p_partkey * 71) % 10000))"
+_LL_DY = "(4 * ((p_partkey * 101) % 10000) - 4 * ((p_partkey * 83) % 10000))"
+
+SQL_SORT_LONG_FIRST = f"""
+SELECT p_partkey,
+       row_number() OVER (
+         ORDER BY {_LL_DX} * {_LL_DX} + {_LL_DY} * {_LL_DY} DESC,
+                  p_partkey) AS length_rank
+FROM part
+"""
+
+
+def q_bounds_to_points(sf_dir: str):
+    """bounds_to_points (bounds.py:410-442): each row's bbox as a 4-noded
+    MULTIPOINT, then exploded through make_all_singlepart — the oracle
+    checks the corner coordinates per part, so both the bounds math and
+    the multipoint WKB round-trip are hash-verified."""
+    from .ops import geometry as geom_ops
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(batch["geometry_wkb"])
+        b = kernels.polygon_bounds(pg)
+        blobs = [
+            wkb.encode_multipoint(np.array(
+                [[b[i, 0], b[i, 1]], [b[i, 2], b[i, 1]],
+                 [b[i, 2], b[i, 3]], [b[i, 0], b[i, 3]]], dtype=float))
+            for i in range(len(pg))
+        ]
+        return pa.table(
+            {"p_partkey": batch["p_partkey"].cast(pa.int64()),
+             "geometry_wkb": pa.array(blobs, pa.binary())}
+        )
+
+    exploded = (
+        parts(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .map_batches(
+            lambda b: geom_ops.make_all_singlepart(b, "p_partkey"),
+            batch_format="pyarrow",
+        )
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        pts = wkb.decode_points(b["geometry_wkb"])
+        return pa.table(
+            {"p_partkey": b["p_partkey"].cast(pa.int64()),
+             "px": pa.array(pts.x.astype(np.int64), pa.int64()),
+             "py": pa.array(pts.y.astype(np.int64), pa.int64())}
+        )
+
+    return exploded.map_batches(project, batch_format="pyarrow")
+
+
+SQL_BOUNDS_TO_POINTS = f"""
+SELECT p.p_partkey,
+       CASE c.i WHEN 0 THEN p.minx WHEN 1 THEN p.maxx
+                WHEN 2 THEN p.maxx ELSE p.minx END AS px,
+       CASE c.i WHEN 0 THEN p.miny WHEN 1 THEN p.miny
+                WHEN 2 THEN p.maxy ELSE p.maxy END AS py
+FROM ({PART_SQL}) p, LATERAL (
+  SELECT unnest(generate_series(0, 3)) AS i
+) c
+"""
+
+
 def q_self_intersections(sf_dir: str):
     """get_intersections (duplicates.py:130-248): self-overlay of the part
     boxes, pairs a<b with positive overlap area."""
@@ -3180,10 +3259,13 @@ GROUP BY gx.tile_x, gy.tile_y
 """
 
 
-def q_eliminate_by_largest(sf_dir: str):
-    """eliminate_by_largest (polygon_operations.py:390-405): every sliver
-    (p_partkey % 5 == 0) dissolves into the LARGEST-area intersecting host
-    box (ties by smallest host key); isolated slivers are dropped."""
+def _eliminate_by_area(sf_dir: str, largest: bool):
+    """Shared plan of eliminate_by_largest / eliminate_by_smallest
+    (polygon_operations.py:390-441): every sliver (p_partkey % 5 == 0)
+    dissolves into the extreme-area intersecting host box (ties by
+    smallest host key); isolated slivers are dropped. Per-batch candidate
+    winners reduce to a global winner per sliver — only (sliver, host)
+    rows shuffle."""
     right = synth.add_part_boxes(
         pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     )
@@ -3201,7 +3283,7 @@ def q_eliminate_by_largest(sf_dir: str):
         sliver["host_area"] = 4 * hw * hh
         sliver = sliver.sort_values(
             ["p_partkey_1", "host_area", "p_partkey_2"],
-            ascending=[True, False, True], kind="stable",
+            ascending=[True, not largest, True], kind="stable",
         )
         first = sliver.drop_duplicates("p_partkey_1", keep="first")
         return pd.DataFrame(
@@ -3212,15 +3294,27 @@ def q_eliminate_by_largest(sf_dir: str):
     # per-batch candidate winners -> global winner per sliver
     cands = pairs.map_batches(pick_host, batch_format="pandas")
     return cands.groupby("p_sliver").map_groups(
-        lambda g: _final_host(g), batch_format="pandas"
+        lambda g: _final_host(g, largest), batch_format="pandas"
     )
 
 
-def _final_host(g: pd.DataFrame) -> pd.DataFrame:
+def q_eliminate_by_largest(sf_dir: str):
+    """eliminate_by_largest (polygon_operations.py:390-405)."""
+    return _eliminate_by_area(sf_dir, largest=True)
+
+
+def q_eliminate_by_smallest(sf_dir: str):
+    """eliminate_by_smallest (polygon_operations.py:408-441): the
+    smallest-area intersecting host wins (same reduction, flipped
+    order)."""
+    return _eliminate_by_area(sf_dir, largest=False)
+
+
+def _final_host(g: pd.DataFrame, largest: bool = True) -> pd.DataFrame:
     hw = 4 * (50 + (g["host_key"] * 37) % 400)
     hh = 4 * (50 + (g["host_key"] * 53) % 400)
     g = g.assign(host_area=4 * hw * hh).sort_values(
-        ["host_area", "host_key"], ascending=[False, True], kind="stable"
+        ["host_area", "host_key"], ascending=[not largest, True], kind="stable"
     )
     return g.head(1)[["p_sliver", "host_key"]]
 
@@ -3239,6 +3333,25 @@ SELECT p_sliver, host_key FROM (
   SELECT p_sliver, host_key,
          row_number() OVER (PARTITION BY p_sliver
                             ORDER BY host_area DESC, host_key) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+SQL_ELIMINATE_SMALLEST = f"""
+WITH pairs AS (
+  SELECT a.p_partkey AS p_sliver, b.p_partkey AS host_key,
+         4 * ({_HW_SQL.replace('p_partkey', 'b.p_partkey')})
+           * ({_HH_SQL.replace('p_partkey', 'b.p_partkey')}) AS host_area
+  FROM ({PART_SQL}) a JOIN ({PART_SQL}) b
+    ON a.p_partkey % 5 = 0 AND b.p_partkey % 5 != 0
+   AND least(a.maxx, b.maxx) > greatest(a.minx, b.minx)
+   AND least(a.maxy, b.maxy) > greatest(a.miny, b.miny)
+)
+SELECT p_sliver, host_key FROM (
+  SELECT p_sliver, host_key,
+         row_number() OVER (PARTITION BY p_sliver
+                            ORDER BY host_area ASC, host_key) AS rn
   FROM pairs
 ) WHERE rn = 1
 """
@@ -4543,6 +4656,9 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, SQL_ANN_TOPK),
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
     "all_distances": (q_all_distances, SQL_ALL_DISTANCES),
+    "eliminate_by_smallest": (q_eliminate_by_smallest, SQL_ELIMINATE_SMALLEST),
+    "sort_long_first": (q_sort_long_first, SQL_SORT_LONG_FIRST),
+    "bounds_to_points": (q_bounds_to_points, SQL_BOUNDS_TO_POINTS),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
     "get_gaps": (q_get_gaps, SQL_GET_GAPS),
