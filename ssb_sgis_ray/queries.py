@@ -2659,6 +2659,45 @@ FROM ({SUP_SQL})
 """
 
 
+def q_make_ssb_grid(sf_dir: str):
+    """make_ssb_grid (bounds.py:262-372): the SSB-id polygon grid covering
+    the customer layer's total bounds at gridsize 2000. The projection
+    decodes each produced cell POLYGON back to its min corner, so the
+    oracle hash-checks the lattice, the SSBID recipe AND the cell
+    geometry bytes."""
+    from .ops import spatial as spatial_ops
+
+    grid = spatial_ops.make_ssb_grid(customers(sf_dir), 2000)
+
+    def project(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"])
+        bounds = kernels.polygon_bounds(pg)
+        return pa.table(
+            {"ssb_id": b["ssb_id"],
+             "cell_minx": pa.array(bounds[:, 0].astype(np.int64), pa.int64()),
+             "cell_miny": pa.array(bounds[:, 1].astype(np.int64), pa.int64())}
+        )
+
+    return grid.map_batches(project, batch_format="pyarrow")
+
+
+SQL_MAKE_SSB_GRID = f"""
+WITH b AS (
+  SELECT CAST(floor((min(px) + 2000000) / 2000) AS BIGINT) AS gx0,
+         CAST(floor((max(px) + 2000000) / 2000) AS BIGINT) AS gx1,
+         CAST(floor(min(py) / 2000.0) AS BIGINT) AS gy0,
+         CAST(floor(max(py) / 2000.0) AS BIGINT) AS gy1
+  FROM ({CUST_SQL})
+)
+SELECT CONCAT(CAST(gx.g * 2000 AS VARCHAR), CAST(gy.g * 2000 AS VARCHAR)) AS ssb_id,
+       gx.g * 2000 - 2000000 AS cell_minx,
+       gy.g * 2000 AS cell_miny
+FROM b,
+     LATERAL (SELECT unnest(generate_series(b.gx0, b.gx1)) AS g) gx,
+     LATERAL (SELECT unnest(generate_series(b.gy0, b.gy1)) AS g) gy
+"""
+
+
 def q_sort_long_first(sf_dir: str):
     """sort_long_first (general.py:312-344): explicit length ranks over
     the part line fixture — rank 1 = longest, ties by ascending key.
@@ -4658,6 +4697,7 @@ REGISTRY: dict[str, tuple] = {
     "all_distances": (q_all_distances, SQL_ALL_DISTANCES),
     "eliminate_by_smallest": (q_eliminate_by_smallest, SQL_ELIMINATE_SMALLEST),
     "sort_long_first": (q_sort_long_first, SQL_SORT_LONG_FIRST),
+    "make_ssb_grid": (q_make_ssb_grid, SQL_MAKE_SSB_GRID),
     "bounds_to_points": (q_bounds_to_points, SQL_BOUNDS_TO_POINTS),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
