@@ -567,3 +567,28 @@ def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
         .groupby("cg")
         .map_groups(_walk_chains_group, batch_format="pandas")
     )
+
+
+def component_sizes(lines_ds, id_col: str, tolerance: float,
+                    num_partitions: int | None = None):
+    """get_component_size (finding_isolated_networks.py:66-100): each line
+    carries the LINE COUNT of its connected component.
+
+    Composition of line_components + one distributed groupby-count +
+    a hash join back on the label — no driver materialization. Returns
+    a Dataset (id_col, component_size)."""
+    from ray.data.aggregate import Count
+
+    from .dissolve import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+    labeled = line_components(
+        lines_ds, id_col, tolerance, num_partitions=num_partitions
+    ).materialize()  # consumed twice: count per label + join back
+    sizes = labeled.groupby("component_label").aggregate(
+        Count(alias_name="component_size")
+    ).repartition(num_partitions)
+    return labeled.join(
+        sizes, join_type="inner", num_partitions=num_partitions,
+        on=("component_label",),
+    ).select_columns([id_col, "component_size"])

@@ -3463,6 +3463,40 @@ FROM lines l JOIN labels lb ON l.node_a = lb.node_key
 """
 
 
+def q_component_size(sf_dir: str):
+    """get_component_size (finding_isolated_networks.py:66-100): per-line
+    component LINE COUNT — line_components + distributed groupby-count +
+    join back."""
+    from .ops import network as net_ops
+
+    return net_ops.component_sizes(_part_lines(sf_dir), "p_partkey", float(_NODE_TOL))
+
+
+SQL_COMPONENT_SIZE = f"""
+WITH RECURSIVE lines AS (
+  SELECT p_partkey, {_NODE_A_SQL} AS node_a, {_NODE_B_SQL} AS node_b FROM part
+),
+edges AS (
+  SELECT node_a AS ia, node_b AS ib FROM lines
+  UNION SELECT node_b, node_a FROM lines
+  UNION SELECT node_a, node_a FROM lines
+  UNION SELECT node_b, node_b FROM lines
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+),
+labels AS (SELECT ia AS node_key, min(ib) AS lab FROM reach GROUP BY ia),
+line_labels AS (
+  SELECT l.p_partkey, lb.lab FROM lines l JOIN labels lb ON l.node_a = lb.node_key
+)
+SELECT p_partkey,
+       CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS component_size
+FROM line_labels
+"""
+
+
 def q_dissexp_by_cat(sf_dir: str):
     """dissexp(by=...): supplier diamonds dissolved per nation key — union
     area + member count per group (union geometry not SQL-expressible ->
@@ -4698,6 +4732,7 @@ REGISTRY: dict[str, tuple] = {
     "eliminate_by_smallest": (q_eliminate_by_smallest, SQL_ELIMINATE_SMALLEST),
     "sort_long_first": (q_sort_long_first, SQL_SORT_LONG_FIRST),
     "make_ssb_grid": (q_make_ssb_grid, SQL_MAKE_SSB_GRID),
+    "component_size": (q_component_size, SQL_COMPONENT_SIZE),
     "bounds_to_points": (q_bounds_to_points, SQL_BOUNDS_TO_POINTS),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
