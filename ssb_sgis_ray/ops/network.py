@@ -290,7 +290,7 @@ class _CloseHolesActor:
 
 def close_network_holes(lines_ds, id_col: str, tolerance: float,
                         max_distance: float, max_angle: float = 180.0,
-                        concurrency=None):
+                        deadends_only: bool = False, concurrency=None):
     """close_network_holes (reference closing_network_holes.py:15-368):
     connect each DEADEND (degree-1 node) to its nearest node within
     ``max_distance`` whose direction deviates at most ``max_angle``
@@ -336,9 +336,13 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
     import ray
 
     nodes_pd = nodes.to_pandas()  # broadcast node table (documented envelope)
+    # close_network_holes_to_deadends (closing_network_holes.py:128-200):
+    # candidate endpoints are restricted to OTHER deadends — the broadcast
+    # lookup table is filtered to degree-1 nodes, everything else identical
+    cand = nodes_pd[nodes_pd["degree"] == 1] if deadends_only else nodes_pd
     nodes_ref = ray.put(
-        (nodes_pd["node_key"].to_numpy(), nodes_pd["x"].to_numpy(),
-         nodes_pd["y"].to_numpy())
+        (cand["node_key"].to_numpy(), cand["x"].to_numpy(),
+         cand["y"].to_numpy())
     )
     import ray.data as rd
 

@@ -2095,6 +2095,81 @@ SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 20
 """
 
 
+def q_close_holes_deadends(sf_dir: str):
+    """close_network_holes_to_deadends (closing_network_holes.py:128-200):
+    candidates restricted to OTHER deadends. The fixture plants, per part
+    key, (a) a deadend 12-128 m from a DEGREE-2 junction — the plain
+    variant would bridge it, the deadends variant must NOT — and (b) a
+    collinear deadend-deadend gap of 12-108 m that both variants bridge.
+    Expected output is exactly the two gap edges per key."""
+    from .geo import wkb as W
+    from .ops import network as net_ops
+
+    def stage(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g1 = (4 * ((k % 30) + 2)).astype(np.float64)   # deadend -> junction
+        g2 = (4 * ((k % 25) + 2)).astype(np.float64)   # deadend -> deadend
+        y0 = (1200.0 * (k % 250)).astype(np.float64)
+        xb = (4000.0 * (k // 250)).astype(np.float64)
+        segs = []
+        ids = []
+        for i in range(len(k)):
+            x, y = xb[i], y0[i]
+            pts = [
+                # A: free deadend at x+1000 (g1 from the junction T)
+                [[x, y], [x + 1000, y]],
+                # B, C meet at T=(x+1000+g1, y): T has degree 2
+                [[x + 1000 + g1[i], y], [x + 1000 + g1[i], y + 800]],
+                [[x + 1000 + g1[i], y], [x + 1800 + g1[i], y]],
+                # D, E: collinear with a g2 gap between two deadends
+                [[x + 2500, y], [x + 3000, y]],
+                [[x + 3000 + g2[i], y], [x + 3500, y]],
+            ]
+            for s, p in enumerate(pts):
+                segs.append(W.encode_linestring(np.array(p, dtype=float)))
+                ids.append(5 * int(k[i]) + s)
+        return pa.table(
+            {"line_id": pa.array(ids, pa.int64()),
+             "geometry_wkb": pa.array(segs, pa.binary())}
+        )
+
+    lines = (
+        _rd()
+        .read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    out = net_ops.close_network_holes(
+        lines, "line_id", tolerance=4.0, max_distance=150.0,
+        deadends_only=True,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        lid = b["line_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pa.array(lid // 5, pa.int64()),
+                "slot": pa.array(lid % 5, pa.int64()),
+                "hole_dist": pa.array(
+                    np.round(
+                        b["hole_dist"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CLOSE_HOLES_DEADENDS = """
+SELECT p_partkey, 3 AS slot,
+       CAST(4 * ((p_partkey % 25) + 2) AS BIGINT) AS hole_dist FROM part
+UNION ALL
+SELECT p_partkey, 4 AS slot,
+       CAST(4 * ((p_partkey % 25) + 2) AS BIGINT) AS hole_dist FROM part
+"""
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact rank-based token-count percentiles via the distributed
     histogram-refinement k-select (ops/quantile.py): one aggregate pass
@@ -4733,6 +4808,7 @@ REGISTRY: dict[str, tuple] = {
     "sort_long_first": (q_sort_long_first, SQL_SORT_LONG_FIRST),
     "make_ssb_grid": (q_make_ssb_grid, SQL_MAKE_SSB_GRID),
     "component_size": (q_component_size, SQL_COMPONENT_SIZE),
+    "close_holes_deadends": (q_close_holes_deadends, SQL_CLOSE_HOLES_DEADENDS),
     "bounds_to_points": (q_bounds_to_points, SQL_BOUNDS_TO_POINTS),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),
