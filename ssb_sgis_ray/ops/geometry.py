@@ -1415,3 +1415,16 @@ def reverse_lines(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Table:
         )
     out = batch.remove_column(batch.column_names.index(wkb_col))
     return out.append_column(wkb_col, pa.array(blobs, pa.binary()))
+
+
+def is_single_geom_type(ds, wkb_col: str = "geometry_wkb") -> bool:
+    """is_single_geom_type (geometry_types.py:175-195): True iff every row
+    is the same base type (multi/single collapse together). Distributed:
+    per-batch distinct base codes, tiny global distinct."""
+    def codes(batch: pa.Table) -> pa.Table:
+        # WKB 1/2/3 = point/line/polygon, 4/5/6 their multi twins:
+        # (code - 1) % 3 collapses multi and single to one base id
+        c = wkb.wkb_types(batch[wkb_col])
+        return pa.table({"base": pa.array(np.unique((c - 1) % 3), pa.int64())})
+
+    return len(ds.map_batches(codes, batch_format="pyarrow").unique("base")) <= 1

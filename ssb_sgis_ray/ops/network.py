@@ -596,3 +596,36 @@ def component_sizes(lines_ds, id_col: str, tolerance: float,
         sizes, join_type="inner", num_partitions=num_partitions,
         on=("component_label",),
     ).select_columns([id_col, "component_size"])
+
+
+def make_edge_coords_cols(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Table:
+    """make_edge_coords_cols (nodes.py:97-121): append the first/last
+    vertex coordinates of each LineString as flat columns
+    (source_x/source_y/target_x/target_y — the engine's columnar stand-in
+    for the reference's coordinate tuples). Pure batch transform."""
+    la = wkb.decode_lines(batch[wkb_col])
+    first = la.coords[la.line_offsets[la.geom_offsets[:-1]]]
+    last = la.coords[la.line_offsets[la.geom_offsets[1:]] - 1]
+    out = batch
+    for name, col in (("source_x", first[:, 0]), ("source_y", first[:, 1]),
+                      ("target_x", last[:, 0]), ("target_y", last[:, 1])):
+        out = out.append_column(name, pa.array(col, pa.float64()))
+    return out
+
+
+def make_edge_wkt_cols(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Table:
+    """make_edge_wkt_cols (nodes.py:124-150): append source_wkt/target_wkt
+    POINT strings for each LineString's endpoints."""
+    from ..geo import wkt as wkt_mod
+
+    la = wkb.decode_lines(batch[wkb_col])
+    first = la.coords[la.line_offsets[la.geom_offsets[:-1]]]
+    last = la.coords[la.line_offsets[la.geom_offsets[1:]] - 1]
+    out = batch.append_column(
+        "source_wkt",
+        pa.array([wkt_mod.encode_point(x, y) for x, y in first], pa.string()),
+    )
+    return out.append_column(
+        "target_wkt",
+        pa.array([wkt_mod.encode_point(x, y) for x, y in last], pa.string()),
+    )

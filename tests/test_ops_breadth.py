@@ -618,3 +618,37 @@ def test_clean_overlay_cell_all_hows_match_broadcast(ray_session):
             how=how, res=12,
         )
         assert area_of(cell) == pytest.approx(expects[how]), how
+
+
+def test_make_edge_cols_and_single_geom_type(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import network as net_ops
+
+    t = pa.table(
+        {
+            "line_id": pa.array([1, 2], pa.int64()),
+            "geometry_wkb": pa.array(
+                [W.encode_linestring(np.array([[0.0, 1.0], [5.0, 1.0], [5.0, 9.0]])),
+                 W.encode_linestring(np.array([[2.0, 2.0], [3.0, 4.0]]))],
+                pa.binary(),
+            ),
+        }
+    )
+    out = net_ops.make_edge_coords_cols(t)
+    assert out["source_x"].to_pylist() == [0.0, 2.0]
+    assert out["target_y"].to_pylist() == [9.0, 4.0]
+    w = net_ops.make_edge_wkt_cols(t)
+    assert w["source_wkt"][0].as_py() == "POINT (0 1)"
+    assert w["target_wkt"][1].as_py() == "POINT (3 4)"
+
+    lines_only = rd.from_arrow(t)
+    assert geom_ops.is_single_geom_type(lines_only)
+    mixed = rd.from_arrow(pa.table(
+        {"geometry_wkb": pa.array(
+            [W.encode_linestring(np.array([[0.0, 0.0], [1.0, 0.0]])),
+             W.encode_points(np.array([1.0]), np.array([2.0]))[0]],
+            pa.binary())}
+    ))
+    assert not geom_ops.is_single_geom_type(mixed)
