@@ -629,3 +629,16 @@ def make_edge_wkt_cols(batch: pa.Table, wkb_col: str = "geometry_wkb") -> pa.Tab
         "target_wkt",
         pa.array([wkt_mod.encode_point(x, y) for x, y in last], pa.string()),
     )
+
+
+def make_directed_network_norway(lines_ds, id_col: str, tolerance: float):
+    """make_directed_network_norway (directednetwork.py:28-84): the
+    Norwegian-roads preset of make_directed — oneway column ``oneway``
+    with B/FT/TF codes, per-direction minutes ``drivetime_fw`` /
+    ``drivetime_bw`` unified into ``minutes``, NaN/negative rows
+    dropped. Pure alias; all semantics in make_directed."""
+    return make_directed(
+        lines_ds, id_col, tolerance, oneway_col="oneway",
+        minute_cols=("drivetime_fw", "drivetime_bw"),
+        dropna=True, dropnegative=True,
+    )

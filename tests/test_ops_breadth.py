@@ -652,3 +652,34 @@ def test_make_edge_cols_and_single_geom_type(ray_session):
             pa.binary())}
     ))
     assert not geom_ops.is_single_geom_type(mixed)
+
+
+def test_make_directed_network_norway_preset(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import network as net_ops
+
+    t = pa.table(
+        {
+            "line_id": pa.array([1, 2, 3], pa.int64()),
+            "oneway": pa.array(["B", "FT", "TF"], pa.string()),
+            "drivetime_fw": pa.array([2.0, 3.0, 5.0], pa.float64()),
+            "drivetime_bw": pa.array([4.0, 6.0, 7.0], pa.float64()),
+            "geometry_wkb": pa.array(
+                [W.encode_linestring(np.array([[0.0, 0.0], [10.0, 0.0]])),
+                 W.encode_linestring(np.array([[0.0, 10.0], [10.0, 10.0]])),
+                 W.encode_linestring(np.array([[0.0, 20.0], [10.0, 20.0]]))],
+                pa.binary(),
+            ),
+        }
+    )
+    out = net_ops.make_directed_network_norway(
+        rd.from_arrow(t), "line_id", 4.0
+    ).to_pandas().sort_values(["line_id", "direction"]).reset_index(drop=True)
+    # B -> 2 edges (fw 2.0, bw 4.0); FT -> fw 3.0 only; TF -> bw 7.0 only
+    assert len(out) == 4
+    got = list(zip(out.line_id, out.direction, out.minutes))
+    # direction codes: 0 = forward, 1 = backward
+    assert (1, 0, 2.0) in got and (1, 1, 4.0) in got
+    assert (2, 0, 3.0) in got and (3, 1, 7.0) in got
