@@ -2170,6 +2170,39 @@ SELECT p_partkey, 4 AS slot,
 """
 
 
+def q_caption_embed(sf_dir: str):
+    """Batched model inference (ops/infer): caption -> unit embedding via
+    a broadcast weight matrix, one matmul per batch. The oracle checks
+    the invariant SQL can see — every tokenizable caption embeds to an
+    exactly unit-normalized vector (scaled int) — while pytest checks
+    the vector VALUES against an independent numpy recompute."""
+    from .ops import infer
+
+    docs = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = infer.embed_captions(docs, infer.make_embedding_weights())
+
+    def project(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        nrm = np.linalg.norm(m, axis=1) if len(m) else np.zeros(0)
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()),
+             "norm_1000": pa.array(np.round(nrm * 1000).astype(np.int64),
+                                   pa.int64())}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CAPTION_EMBED = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(lower(text), '[a-z0-9]')
+            THEN 1000 ELSE 0 END AS norm_1000
+FROM documents
+"""
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact rank-based token-count percentiles via the distributed
     histogram-refinement k-select (ops/quantile.py): one aggregate pass
@@ -4809,6 +4842,7 @@ REGISTRY: dict[str, tuple] = {
     "make_ssb_grid": (q_make_ssb_grid, SQL_MAKE_SSB_GRID),
     "component_size": (q_component_size, SQL_COMPONENT_SIZE),
     "close_holes_deadends": (q_close_holes_deadends, SQL_CLOSE_HOLES_DEADENDS),
+    "caption_embed": (q_caption_embed, SQL_CAPTION_EMBED),
     "bounds_to_points": (q_bounds_to_points, SQL_BOUNDS_TO_POINTS),
     "close_small_holes": (q_close_small_holes, SQL_CLOSE_SMALL_HOLES),
     "close_thin_holes": (q_close_thin_holes, SQL_CLOSE_THIN_HOLES),

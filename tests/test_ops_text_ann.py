@@ -319,3 +319,51 @@ def test_phash_near_dup_pairs_pigeonhole(ray_session):
         for r in dedup_ops.phash_near_dup_pairs(ds).take_all()
     )
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_embed_captions_matches_numpy_and_feeds_ann(ray_session):
+    """Batched inference stage: per-batch matmul equals a per-doc numpy
+    recompute; output composes with ann_bruteforce."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import infer
+
+    w = infer.make_embedding_weights(vocab_buckets=64, dim=8, seed=5)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox", "the quick brown fox", "zebra", ""],
+                pa.string(),
+            ),
+        }
+    )
+    out = infer.embed_captions(rd.from_arrow(docs), w).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    got = np.stack(out["embedding"].to_numpy())
+    # independent per-doc recompute
+    import re
+
+    for i, text in enumerate(docs["text"].to_pylist()):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if not toks:
+            assert np.allclose(got[i], 0.0)
+            continue
+        ids = infer._hash_tokens(np.array(toks, dtype="<U16")) % np.uint64(len(w))
+        v = w[ids.astype(np.int64)].mean(axis=0)
+        v = v / np.linalg.norm(v)
+        assert np.allclose(got[i], v, atol=1e-6)
+    # identical captions embed identically; distinct ones don't
+    assert np.allclose(got[0], got[1])
+    assert not np.allclose(got[0], got[2])
+    # composes with ANN: doc 1 is doc 0's nearest non-self neighbor
+    from ssb_sgis_ray.ops import ann as ann_ops
+
+    emb = pa.table(
+        {"vec_id": pa.array([0, 1, 2], pa.int64()),
+         "embedding": pa.array(list(got[:3]), pa.list_(pa.float64()))}
+    )
+    queries = {"id": np.array([0]), "matrix": got[:1]}
+    top = ann_ops.ann_bruteforce(rd.from_arrow(emb), queries, k=2).to_pandas()
+    top = top.sort_values("ann_rank")
+    assert list(top["vec_id"]) == [0, 1]
