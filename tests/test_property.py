@@ -8,6 +8,7 @@ agreement required.
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -125,3 +126,37 @@ def test_geotiff_roundtrip_property(h, w, dtype, compression, rps, seed):
     out, tr = geotiff.decode_geotiff(blob)
     np.testing.assert_array_equal(out, img)
     assert tr == (ox, oy, 0.5, 2.0)
+
+
+@given(
+    w=st.integers(min_value=8, max_value=400),
+    h=st.integers(min_value=8, max_value=400),
+    d=st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=40, deadline=None)
+def test_erosion_morphology_properties(w, h, d):
+    """Erosion invariants on axis rects: exact closed form, monotone in d,
+    and closing (dilate-then-erode) restores the rect exactly — straight
+    edges offset exactly in both directions and corner discs cancel."""
+    from ssb_sgis_ray.geo import booleans
+    from ssb_sgis_ray.ops import geometry as G
+
+    ring = np.array([[0, 0], [w, 0], [w, h], [0, h], [0, 0]], float)
+    res = 16
+    er = G.erode_polygon_rings_area([ring], [False], float(d), res)
+    assert er == max(0, w - 2 * d) * max(0, h - 2 * d)
+    # monotone: eroding further never grows the area
+    er2 = G.erode_polygon_rings_area([ring], [False], float(d) + 4.0, res)
+    assert er2 <= er
+    # closing (dilate-then-erode) restores the rect up to the polygonal-
+    # disc approximation: the dilated corners are inscribed chords, so the
+    # erosion shaves a per-corner sliver bounded by the chord sagitta —
+    # closed is never larger than the rect and approaches it as res grows
+    dil = G.buff_polygon_rings([ring], float(d), res)
+    rings = [r for poly in dil for r in poly]
+    holes = [False] * len(rings)
+    closed = G.erode_polygon_rings_area(rings, holes, float(d), res)
+    assert closed <= w * h + 1e-9
+    sagitta = d * (1 - np.cos(np.pi / (4 * res)))
+    # 4 corners, each sliver within a (2*d*sagitta) box — generous bound
+    assert closed >= w * h - 4 * (2 * d * sagitta + sagitta * sagitta) - 1e-9
