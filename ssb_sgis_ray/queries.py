@@ -3440,9 +3440,13 @@ def _eliminate_by_area(sf_dir: str, largest: bool):
 
     # per-batch candidate winners -> global winner per sliver
     cands = pairs.map_batches(pick_host, batch_format="pandas")
-    return cands.groupby("p_sliver").map_groups(
+    out = cands.groupby("p_sliver").map_groups(
         lambda g: _final_host(g, largest), batch_format="pandas"
-    )
+    ).to_pandas()
+    if out.empty:  # an all-empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({"p_sliver": pd.Series(dtype="int64"),
+                            "host_key": pd.Series(dtype="int64")})
+    return out
 
 
 def q_eliminate_by_largest(sf_dir: str):
