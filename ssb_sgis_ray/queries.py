@@ -4664,8 +4664,8 @@ c AS (
   FROM e
 ),
 g AS (SELECT uk, count(*) AS n, min(fwd) AS f0, max(fwd) AS f1 FROM c GROUP BY uk)
-SELECT sum(n) AS n_edges,
-       sum(CASE WHEN f0 = 0 AND f1 = 1 THEN n ELSE 0 END) AS n_bidir
+SELECT CAST(sum(n) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN f0 = 0 AND f1 = 1 THEN n ELSE 0 END) AS BIGINT) AS n_bidir
 FROM g
 """
 
@@ -4716,9 +4716,9 @@ p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
 xs AS (SELECT image_id, ck, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
 px AS (SELECT image_id, ck, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
 SELECT image_id,
-       sum((3 * gx + 5 * gy + 13 * ck) % 256) AS sum_r,
-       sum((7 * gx + 2 * gy + 29 * ck) % 256) AS sum_g,
-       sum((4 * (gx + gy) + 53 * ck) % 256) AS sum_b,
+       CAST(sum((3 * gx + 5 * gy + 13 * ck) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((7 * gx + 2 * gy + 29 * ck) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((4 * (gx + gy) + 53 * ck) % 256) AS BIGINT) AS sum_b,
        count(*) AS n_px
 FROM px GROUP BY image_id
 """
@@ -4746,11 +4746,11 @@ p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
 xs AS (SELECT image_id, ck, w, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
 px AS (SELECT image_id, ck, w, h, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
 SELECT image_id,
-       sum((w - gx) * (gy + 1) * ((3 * gx + 5 * gy + 13 * ck) % 256)) AS flip_wr,
-       sum((w - gx) * (gy + 1) * ((7 * gx + 2 * gy + 29 * ck) % 256)) AS rot_wg,
-       sum(CASE WHEN gx >= w // 4 AND gx < w // 4 + w // 2
+       CAST(sum((w - gx) * (gy + 1) * ((3 * gx + 5 * gy + 13 * ck) % 256)) AS BIGINT) AS flip_wr,
+       CAST(sum((w - gx) * (gy + 1) * ((7 * gx + 2 * gy + 29 * ck) % 256)) AS BIGINT) AS rot_wg,
+       CAST(sum(CASE WHEN gx >= w // 4 AND gx < w // 4 + w // 2
                  AND gy >= h // 4 AND gy < h // 4 + h // 2
-            THEN (4 * (gx + gy) + 53 * ck) % 256 ELSE 0 END) AS crop_sum_b,
+            THEN (4 * (gx + gy) + 53 * ck) % 256 ELSE 0 END) AS BIGINT) AS crop_sum_b,
        max(h) AS rot_w, max(w) AS rot_h
 FROM px GROUP BY image_id
 """
@@ -4795,12 +4795,12 @@ p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
 xs AS (SELECT image_id, ck, w, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
 px AS (SELECT image_id, ck, w, h, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs)
 SELECT image_id,
-       sum(CASE WHEN gx < w - 1
+       CAST(sum(CASE WHEN gx < w - 1
             THEN abs(((3 * (gx + 1) + 5 * gy + 13 * ck) % 256)
-                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS grad_x,
-       sum(CASE WHEN gy < h - 1
+                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS BIGINT) AS grad_x,
+       CAST(sum(CASE WHEN gy < h - 1
             THEN abs(((3 * gx + 5 * (gy + 1) + 13 * ck) % 256)
-                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS grad_y
+                   - ((3 * gx + 5 * gy + 13 * ck) % 256)) ELSE 0 END) AS BIGINT) AS grad_y
 FROM px GROUP BY image_id
 """
 

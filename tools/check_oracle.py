@@ -39,7 +39,9 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    csv = canonical(df).to_csv(index=False, float_format="%.10g")
+    # No float_format masking: dtype drift (e.g. DuckDB HUGEINT->float64 vs
+    # engine int64) must fail here exactly as it fails in the driver's gate.
+    csv = canonical(df).to_csv(index=False)
     return hashlib.md5(csv.encode()).hexdigest()
 
 
