@@ -307,22 +307,44 @@ def buff_lines_batch(batch: pa.Table, distance, resolution: int = 50,
     return pa.table(cols)
 
 
+def _ring_is_convex(ring: np.ndarray) -> bool:
+    """True if the (closed or open) ring is convex (collinear runs allowed)."""
+    r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(r) < 3:
+        return False
+    e = np.roll(r, -1, axis=0) - r
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
 def erode_polygon_rings_area(rings, holes, r: float, resolution: int) -> float:
     """AREA of the negative buffer (erosion) of one polygon ringset.
 
     Reference ``buff`` accepts negative distances (GEOS buffer semantics,
-    buffer_dissolve_explode.py:303-335). Erosion by radius r equals the
-    region minus the r-neighbourhood of its boundary:
+    buffer_dissolve_explode.py:303-335).
+
+    For a SINGLE CONVEX shell the erosion is the intersection of the
+    inward-offset half-planes of its edges (the inner parallel body) —
+    computed exactly by successive half-plane clipping, so axis rects
+    erode to the closed form max(0, w−2r)·max(0, h−2r) with no float
+    residue even when one dimension degenerates to a sliver (w−2r = 1).
+
+    The general (concave / holed) path uses
 
         P ⊖ disc(r) = P − (∂P ⊕ disc(r))
 
-    and the boundary neighbourhood is exactly the union of the per-edge
+    where the boundary neighbourhood is exactly the union of the per-edge
     tubes and per-vertex discs that ``_buffer_components`` already builds
-    for dilation (without the interior component). Straight edges offset
-    exactly, so axis-rect rows erode to the closed form
-    max(0, w−2r)·max(0, h−2r); hole rings expand (their tubes eat into
-    the surrounding region), matching GEOS."""
+    for dilation (without the interior component). Hole rings expand
+    (their tubes eat into the surrounding region), matching GEOS."""
     from ..geo import booleans
+
+    if len(rings) == 1 and not holes[0] and _ring_is_convex(rings[0]):
+        poly = _convex_inward_offset(rings[0], r)
+        if poly is None:
+            return 0.0
+        return abs(0.5 * float(np.sum(poly[:-1, 0] * poly[1:, 1]
+                                      - poly[1:, 0] * poly[:-1, 1])))
 
     comps = _buffer_components(rings, r, resolution, include_interior=False)
     b_rings = [ring for comp in comps for ring in comp[0]]
@@ -1100,13 +1122,15 @@ class CloseSmallHoles:
 
 
 def _convex_erosion_empty(ring: np.ndarray, d: float) -> bool:
-    """True if a CONVEX ring's inward offset by ``d`` is empty.
+    """True if a CONVEX ring's inward offset by ``d`` is empty."""
+    return _convex_inward_offset(ring, d) is None
 
-    Successive half-plane clipping: each edge moved inward by d; the
-    erosion is the intersection of the offset half-planes (exact for
-    convex rings — the engine's holes are convex; concave holes raise)."""
-    from ..geo import kernels
 
+def _convex_inward_offset(ring: np.ndarray, d: float):
+    """Inner parallel body of a CONVEX ring: the intersection of each
+    edge's inward-offset half-plane, via successive half-plane clipping
+    (exact for convex rings). Returns the closed offset polygon as an
+    (n+1, 2) array, or None if the erosion is empty."""
     r = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
     # ensure CCW
     sa = 0.5 * float(np.sum(r[:, 0] * np.roll(r[:, 1], -1)
@@ -1130,7 +1154,7 @@ def _convex_erosion_empty(ring: np.ndarray, d: float) -> bool:
         P = poly[:-1] if len(poly) > 1 and np.array_equal(poly[0], poly[-1]) else poly
         n_p = len(P)
         if n_p == 0:
-            return True
+            return None
 
         def fval(p):
             return (p[0] - ao[0]) * nx + (p[1] - ao[1]) * ny
@@ -1143,13 +1167,20 @@ def _convex_erosion_empty(ring: np.ndarray, d: float) -> bool:
                 out.append(cur)
             if cin != nin:
                 dd = fc / (fc - fn)
-                out.append(cur + dd * (nxt - cur))
+                q = cur + dd * (nxt - cur)
+                # project exactly onto the clip line: the interpolation
+                # leaves a ~1-ulp normal residue ((73/304)*304 != 73) that
+                # breaks the integer-world exactness contract; f(q) is a
+                # Sterbenz-exact subtraction near the line, so q - f(q)·n̂
+                # lands on it exactly for axis-aligned edges
+                fq = fval(q)
+                out.append(np.array([q[0] - fq * nx, q[1] - fq * ny]))
         if len(out) < 3:
-            return True
+            return None
         poly = np.array(out + [out[0]])
     area = abs(0.5 * float(np.sum(poly[:-1, 0] * poly[1:, 1]
                                   - poly[1:, 0] * poly[:-1, 1])))
-    return area <= 1e-9
+    return None if area <= 1e-9 else poly
 
 
 def _erosion_empty_general(ring: np.ndarray, d: float,

@@ -119,11 +119,13 @@ def knn_broadcast(
     strict: bool = False,
     concurrency=None,
     batch_size: int = 16384,
+    nrows=None,
 ):
     """kNN join: ``neighbors`` is {'id','x','y'} numpy dict (small side).
 
     Output: (id_col, neighbor_id, dist2, knn_rank) — dist2 is squared
-    euclidean distance as int64 (exact for integer coordinates)."""
+    euclidean distance as int64 (exact for integer coordinates).
+    ``nrows``: optional left row-count hint for actor-pool sizing."""
     ref = ray.put(neighbors)
     return left.map_batches(
         KnnBroadcast,
@@ -133,7 +135,7 @@ def knn_broadcast(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency),
+        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
     )
 
 

@@ -168,10 +168,12 @@ def sfilter(
     left_kind: Literal["point", "polygon"] = "point",
     concurrency=None,
     batch_size: int = 32768,
+    nrows=None,
 ):
     """Spatial semi/anti/split filter of a Dataset against a small polygon
     table (broadcast plan). ``left`` must carry px/py (points) or
-    geometry_wkb (polygons)."""
+    geometry_wkb (polygons). ``nrows``: optional left row-count hint to
+    size the actor pool (see pool.default_pool)."""
     ref = broadcast_table(right_table)
     cls = PIPFilter if left_kind == "point" else PolyPolyFilter
     return left.map_batches(
@@ -179,7 +181,7 @@ def sfilter(
         fn_constructor_kwargs={"right_ref": ref, "mode": mode},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency),
+        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
     )
 
 
@@ -190,6 +192,7 @@ def sjoin_pairs(
     left_kind: Literal["point", "polygon"] = "point",
     concurrency=None,
     batch_size: int = 32768,
+    nrows=None,
 ):
     """Inner spatial join (one row per matching pair), broadcast plan."""
     ref = broadcast_table(right_table)
@@ -199,7 +202,7 @@ def sjoin_pairs(
         fn_constructor_kwargs={"right_ref": ref, "right_cols": right_cols},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency),
+        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
     )
 
 

@@ -13,9 +13,17 @@ N < cpus.
 from __future__ import annotations
 
 
-def default_pool(concurrency=None):
+def default_pool(concurrency=None, nrows=None, batch_size=None):
     """Resolve ``None`` into ``(1, max(8, cpus - 4))``; pass explicit
-    values through unchanged."""
+    values through unchanged.
+
+    ``nrows``/``batch_size`` (both optional) are a size hint: when the
+    caller knows the input row count (parquet footer metadata — free),
+    the actor cap is additionally bounded by the number of batches the
+    input actually yields. Tiny broadcast queries (single-block inputs)
+    otherwise pay ~24 actors of spin-up for one batch of work — the
+    r3 pip_pairs/knn3 regression (1.2 s → 4.2/7.9 s). The hint only
+    LOWERS the cap, so big inputs keep the full cluster-sized pool."""
     if concurrency is not None:
         return concurrency
     import ray
@@ -24,4 +32,10 @@ def default_pool(concurrency=None):
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return (1, max(8, cpus - 4))
+    cap = max(8, cpus - 4)
+    if nrows is not None and batch_size:
+        # floor of 2: block bundling can emit one stray extra batch, and a
+        # second warm actor hides one slow spawn; beyond that, extra actors
+        # on a single-batch input are pure spin-up cost
+        cap = min(cap, max(2, -(-int(nrows) // int(batch_size))))
+    return (1, cap)

@@ -44,6 +44,12 @@ def _rd():
 # ---------------------------------------------------------------------------
 
 
+def _nrows(path: str) -> int:
+    """Row count from the parquet footer — free (no data read). Used as a
+    pool-sizing hint so single-block inputs don't spin up 24 actors."""
+    return pq.read_metadata(path).num_rows
+
+
 def customers(sf_dir: str):
     return (
         _rd()
@@ -126,7 +132,8 @@ ORD_SQL = (
 
 
 def q_pip_semi(sf_dir: str):
-    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="semi")
+    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="semi",
+                          nrows=_nrows(f"{sf_dir}/customer.parquet"))
     return out.select_columns(["c_custkey", "px", "py"])
 
 
@@ -138,7 +145,8 @@ WHERE EXISTS (SELECT 1 FROM ({SUP_SQL}) s
 
 
 def q_pip_anti(sf_dir: str):
-    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="anti")
+    out = spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir), mode="anti",
+                          nrows=_nrows(f"{sf_dir}/customer.parquet"))
     return out.select_columns(["c_custkey", "px", "py"])
 
 
@@ -150,7 +158,8 @@ WHERE NOT EXISTS (SELECT 1 FROM ({SUP_SQL}) s
 
 
 def q_pip_pairs(sf_dir: str):
-    out = spatial.sjoin_pairs(customers(sf_dir), suppliers_tbl(sf_dir), right_cols=["s_suppkey"])
+    out = spatial.sjoin_pairs(customers(sf_dir), suppliers_tbl(sf_dir), right_cols=["s_suppkey"],
+                              nrows=_nrows(f"{sf_dir}/customer.parquet"))
     return out.select_columns(["c_custkey", "s_suppkey"])
 
 
@@ -236,7 +245,8 @@ ON abs(l.px - n.sx) + abs(l.py - n.sy) <= n.r
 
 def q_knn3(sf_dir: str):
     return knn_ops.knn_broadcast(
-        customers(sf_dir), _supplier_neighbors(sf_dir), k=3, id_col="c_custkey"
+        customers(sf_dir), _supplier_neighbors(sf_dir), k=3, id_col="c_custkey",
+        nrows=_nrows(f"{sf_dir}/customer.parquet"),
     )
 
 

@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import pytest
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ssb_sgis_ray.codecs import geotiff
@@ -134,6 +134,8 @@ def test_geotiff_roundtrip_property(h, w, dtype, compression, rps, seed):
     d=st.integers(min_value=1, max_value=120),
 )
 @settings(max_examples=40, deadline=None)
+@example(w=147, h=296, d=73)  # pinned Hypothesis counterexample: w-2d = 1 sliver
+@example(w=304, h=304, d=73)  # pinned: clip-interpolation ulp residue on a square
 def test_erosion_morphology_properties(w, h, d):
     """Erosion invariants on axis rects: exact closed form, monotone in d,
     and closing (dilate-then-erode) restores the rect exactly — straight
