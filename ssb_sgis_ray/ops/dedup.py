@@ -750,14 +750,18 @@ def exact_dedup_groups(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 class VideoFrameHashStage:
     """(doc_id, video:binary) -> one row per DISTINCT frame content:
-    (doc_id, fh, nfu).
+    (doc_id, fh, nfu, sig).
 
     Decodes the real RVID bytes and hashes each frame's pixel buffer
     (dims prefixed — two frames with identical flat bytes but different
     shapes must not collide). fh is the top 63 bits of md5, kept positive
     for int64 packing; nfu is the video's distinct-frame count, carried
     on every row so the pair stage can compute Jaccard denominators
-    without a join back. Per-frame loop is inherent codec work (same as
+    without a join back. sig is an order-independent signature of the
+    video's WHOLE distinct-frame set (md5 of the sorted fh array — the
+    same hash-exactness model as fh itself): videos with identical frame
+    sets share a sig and are collapsed to one representative before the
+    quadratic pair stage. Per-frame loop is inherent codec work (same as
     VideoFrameSample); frames are small."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -768,7 +772,7 @@ class VideoFrameHashStage:
 
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         blobs = batch["video"].to_pylist()
-        out_d, out_h, out_n = [], [], []
+        out_d, out_h, out_n, out_s = [], [], [], []
         for d, blob in zip(doc_ids, blobs):
             frames = media.decode_video(blob)
             nf, h, w = frames.shape
@@ -785,17 +789,131 @@ class VideoFrameHashStage:
                 count=nf,
             )
             u = np.unique(digs)
+            sig = int.from_bytes(
+                hashlib.md5(u.tobytes()).digest()[:8], "little"
+            ) >> 1
             out_d.append(np.full(len(u), d, dtype=np.int64))
             out_h.append(u)
             out_n.append(np.full(len(u), len(u), dtype=np.int64))
+            out_s.append(np.full(len(u), sig, dtype=np.int64))
         cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(cat(out_d), pa.int64()),
                 "fh": pa.array(cat(out_h), pa.int64()),
                 "nfu": pa.array(cat(out_n), pa.int64()),
+                "sig": pa.array(cat(out_s), pa.int64()),
             }
         )
+
+
+def _video_set_collapse(g: pd.DataFrame) -> pd.DataFrame:
+    """One super-group of (doc_id, fh, nfu, sig) frame rows -> tagged
+    union of cluster MEMBERSHIP rows (kind=0: doc_id, rep, nfu; fh=-1)
+    and REPRESENTATIVE frame rows (kind=1: rep's own frame rows).
+
+    Videos with identical distinct-frame sets share a sig; the cluster
+    representative is the min doc_id. Only rep frame rows feed the
+    quadratic pair stage, so a degenerate corpus of n identical videos
+    contributes ONE video to it instead of n (the r3 hot-bucket blowup)."""
+    sig = g["sig"].to_numpy().astype(np.int64)
+    d = g["doc_id"].to_numpy().astype(np.int64)
+    fh = g["fh"].to_numpy().astype(np.int64)
+    nfu = g["nfu"].to_numpy().astype(np.int64)
+    order = np.lexsort((fh, d, sig))
+    sig, d, fh, nfu = sig[order], d[order], fh[order], nfu[order]
+    new_sig = np.concatenate([[True], sig[1:] != sig[:-1]])
+    sig_run = np.cumsum(new_sig) - 1
+    rep = d[new_sig][sig_run]  # min doc_id of each sig run, broadcast
+    new_vid = new_sig | np.concatenate([[True], d[1:] != d[:-1]])
+    is_rep = d == rep
+    n_m, n_r = int(new_vid.sum()), int(is_rep.sum())
+    return pd.DataFrame(
+        {
+            "kind": np.concatenate(
+                [np.zeros(n_m, np.int8), np.ones(n_r, np.int8)]
+            ),
+            "doc_id": np.concatenate([d[new_vid], d[is_rep]]),
+            "rep": np.concatenate([rep[new_vid], rep[is_rep]]),
+            "fh": np.concatenate(
+                [np.full(n_m, -1, np.int64), fh[is_rep]]
+            ),
+            "nfu": np.concatenate([nfu[new_vid], nfu[is_rep]]),
+        }
+    )
+
+
+def _intra_cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Membership rows grouped by super(rep) -> all within-cluster pairs
+    (identical frame sets: Jaccard = nfu/nfu = 1, always past any
+    threshold <= 1). Output size == true answer size — no intermediate
+    blowup beyond it."""
+    rep = g["rep"].to_numpy().astype(np.int64)
+    d = g["doc_id"].to_numpy().astype(np.int64)
+    nfu = g["nfu"].to_numpy().astype(np.int64)
+    order = np.lexsort((d, rep))
+    rep, d, nfu = rep[order], d[order], nfu[order]
+    _, ends, sizes = _bucket_bounds(rep)
+    a_idx, b_idx = _triangular_pair_indices(
+        ends, sizes, np.ones(len(sizes), dtype=bool)
+    )
+    a, b = d[a_idx], d[b_idx]
+    n = nfu[a_idx]
+    return pd.DataFrame(
+        {
+            "id_a": np.minimum(a, b),
+            "id_b": np.maximum(a, b),
+            "jac_num": n,
+            "jac_den": n,
+        }
+    )
+
+
+def _expand_pair_side(g: pd.DataFrame) -> pd.DataFrame:
+    """Tag-union join kernel: replace each pair row's ``key`` (a cluster
+    representative) with EVERY member of that cluster.
+
+    Rows: kind=0 membership (key=rep, other=member doc_id), kind=1 pair
+    (key=side being expanded, other=the opposite side). All members of a
+    cluster share the rep's frame set, so jac_num/jac_den carry over
+    unchanged. Fully vectorized repeat-arithmetic cross product; output
+    is answer-bounded."""
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("a", "b", "jac_num", "jac_den")})
+    k = g["kind"].to_numpy()
+    key = g["key"].to_numpy().astype(np.int64)
+    other = g["other"].to_numpy().astype(np.int64)
+    jn = g["jn"].to_numpy().astype(np.int64)
+    jd = g["jd"].to_numpy().astype(np.int64)
+    p = k == 1
+    if not p.any():
+        return empty
+    m = ~p
+    mk, mo = key[m], other[m]
+    order = np.argsort(mk, kind="stable")
+    mk, mo = mk[order], mo[order]
+    uk, starts = np.unique(mk, return_index=True)
+    counts = np.diff(np.append(starts, len(mk)))
+    pk_, po, pjn, pjd = key[p], other[p], jn[p], jd[p]
+    idx = np.searchsorted(uk, pk_)
+    ok = (idx < len(uk)) & (uk[np.minimum(idx, len(uk) - 1)] == pk_)
+    if not ok.all():  # defensive: a pair's rep always has membership rows
+        pk_, po, pjn, pjd, idx = pk_[ok], po[ok], pjn[ok], pjd[ok], idx[ok]
+    cnt = counts[idx]
+    T = int(cnt.sum())
+    if not T:
+        return empty
+    base = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    within = np.arange(T) - np.repeat(base, cnt)
+    mem_idx = np.repeat(starts[idx], cnt) + within
+    return pd.DataFrame(
+        {
+            "a": mo[mem_idx],
+            "b": np.repeat(po, cnt),
+            "jac_num": np.repeat(pjn, cnt),
+            "jac_den": np.repeat(pjd, cnt),
+        }
+    )
 
 
 def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
@@ -868,32 +986,94 @@ def _pair_instances_to_jaccard(t_num: int, t_den: int):
     return fn
 
 
-def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
-                              concurrency=None, batch_size: int = 128):
-    """Video near-dup pairs by frame-set Jaccard >= t_num/t_den.
+def _collapsed_video_clusters(videos_ds, concurrency=None,
+                              batch_size: int = 128):
+    """Decode + frame-hash, then collapse identical frame sets by sig.
+    Returns (members, rep_frames) Datasets sharing one materialized
+    collapse pass: members = (doc_id, rep, nfu) one row per video;
+    rep_frames = (doc_id, fh, nfu) frame rows of representatives only.
+    The materialize() is the stage boundary between the two consumers —
+    it holds distinct frame-hash rows (never video bytes) in the object
+    store, exactly what a shuffle would hold anyway."""
+    import pyarrow.compute as pc
 
-    Plan (all-distributed, no driver materialization):
-      1. decode + per-frame hash, distinct within video (actor pool;
-         denominator sizes ride along on every frame row — no join back)
-      2. shuffle on fh % SUPER_GROUPS, vectorized triangular pair
-         instances per frame bucket (one row per SHARED frame)
-      3. shuffle on pk % SUPER_GROUPS, np.unique count per packed pair
-         = |A∩B|, exact integer threshold filter
-
-    Output: (id_a, id_b, jac_num=|A∩B|, jac_den=|A∪B|) — integers, so
-    the oracle comparison has no float rounding ties. Doc ids must fit
-    31 bits (same packing bound as minhash_candidate_pairs)."""
     hashed = videos_ds.map_batches(
         VideoFrameHashStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_pool(concurrency),
     )
+
+    def add_sig_super(b: pa.Table) -> pa.Table:
+        s = b["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(s % SUPER_GROUPS, pa.int64()))
+
+    u = (
+        hashed.map_batches(add_sig_super, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(_video_set_collapse, batch_format="pandas")
+    ).materialize()
+
+    def pick(kind: int, drop: list):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["kind"], kind)).drop_columns(
+                ["kind"] + drop)
+
+        return f
+
+    members = u.map_batches(pick(0, ["fh"]), batch_format="pyarrow")
+    rep_frames = u.map_batches(pick(1, ["rep"]), batch_format="pyarrow")
+    return members, rep_frames
+
+
+def video_set_clusters(videos_ds, concurrency=None, batch_size: int = 128):
+    """Exact identical-frame-set clusters: (doc_id, rep, nfu), one row
+    per video, rep = min doc_id of its cluster. The bounded-output view
+    of a degenerate corpus (n identical videos -> n rows, never the
+    C(n,2) pair materialization)."""
+    members, _ = _collapsed_video_clusters(videos_ds, concurrency,
+                                           batch_size)
+    return members
+
+
+def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
+                              concurrency=None, batch_size: int = 128,
+                              expand_identical: bool = True):
+    """Video near-dup pairs by frame-set Jaccard >= t_num/t_den.
+
+    Plan (all-distributed, no driver materialization):
+      1. decode + per-frame hash + per-video frame-SET signature
+         (actor pool; denominator sizes ride along on every frame row)
+      2. shuffle on sig % SUPER_GROUPS: collapse identical frame sets to
+         one representative per cluster (min doc_id) — a hot frame bucket
+         made of exact-set duplicates now contributes ONE video to the
+         quadratic stage instead of n (the degenerate constant-frame
+         corpus used to emit C(n,2) instance rows here)
+      3. shuffle REP frame rows on fh % SUPER_GROUPS, vectorized
+         triangular pair instances per frame bucket (one per SHARED frame)
+      4. shuffle on pk % SUPER_GROUPS, np.unique count per packed pair
+         = |A∩B|, exact integer threshold filter -> rep-level pairs
+      5. expand rep pairs back to member pairs (two tag-union
+         co-partitioned joins) and add within-cluster pairs (Jaccard 1);
+         both are answer-bounded. ``expand_identical=False`` skips step 5
+         and returns rep-level pairs only — the bounded-output mode for
+         corpora dominated by exact-set duplicates.
+
+    Residual hot-bucket risk: a frame shared by many videos with
+    DISTINCT frame sets still expands triangularly in step 3 (exact
+    Jaccard needs every co-occurrence); step 2 removes the degenerate
+    identical-set cause.
+
+    Output: (id_a, id_b, jac_num=|A∩B|, jac_den=|A∪B|) — integers, so
+    the oracle comparison has no float rounding ties. Doc ids must fit
+    31 bits (same packing bound as minhash_candidate_pairs)."""
+    members, rep_frames = _collapsed_video_clusters(videos_ds, concurrency,
+                                                    batch_size)
 
     def add_super(b: pa.Table) -> pa.Table:
         h = b["fh"].to_numpy(zero_copy_only=False).astype(np.int64)
         return b.append_column("super", pa.array(h % SUPER_GROUPS, pa.int64()))
 
     inst = (
-        hashed.map_batches(add_super, batch_format="pyarrow")
+        rep_frames.map_batches(add_super, batch_format="pyarrow")
         .groupby("super")
         .map_groups(_frame_super_to_pair_instances, batch_format="pandas")
     )
@@ -902,9 +1082,83 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
         pk = b["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
         return b.append_column("super", pa.array(pk % SUPER_GROUPS, pa.int64()))
 
-    return (
+    rep_pairs = (
         inst.map_batches(add_super2, batch_format="pyarrow")
         .groupby("super")
         .map_groups(_pair_instances_to_jaccard(t_num, t_den),
                     batch_format="pandas")
     )
+    if not expand_identical:
+        return rep_pairs
+
+    def tag_members(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "key": b["rep"],
+                "other": b["doc_id"],
+                "jn": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "jd": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    def tag_pairs(side: str, other: str):
+        def f(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table(
+                {
+                    "key": b[side],
+                    "other": b[other],
+                    "jn": b["jac_num"],
+                    "jd": b["jac_den"],
+                    "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    def add_key_super(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(k % SUPER_GROUPS, pa.int64()))
+
+    def expand(pairs_ds, side: str, other: str):
+        un = pairs_ds.map_batches(tag_pairs(side, other),
+                                  batch_format="pyarrow").union(
+            members.map_batches(tag_members, batch_format="pyarrow"))
+        return (
+            un.map_batches(add_key_super, batch_format="pyarrow")
+            .groupby("super")
+            .map_groups(_expand_pair_side, batch_format="pandas")
+        )
+
+    # expand id_a then id_b ("a" holds the freshly expanded member)
+    ex_a = expand(rep_pairs, "id_a", "id_b")
+    ex_ab = expand(ex_a.map_batches(
+        lambda b: b.rename_columns(["id_b", "id_a", "jac_num", "jac_den"]),
+        batch_format="pyarrow"), "id_a", "id_b")
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, bb), pa.int64()),
+                "id_b": pa.array(np.maximum(a, bb), pa.int64()),
+                "jac_num": b["jac_num"],
+                "jac_den": b["jac_den"],
+            }
+        )
+
+    cross = ex_ab.map_batches(orient, batch_format="pyarrow")
+
+    def add_rep_super(b: pa.Table) -> pa.Table:
+        r = b["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(r % SUPER_GROUPS, pa.int64()))
+
+    intra = (
+        members.map_batches(add_rep_super, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(_intra_cluster_pairs, batch_format="pandas")
+    )
+    return cross.union(intra)

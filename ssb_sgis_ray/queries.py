@@ -4247,6 +4247,51 @@ WHERE 3 * jac_num >= 1 * jac_den
 """
 
 
+def q_video_set_clusters(sf_dir: str):
+    """Exact identical-frame-set video clusters (the collapse stage the
+    near-dup pair plan runs first): one row per video, rep = min doc_id
+    among videos whose DISTINCT frame sets are identical. Engine hashes
+    decoded frame bytes; oracle groups by the closed-form frame-content
+    triples (w, h, base list) it never decodes."""
+    from .ops import dedup as dedup_ops
+    from .sources import media as media_src
+
+    out = dedup_ops.video_set_clusters(
+        media_src.video_dataset(sf_dir)
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64")
+                            for c in ("doc_id", "rep", "nfu")})
+    return out[["doc_id", "rep", "nfu"]]
+
+
+SQL_VIDEO_SET_CLUSTERS = """
+WITH p AS (
+  SELECT doc_id AS k,
+         16 * (2 + doc_id % 4) AS w,
+         8 + (doc_id * 5) % 9 AS h,
+         8 + doc_id % 9 AS nf
+  FROM documents
+),
+f AS (
+  SELECT p.k, p.w, p.h, (p.k * 31 + u.f * 17) % 200 AS base
+  FROM p, LATERAL (
+    SELECT unnest(generate_series(0, CAST(p.nf - 1 AS BIGINT))) AS f
+  ) u
+),
+sets AS (
+  SELECT k, w, h,
+         list(DISTINCT base ORDER BY base) AS s,
+         CAST(COUNT(DISTINCT base) AS BIGINT) AS nfu
+  FROM f GROUP BY k, w, h
+)
+SELECT k AS doc_id,
+       CAST(min(k) OVER (PARTITION BY w, h, s) AS BIGINT) AS rep,
+       nfu
+FROM sets
+"""
+
+
 def q_geotiff_clip_zonal(sf_dir: str):
     """Raster.from_path/load/clip on real GeoTIFF bytes: encode every doc's
     raster as a spec-conformant striped GeoTIFF (uint8/uint16, none/deflate
@@ -4850,6 +4895,7 @@ REGISTRY: dict[str, tuple] = {
     "buffer_negative_area": (q_buffer_negative_area, SQL_BUFFER_NEGATIVE_AREA),
     "ann_lsh": (q_ann_lsh, SQL_ANN_TOPK),
     "video_near_dup": (q_video_near_dup, SQL_VIDEO_NEAR_DUP),
+    "video_set_clusters": (q_video_set_clusters, SQL_VIDEO_SET_CLUSTERS),
     "all_distances": (q_all_distances, SQL_ALL_DISTANCES),
     "eliminate_by_smallest": (q_eliminate_by_smallest, SQL_ELIMINATE_SMALLEST),
     "sort_long_first": (q_sort_long_first, SQL_SORT_LONG_FIRST),

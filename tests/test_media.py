@@ -140,3 +140,50 @@ def test_video_frame_jaccard_pairs_planted(ray_session):
         rd.from_arrow(t), t_num=4, t_den=5
     ).to_pandas()
     assert len(strict) == 0
+
+
+def test_video_near_dup_degenerate_constant_corpus(ray_session):
+    """A corpus of n identical videos (one constant frame set) used to
+    expand C(n,2) instance rows inside the frame-bucket stage. The
+    identical-set collapse must reduce it to ONE representative: the
+    rep-level pair view and cluster view are both O(n), and the full
+    expansion still equals the true C(k,2) answer on a small corpus."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import dedup as dedup_ops
+
+    def blob(vals):
+        return media.encode_video(
+            np.stack([np.full((4, 16), v, dtype=np.uint8) for v in vals])
+        )
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "video": pa.array([blob([7, 8, 9])] * n, pa.binary()),
+        }
+    )
+    # bounded-output mode: rep-level pairs (one cluster -> zero pairs)
+    reps = dedup_ops.video_frame_jaccard_pairs(
+        rd.from_arrow(t), t_num=1, t_den=3, expand_identical=False
+    ).to_pandas()
+    assert len(reps) == 0
+    clusters = dedup_ops.video_set_clusters(rd.from_arrow(t)).to_pandas()
+    assert len(clusters) == n
+    assert clusters["rep"].nunique() == 1
+    assert (clusters["nfu"] == 3).all()
+    # full expansion on a small identical corpus is exactly C(k,2), jac 1
+    k = 12
+    tk = pa.table(
+        {
+            "doc_id": pa.array(list(range(k)), pa.int64()),
+            "video": pa.array([blob([7, 8, 9])] * k, pa.binary()),
+        }
+    )
+    full = dedup_ops.video_frame_jaccard_pairs(
+        rd.from_arrow(tk), t_num=1, t_den=3
+    ).to_pandas()
+    assert len(full) == k * (k - 1) // 2
+    assert (full["jac_num"] == 3).all() and (full["jac_den"] == 3).all()
+    assert (full["id_a"] < full["id_b"]).all()
