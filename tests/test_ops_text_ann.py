@@ -88,6 +88,72 @@ def test_minhash_similarity_tracks_jaccard():
     assert not (b1 == b3).any()
 
 
+def test_verify_pairs_distributed_path_matches_broadcast(
+        ray_session, monkeypatch):
+    """Force the LARGE regime (semi-join + two text joins) and check it
+    returns exactly the broadcast regime's pairs/jaccards — the verify
+    kernel shingles each distinct doc once per batch in both plans."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog and keeps going " * 25
+    near = base[:-40] + "then rests under a shady tree for a while"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                near,
+                "other document about completely different topics here " * 25,
+                "third unrelated text with its own vocabulary and style " * 25,
+            ],
+        }
+    )
+    docs_ds = rd.from_pandas(docs)
+    pairs_ds = dedup_ops.minhash_candidate_pairs(docs_ds).materialize()
+    small = dedup_ops.verify_pairs_jaccard(
+        pairs_ds, docs_ds, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup_ops, "SMALL_VERIFY_PAIRS", 0)
+    large = dedup_ops.verify_pairs_jaccard(
+        pairs_ds, docs_ds, threshold=0.5).to_pandas()
+    key = ["id_a", "id_b"]
+    small = small.sort_values(key).reset_index(drop=True)
+    large = large.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, large[small.columns])
+    assert (1, 2) in set(zip(large["id_a"], large["id_b"]))
+
+
+def test_vectorized_pair_jaccard_matches_scalar():
+    """The batched flat-store Jaccard (one lexsort per batch) must agree
+    exactly with the scalar ngram_jaccard on every pair, including empty
+    and identical texts."""
+    import itertools
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over a lazy dog",
+        "",
+        "abc",
+        "completely different content about spaceships",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    store = dedup_ops._flat_shingles(texts, 5)
+    ia, ib = map(
+        np.array, zip(*itertools.combinations(range(len(texts)), 2))
+    )
+    sims = dedup_ops._pair_jaccard_from_flat(*store, ia, ib)
+    exp = np.array(
+        [dedup_ops.ngram_jaccard(texts[i], texts[j], 5)
+         for i, j in zip(ia, ib)]
+    )
+    np.testing.assert_allclose(sims, exp)
+    # both-empty pair is Jaccard 1 by contract
+    s = dedup_ops._pair_jaccard_from_flat(
+        *dedup_ops._flat_shingles(["", ""], 5),
+        np.array([0]), np.array([1]),
+    )
+    assert s[0] == 1.0
+
+
 def test_simhash_hamming():
     a = dedup_ops.simhash64("the quick brown fox jumps over the lazy dog " * 10)
     b = dedup_ops.simhash64("the quick brown fox jumps over the lazy cat " * 10)
