@@ -4391,6 +4391,70 @@ FROM r WHERE k <= 4
 """
 
 
+def q_route_frequencies(sf_dir: str):
+    """get_route_frequencies (reference _get_route.py:9-53,
+    networkanalysis.py:420-640): per-edge count of traversing OD shortest
+    routes. On the spine-tree fixture (synth.route_freq_graph_edges)
+    every OD path is the unique tree path, so per-edge counts are
+    closed-form in SQL, while the engine runs real per-origin Dijkstra
+    predecessor walks and a packed-edge-key groupby count."""
+    from .ops import routing
+
+    s_keys = (
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        ["s_suppkey"].to_numpy().astype(np.int64)
+    )
+    na, nb, w = synth.route_freq_graph_edges(s_keys)
+    graph = routing.build_csr(na, nb, w, directed=False)
+
+    def o_stage(b: pa.Table) -> pa.Table:
+        s = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"origin": pa.array(synth.RF_ORIGIN_BASE + s, pa.int64())}
+        )
+
+    origins = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(o_stage, batch_format="pyarrow")
+    )
+    dest_ids = synth.RF_DEST_BASE + np.arange(synth.RF_DESTS, dtype=np.int64)
+    return routing.route_frequencies(origins, graph, dest_ids)
+
+
+SQL_ROUTE_FREQUENCIES = f"""
+WITH io AS (
+  SELECT s_suppkey AS s, s_suppkey % {synth.RF_SPINE_LEN} AS i FROM supplier
+),
+jd AS (
+  SELECT j, (3 * j + 1) % {synth.RF_SPINE_LEN} AS i
+  FROM (SELECT unnest(generate_series(0, {synth.RF_DESTS - 1})) AS j)
+),
+spine AS (
+  SELECT {synth.RF_SPINE_BASE} + si.i AS node_a,
+         {synth.RF_SPINE_BASE} + si.i + 1 AS node_b,
+         CAST(count(*) AS BIGINT) AS n_routes
+  FROM (SELECT unnest(generate_series(0, {synth.RF_SPINE_LEN - 2})) AS i) si,
+       io, jd
+  WHERE least(io.i, jd.i) <= si.i AND si.i < greatest(io.i, jd.i)
+  GROUP BY si.i
+),
+orig AS (
+  SELECT {synth.RF_SPINE_BASE} + i AS node_a,
+         {synth.RF_ORIGIN_BASE} + s AS node_b,
+         CAST({synth.RF_DESTS} AS BIGINT) AS n_routes
+  FROM io
+),
+dst AS (
+  SELECT {synth.RF_SPINE_BASE} + i AS node_a,
+         {synth.RF_DEST_BASE} + j AS node_b,
+         CAST((SELECT count(*) FROM supplier) AS BIGINT) AS n_routes
+  FROM jd
+)
+SELECT * FROM spine UNION ALL SELECT * FROM orig UNION ALL SELECT * FROM dst
+"""
+
+
 def q_tsp_rings(sf_dir: str):
     """traveling_salesman_problem (traveling_salesman.py:11-155) as a
     per-group kernel: each nation's points sit equally spaced on a circle
@@ -4885,6 +4949,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_keep": (q_minhash_keep, None),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
+    "route_frequencies": (q_route_frequencies, SQL_ROUTE_FREQUENCIES),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),

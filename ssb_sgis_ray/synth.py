@@ -565,6 +565,37 @@ def k_routes_graph_edges(s_keys: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# route_frequencies fixture: a spine TREE, so every OD shortest path is the
+# unique tree path and per-edge visit counts are closed-form in SQL
+# ---------------------------------------------------------------------------
+
+RF_SPINE_LEN = 10
+RF_DESTS = 4
+RF_SPINE_BASE = 40_000_000
+RF_ORIGIN_BASE = 41_000_000
+RF_DEST_BASE = 42_000_000
+
+
+def route_freq_graph_edges(s_keys: np.ndarray):
+    """Undirected unit-weight spine tree for the route_frequencies oracle.
+
+    Spine S_0..S_9; supplier s hangs origin O_s off S_{s % 10}; dest D_j
+    (j < RF_DESTS) hangs off S_{(3j+1) % 10}. Tree => unique shortest
+    paths (no tie-breaking dependence), so: spine edge (S_i, S_{i+1}) is
+    crossed by exactly the (s, j) pairs whose connector positions
+    straddle i; each origin connector carries RF_DESTS routes; each dest
+    connector one route per supplier."""
+    s = _i64(s_keys)
+    spine_a = RF_SPINE_BASE + np.arange(RF_SPINE_LEN - 1, dtype=np.int64)
+    o_b = RF_SPINE_BASE + s % RF_SPINE_LEN
+    j = np.arange(RF_DESTS, dtype=np.int64)
+    d_b = RF_SPINE_BASE + (3 * j + 1) % RF_SPINE_LEN
+    node_a = np.concatenate([spine_a, RF_ORIGIN_BASE + s, RF_DEST_BASE + j])
+    node_b = np.concatenate([spine_a + 1, o_b, d_b])
+    return node_a, node_b, np.ones(len(node_a), dtype=float)
+
+
+# ---------------------------------------------------------------------------
 # TSP fixture: per-nation circle rings with closed-form tour length
 # ---------------------------------------------------------------------------
 
