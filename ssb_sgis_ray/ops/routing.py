@@ -419,32 +419,123 @@ def connection_candidates(node_x: np.ndarray, node_y: np.ndarray,
     return pos, d[pos]
 
 
+def connector_weights(d: np.ndarray, nodedist_multiplier=None,
+                      nodedist_kmh=None) -> np.ndarray:
+    """Point→node connector distance -> edge weight
+    (reference _points.py:41-61 _convert_distance_to_weight):
+    nodedist_multiplier scales straight-line meters (weight='meters');
+    nodedist_kmh converts meters to minutes at the given speed
+    (d / (16.666667 * kmh)); neither set -> zero-weight connectors
+    (the reference default)."""
+    d = np.asarray(d, dtype=np.float64)
+    if nodedist_multiplier is not None and nodedist_kmh is not None:
+        raise ValueError(
+            "Can only specify one of 'nodedist_multiplier' and 'nodedist_kmh'"
+        )
+    if nodedist_kmh is not None:
+        return d / (16.666667 * nodedist_kmh)
+    if nodedist_multiplier is not None:
+        return d * nodedist_multiplier
+    return np.zeros_like(d)
+
+
+def split_edges_at_points(node_a, node_b, ax, ay, bx, by, w,
+                          px, py, search_tolerance: float,
+                          split_id_base: int = 50_000_000):
+    """NetworkAnalysisRules.split_lines=True (reference
+    networkanalysis.py:1433-1467 + cutting_lines.py
+    split_lines_by_nearest_point): each point's NEAREST edge within
+    search_tolerance is split at the projection foot; piece weights
+    scale with the length ratio (`lines[weight] *= length / meters_`).
+    The caller then re-runs the generic node-connection rules on the
+    enlarged node set — exactly what the reference does after its split.
+
+    Inputs are the straight-segment edge arrays (ids + endpoint coords +
+    weight) and the point coordinates. Returns
+    (node_a2, node_b2, w2, new_ids, new_x, new_y): the rebuilt edge list
+    and the new split nodes. Points projecting onto an endpoint (t=0/1)
+    or sharing a foot deduplicate to one node.
+
+    In-memory kernel over the edge arrays — the graph is broadcast
+    whole to the OD actors anyway; at cluster scale run it per spatial
+    cell with halos (ops.spatial.gridloop) before the CSR build."""
+    node_a = np.asarray(node_a, np.int64)
+    node_b = np.asarray(node_b, np.int64)
+    ax, ay, bx, by = (np.asarray(v, np.float64) for v in (ax, ay, bx, by))
+    w = np.asarray(w, np.float64)
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    P = len(px)
+    ex, ey = bx - ax, by - ay
+    L2 = np.where(ex * ex + ey * ey == 0, 1.0, ex * ex + ey * ey)
+    t = ((px[:, None] - ax[None, :]) * ex[None, :]
+         + (py[:, None] - ay[None, :]) * ey[None, :]) / L2[None, :]
+    t = np.clip(t, 0.0, 1.0)
+    cx = ax[None, :] + t * ex[None, :]
+    cy = ay[None, :] + t * ey[None, :]
+    d2 = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+    best = np.argmin(d2, axis=1)
+    rows = np.arange(P)
+    ok = (np.sqrt(d2[rows, best]) <= search_tolerance)
+    tb = t[rows, best]
+    interior = ok & (tb > 0.0) & (tb < 1.0)
+    e_idx, e_t = best[interior], tb[interior]
+    # dedupe shared feet, deterministic node ids by (edge, t) order
+    key = np.unique(np.stack([e_idx.astype(np.float64), e_t], axis=1), axis=0)
+    se, st = key[:, 0].astype(np.int64), key[:, 1]
+    new_ids = split_id_base + np.arange(len(se), dtype=np.int64)
+    new_x = ax[se] + st * ex[se]
+    new_y = ay[se] + st * ey[se]
+    # rebuild split edges as chains a -> s1 -> ... -> b
+    keep = np.ones(len(node_a), dtype=bool)
+    keep[se] = False
+    out_a = [node_a[keep]]
+    out_b = [node_b[keep]]
+    out_w = [w[keep]]
+    for e in np.unique(se):
+        m = se == e
+        order = np.argsort(st[m], kind="stable")
+        ids = np.concatenate([[node_a[e]], new_ids[m][order], [node_b[e]]])
+        ts = np.concatenate([[0.0], st[m][order], [1.0]])
+        out_a.append(ids[:-1])
+        out_b.append(ids[1:])
+        out_w.append(w[e] * np.diff(ts))
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_w), new_ids, new_x, new_y)
+
+
 class OdCostPointsActor:
     """od_cost_matrix with POINT origins and destinations.
 
     Points are connected to graph nodes by the search_tolerance /
-    search_factor rules; the connection legs carry their straight-line
-    distance as weight (the reference's weight='meters' conversion,
-    _points.py:57-60). Per origin: multi-source Dijkstra seeded with the
-    candidate connections; per destination: min over its candidates of
-    (node distance + connection weight). Origins/destinations whose
-    candidate set is empty (beyond tolerance) produce no rows — matching
-    the reference, where unconnected points simply get no results."""
+    search_factor rules; connection-leg weights follow the reference's
+    nodedist rules (connector_weights — distance × multiplier for
+    'meters', km/h conversion for 'minutes', zero when neither is set).
+    Per origin: multi-source Dijkstra seeded with the candidate
+    connections; per destination: min over its candidates of (node
+    distance + connection weight). Origins/destinations whose candidate
+    set is empty (beyond tolerance) produce no rows — matching the
+    reference, where unconnected points simply get no results."""
 
     def __init__(self, graph_ref, node_xy_ref, dest_points: np.ndarray,
-                 search_tolerance: float, search_factor: float = 0.0):
+                 search_tolerance: float, search_factor: float = 0.0,
+                 nodedist_multiplier=None, nodedist_kmh=None):
         self.nodes, self.indptr, self.indices, self.weights = ray.get(graph_ref)
         self.node_x, self.node_y = ray.get(node_xy_ref)
         self.tol = search_tolerance
         self.sf = search_factor
+        self.ndm = nodedist_multiplier
+        self.ndk = nodedist_kmh
         # dest_points rows: (dest_id, x, y)
         self.dests = []
         for did, dx, dy in dest_points:
-            pos, w = connection_candidates(
+            pos, d = connection_candidates(
                 self.node_x, self.node_y, float(dx), float(dy), self.tol, self.sf
             )
             if len(pos):
-                self.dests.append((int(did), pos, w))
+                self.dests.append(
+                    (int(did), pos, connector_weights(d, self.ndm, self.ndk))
+                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         oid = batch["origin"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -452,11 +543,12 @@ class OdCostPointsActor:
         py = batch["py"].to_numpy(zero_copy_only=False).astype(np.float64)
         out_o, out_d, out_c = [], [], []
         for i in range(len(oid)):
-            pos, w = connection_candidates(
+            pos, d = connection_candidates(
                 self.node_x, self.node_y, px[i], py[i], self.tol, self.sf
             )
             if len(pos) == 0:
                 continue
+            w = connector_weights(d, self.ndm, self.ndk)
             dist = dijkstra_multi(self.indptr, self.indices, self.weights, pos, w)
             for did, dpos, dw in self.dests:
                 c = float(np.min(dist[dpos] + dw))
@@ -477,9 +569,14 @@ class OdCostPointsActor:
 def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
                           dest_points: np.ndarray, search_tolerance: float,
                           search_factor: float = 0.0,
+                          nodedist_multiplier=1.0, nodedist_kmh=None,
                           concurrency=None, batch_size: int = 64):
     """Point-origin OD matrix: origins stream as (origin, px, py) rows;
-    the graph AND the node coordinate table are broadcast once."""
+    the graph AND the node coordinate table are broadcast once.
+    ``nodedist_multiplier`` defaults to 1.0 (connector legs weigh their
+    straight-line meters — this module's historical behavior); pass
+    ``None`` for the reference's zero-weight default, or ``nodedist_kmh``
+    for the minutes conversion."""
     gref = ray.put(graph)
     xyref = ray.put(node_xy)
     return origins_ds.map_batches(
@@ -487,6 +584,8 @@ def od_cost_matrix_points(origins_ds, graph: tuple, node_xy: tuple,
         fn_constructor_kwargs={
             "graph_ref": gref, "node_xy_ref": xyref, "dest_points": dest_points,
             "search_tolerance": search_tolerance, "search_factor": search_factor,
+            "nodedist_multiplier": nodedist_multiplier,
+            "nodedist_kmh": nodedist_kmh,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -1399,6 +1399,85 @@ FROM o CROSS JOIN d
 """
 
 
+def q_od_cost_points_split(sf_dir: str):
+    """od_cost_matrix with NetworkAnalysisRules.split_lines=True
+    (reference networkanalysisrules.py:38-41, networkanalysis.py:
+    1433-1467): every point's nearest network line is split at the
+    projection foot (piece weights scaled by length ratio) before the
+    CSR build, then the generic connection rules run on the enlarged
+    node set with nodedist_multiplier=1 connector legs. On the
+    per-supplier isolated-segment fixture the cost is exactly
+    h + |a−b| + g — a closed form the endpoint-connection (no-split)
+    path provably gets wrong (pytest asserts the difference)."""
+    from .ops import routing
+
+    s_keys = (
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        ["s_suppkey"].to_numpy().astype(np.int64)
+    )
+    (na, nb, ax, ay, bx, by, w), (o_id, ox, oy), (d_id, dx, dy) = (
+        synth.split_lines_fixture(s_keys)
+    )
+    na2, nb2, w2, nid, nx, ny = routing.split_edges_at_points(
+        na, nb, ax, ay, bx, by, w,
+        np.concatenate([ox, dx]), np.concatenate([oy, dy]),
+        search_tolerance=250.0,
+    )
+    graph = routing.build_csr(na2, nb2, w2, directed=False)
+    all_ids = np.concatenate([na, nb, nid])
+    all_x = np.concatenate([ax, bx, nx])
+    all_y = np.concatenate([ay, by, ny])
+    order = np.argsort(all_ids)
+    pos = np.searchsorted(all_ids[order], graph[0])
+    node_xy = (all_x[order][pos], all_y[order][pos])
+    dest_points = np.stack([d_id.astype(np.float64), dx, dy], axis=1)
+
+    def stage(b: pa.Table) -> pa.Table:
+        s = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "origin": pa.array(synth.SL_ORIGIN_BASE + s, pa.int64()),
+                "px": pa.array(
+                    s * synth.SL_PITCH + (100 + 100 * (s % 7)).astype(np.float64)
+                ),
+                "py": pa.array((10 + s % 5).astype(np.float64)),
+            }
+        )
+
+    origins = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+    out = routing.od_cost_matrix_points(
+        origins, graph, node_xy, dest_points,
+        search_tolerance=250.0, search_factor=0.0, nodedist_multiplier=1.0,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "origin": b["origin"],
+                "dest": b["dest"],
+                "cost": pa.array(
+                    np.round(b["cost"].to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OD_COST_POINTS_SPLIT = f"""
+SELECT {synth.SL_ORIGIN_BASE} + s_suppkey AS origin,
+       {synth.SL_DEST_BASE} + s_suppkey AS dest,
+       CAST((10 + s_suppkey % 5)
+            + abs((100 + (s_suppkey % 7) * 100) - (150 + (s_suppkey % 9) * 90))
+            + (5 + s_suppkey % 4) AS BIGINT) AS cost
+FROM supplier
+"""
+
+
 def q_destination_count(sf_dir: str, k: int = 3):
     """destination_count (networkanalysis.py:394-397,728-731): the k
     cheapest destinations per origin with TIES KEPT — `groupby.rank()
@@ -4950,6 +5029,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "route_frequencies": (q_route_frequencies, SQL_ROUTE_FREQUENCIES),
+    "od_cost_points_split": (q_od_cost_points_split, SQL_OD_COST_POINTS_SPLIT),
     "tsp_rings": (q_tsp_rings, SQL_TSP_RINGS),
     "overlay_inter_cell": (q_overlay_inter_cell, SQL_OVERLAY_INTERSECTION),
     "overlay_diff_cell": (q_overlay_diff_cell, SQL_OVERLAY_DIFFERENCE_AREA),

@@ -596,6 +596,41 @@ def route_freq_graph_edges(s_keys: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# split_lines fixture: one isolated horizontal segment per supplier, origin
+# and destination points hovering above it — with split_lines the cost is
+# the closed form h + |a-b| + g, which the endpoint-connection path
+# provably gets wrong
+# ---------------------------------------------------------------------------
+
+SL_NODE_BASE = 43_000_000
+SL_ORIGIN_BASE = 44_000_000
+SL_DEST_BASE = 45_000_000
+SL_LINE_LEN = 1000.0
+SL_PITCH = 10_000.0
+
+
+def split_lines_fixture(s_keys: np.ndarray):
+    """Per supplier s: segment (X_s, 0)→(X_s+1000, 0) of weight 1000
+    (meters), origin point at (X_s + a_s, h_s), dest at (X_s + b_s, g_s)
+    with X_s = s·10000 (isolated components), a_s = 100 + 100(s%7),
+    b_s = 150 + 90(s%9), h_s = 10 + s%5, g_s = 5 + s%4. With
+    split_lines + nodedist_multiplier=1 the O→D cost is exactly
+    h_s + |a_s − b_s| + g_s (integer-valued)."""
+    s = _i64(s_keys)
+    x0 = s.astype(float) * SL_PITCH
+    edges = (
+        SL_NODE_BASE + 2 * s, SL_NODE_BASE + 2 * s + 1,          # ids
+        x0, np.zeros(len(s)), x0 + SL_LINE_LEN, np.zeros(len(s)),  # coords
+        np.full(len(s), SL_LINE_LEN),                             # weight
+    )
+    a = (100 + 100 * (s % 7)).astype(float)
+    b = (150 + 90 * (s % 9)).astype(float)
+    origins = (SL_ORIGIN_BASE + s, x0 + a, (10 + s % 5).astype(float))
+    dests = (SL_DEST_BASE + s, x0 + b, (5 + s % 4).astype(float))
+    return edges, origins, dests
+
+
+# ---------------------------------------------------------------------------
 # TSP fixture: per-nation circle rings with closed-form tour length
 # ---------------------------------------------------------------------------
 

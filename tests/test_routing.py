@@ -219,3 +219,78 @@ def test_tsp_near_optimal_and_valid():
 
     path = routing.tsp_order(xy, return_to_start=False)
     assert sorted(path) == list(range(7))
+
+
+def test_connector_weights_rules():
+    """_points.py:41-61 conversions: zero by default, distance x
+    multiplier for meters, d / (16.666667 * kmh) for minutes, and the
+    two knobs are mutually exclusive."""
+    d = np.array([0.0, 100.0, 250.0])
+    np.testing.assert_array_equal(routing.connector_weights(d), [0, 0, 0])
+    np.testing.assert_allclose(
+        routing.connector_weights(d, nodedist_multiplier=2.0), d * 2.0
+    )
+    np.testing.assert_allclose(
+        routing.connector_weights(d, nodedist_kmh=50.0),
+        d / (16.666667 * 50.0),
+    )
+    with pytest.raises(ValueError):
+        routing.connector_weights(d, nodedist_multiplier=1.0, nodedist_kmh=50.0)
+
+
+def test_split_lines_closed_form_and_no_split_differs(ray_session):
+    """split_lines=True: points connect at the projection foot, so the
+    O->D cost on the isolated-segment fixture is exactly h + |a-b| + g;
+    the endpoint-connection (no-split) path yields different costs on
+    the same fixture (it must route via a segment endpoint)."""
+    import ray.data as rd
+
+    s = np.arange(1, 9, dtype=np.int64)
+    (na, nb, ax, ay, bx, by, w), (o_id, ox, oy), (d_id, dx, dy) = (
+        synth.split_lines_fixture(s)
+    )
+    na2, nb2, w2, nid, nx, ny = routing.split_edges_at_points(
+        na, nb, ax, ay, bx, by, w,
+        np.concatenate([ox, dx]), np.concatenate([oy, dy]),
+        search_tolerance=250.0,
+    )
+    # piece weights conserve the total original weight
+    np.testing.assert_allclose(w2.sum(), w.sum(), rtol=1e-12)
+
+    def run(graph_edges, tol):
+        a_, b_, w_, nid_, nx_, ny_ = graph_edges
+        graph = routing.build_csr(a_, b_, w_, directed=False)
+        ids = np.concatenate([na, nb, nid_])
+        xs = np.concatenate([ax, bx, nx_])
+        ys = np.concatenate([ay, by, ny_])
+        order = np.argsort(ids)
+        pos = np.searchsorted(ids[order], graph[0])
+        node_xy = (xs[order][pos], ys[order][pos])
+        origins = rd.from_arrow(pa.table(
+            {"origin": pa.array(o_id, pa.int64()),
+             "px": pa.array(ox), "py": pa.array(oy)}))
+        dest_points = np.stack([d_id.astype(np.float64), dx, dy], axis=1)
+        out = routing.od_cost_matrix_points(
+            origins, graph, node_xy, dest_points,
+            search_tolerance=tol, nodedist_multiplier=1.0,
+        ).to_pandas()
+        return out[out.origin % 1_000_000 == out.dest % 1_000_000] \
+            .sort_values("origin")["cost"].to_numpy()
+
+    split_cost = run((na2, nb2, w2, nid, nx, ny), 250.0)
+    expected = (10 + s % 5) + np.abs(
+        (100 + 100 * (s % 7)) - (150 + 90 * (s % 9))
+    ) + (5 + s % 4)
+    np.testing.assert_allclose(split_cost, expected.astype(float), atol=1e-6)
+    # without splitting, points must reach a segment ENDPOINT: tolerance
+    # 250 loses mid-segment points entirely (the reference's motivation
+    # for split_lines); a huge tolerance connects them but via endpoints,
+    # giving wrong costs on every supplier
+    assert len(run((na, nb, w, np.empty(0, np.int64),
+                    np.empty(0), np.empty(0)), 250.0)) < len(split_cost)
+    nosplit_cost = run(
+        (na, nb, w, np.empty(0, np.int64), np.empty(0), np.empty(0)),
+        1200.0,
+    )
+    assert len(nosplit_cost) == len(split_cost)
+    assert (np.abs(nosplit_cost - split_cost) > 1.0).all()
