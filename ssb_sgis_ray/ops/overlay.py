@@ -154,6 +154,17 @@ class RightGeoms:
         self.r_rects, self.r_offs, self.r_rlin = kernels.decompose_rectilinear(self.rpg)
 
 
+def _as_right_geoms(obj, grid_size: float | None = None) -> RightGeoms:
+    """Accept a prebuilt RightGeoms OR a raw Arrow table.
+
+    Broadcast call sites ray.put the PREBUILT index so the decode +
+    STRtree + rect-decomposition work happens once on the driver instead
+    of once per actor (at sf0.1/150k rights that build costs ~9 s — with
+    a ~28-actor pool it was ~250 s of redundant CPU and the whole pass-1
+    ramp-up of overlay_union)."""
+    return obj if isinstance(obj, RightGeoms) else RightGeoms(obj, grid_size)
+
+
 def find_candidate_pairs(lpg: wkb.PolygonArray, l_is_rect: np.ndarray,
                          R: RightGeoms, l_rlin: np.ndarray | None = None):
     """STRtree bbox query + exact refine -> (left rows, right rows).
@@ -327,12 +338,13 @@ class OverlayActor:
         # piece_area column instead of geometry (for area-only consumers)
         self.emit = emit
         self.grid_size = grid_size
-        right: pa.Table = right_table if right_table is not None else ray.get(right_ref)
+        right = right_table if right_table is not None else ray.get(right_ref)
+        self.R = _as_right_geoms(right, grid_size)
+        right = self.R.table
         self.right = right
         self.how = how
         self.lsuffix = lsuffix
         self.rsuffix = rsuffix
-        self.R = RightGeoms(right, grid_size)
         self.rpg = self.R.rpg
         self.rbounds = self.R.rbounds
         self.tree = self.R.tree
@@ -498,12 +510,8 @@ class RightPairsEmitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.idx_state is None:
-            right: pa.Table = ray.get(self.right_ref)
-            rpg = wkb.decode_polygons(right["geometry_wkb"])
-            self.idx_state = (
-                right, rpg, STRtree(kernels.polygon_bounds(rpg)),
-                kernels.detect_axis_rects(rpg),
-            )
+            R = _as_right_geoms(ray.get(self.right_ref))
+            self.idx_state = (R.table, R.rpg, R.tree, R.r_is_rect)
         right, rpg, tree, r_is_rect = self.idx_state
         lpg = wkb.decode_polygons(batch["geometry_wkb"])
         l_is_rect = kernels.detect_axis_rects(lpg)
@@ -567,7 +575,9 @@ def overlay_union_legs(
     if how not in ("union", "symmetric_difference", "update"):
         raise ValueError(how)
     concurrency = default_pool(concurrency)
-    ref = ray.put(right_table)
+    # prebuilt index shared by all three actor pools below (see
+    # _as_right_geoms on why this is built once on the driver)
+    ref = ray.put(RightGeoms(right_table))
 
     left_cols = [c for c in left.schema().names if c != "geometry_wkb"]
     right_cols = [c for c in right_table.column_names if c != "geometry_wkb"]
@@ -713,7 +723,7 @@ def clean_overlay(
     from ..geo import crs as crs_mod
 
     crs_mod.check_crs_pair(left_crs, right_table)  # overlay.py:83-84 guard
-    ref = ray.put(right_table)
+    ref = ray.put(RightGeoms(right_table, grid_size))
     if how in ("intersection", "difference", "identity"):
         return left.map_batches(
             OverlayActor,
@@ -1022,7 +1032,7 @@ def overlay_union_leg_areas(
 
     if how not in ("union", "symmetric_difference"):
         raise ValueError(how)
-    ref = ray.put(right_table)
+    ref = ray.put(RightGeoms(right_table))
     if left_table is None:
         # the broadcast envelope already bounds the left side; collecting
         # it once on the driver is the same cost class as the right_table
@@ -1042,7 +1052,7 @@ def overlay_union_leg_areas(
         fn_constructor_kwargs={"right_ref": ref, "how": how},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
-    lref = ray.put(left_table.select(["geometry_wkb"]))
+    lref = ray.put(RightGeoms(left_table.select(["geometry_wkb"])))
     right_leg = (
         rd.from_arrow(right_table.select(["geometry_wkb"]))
         .repartition(max(int(np.ceil(len(right_table) / 2048)), 1))
@@ -1063,7 +1073,7 @@ class ReverseDiffAreaActor:
     the unmatched-right leg of the union composition with no join."""
 
     def __init__(self, left_ref):
-        self.L = RightGeoms(ray.get(left_ref))
+        self.L = _as_right_geoms(ray.get(left_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rpg = wkb.decode_polygons(batch["geometry_wkb"])
@@ -1163,8 +1173,7 @@ class UnionAreaLegsActor:
     from ReverseDiffAreaActor's flipped pass, not from pair rows."""
 
     def __init__(self, right_ref, how: str = "union"):
-        right: pa.Table = ray.get(right_ref)
-        self.R = RightGeoms(right)
+        self.R = _as_right_geoms(ray.get(right_ref))
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
