@@ -79,22 +79,32 @@ def band_hashes(sig: np.ndarray) -> np.ndarray:
 
 
 class MinHashStage:
-    """map_batches: doc -> N_BANDS rows (doc_id, band_id, band_hash)."""
+    """map_batches: doc -> N_BANDS rows (doc_id, band_id, band_hash).
+
+    Arrow in/out (zero-copy from the object store); the per-doc signature
+    loop is inherent (each text shingles independently) but the row
+    expansion is pure numpy repeat/tile — no Python list building."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
         self.id_col = id_col
         self.text_col = text_col
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].astype(str)):
-            bh = band_hashes(minhash_signature(text, self.k))
-            ids.extend([doc_id] * N_BANDS)
-            bands.extend(range(N_BANDS))
-            hashes.extend(bh.tolist())
-        return pd.DataFrame(
-            {self.id_col: ids, "band_id": bands, "band_hash": hashes}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        hashes = np.empty((n, N_BANDS), dtype=np.int64)
+        for r, text in enumerate(texts):
+            hashes[r] = band_hashes(minhash_signature(str(text), self.k))
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, N_BANDS), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int64), n), pa.int64()
+                ),
+                "band_hash": pa.array(hashes.reshape(-1), pa.int64()),
+            }
         )
 
 
@@ -180,7 +190,7 @@ def _triangular_pair_indices(ends: np.ndarray, sizes: np.ndarray,
     return a_idx, a_idx + within + 1
 
 
-def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _super_groups_to_pairs(g: pa.Table) -> pa.Table:
     """One SUPER-group (band_hash % SUPER_GROUPS) -> candidate pairs.
 
     A super-group holds many complete LSH buckets (band_hash co-located
@@ -189,13 +199,15 @@ def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     function-call overhead of one-call-per-bucket map_groups dominated
     the stage (80k buckets × ~0.2 ms). Hot buckets (> BUCKET_CAP) emit
     star pairs to the min id (same connected components, O(n) rows).
+    Arrow in/out: the kernel is pure numpy, so the pandas group frame
+    only added a per-group conversion.
     """
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64")})
-    if len(g) < 2:
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if g.num_rows < 2:
         return empty
-    h = g["band_hash"].to_numpy()
-    d = g["doc_id"].to_numpy().astype(np.int64)
+    h = g["band_hash"].to_numpy(zero_copy_only=False)
+    d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((d, h))
     h, d = h[order], d[order]
     starts, ends, sizes = _bucket_bounds(h)
@@ -226,7 +238,8 @@ def _super_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
     # verify at similarity 1.0)
     keep = a != b
     a, b = a[keep], b[keep]
-    return pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+    return pa.table({"id_a": pa.array(np.minimum(a, b), pa.int64()),
+                     "id_b": pa.array(np.maximum(a, b), pa.int64())})
 
 
 def _band_groups_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -264,7 +277,7 @@ def minhash_candidate_pairs(docs_ds):
     no driver materialization at any size (VERDICT r1 scale-blocker #4).
     Doc ids must fit in 31 bits for the packing (pk = id_a·2³¹ + id_b).
     """
-    bands = docs_ds.map_batches(MinHashStage, batch_format="pandas",
+    bands = docs_ds.map_batches(MinHashStage, batch_format="pyarrow",
                                 concurrency=default_pool(), batch_size=4096)
 
     def add_super(b: pa.Table) -> pa.Table:
@@ -276,7 +289,7 @@ def minhash_candidate_pairs(docs_ds):
     pairs = (
         bands.map_batches(add_super, batch_format="pyarrow")
         .groupby("super")
-        .map_groups(_super_groups_to_pairs, batch_format="pandas")
+        .map_groups(_super_groups_to_pairs, batch_format="pyarrow")
     )
 
     return distinct_pairs(pairs)

@@ -2353,7 +2353,7 @@ def q_minhash_bands(sf_dir: str):
     """MinHash LSH band rows (doc_id, band_id, band_hash) — the shuffle
     key material for near-dup candidate generation. Not SQL-expressible."""
     return documents(sf_dir).map_batches(
-        dedup_ops.MinHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
+        dedup_ops.MinHashStage, batch_format="pyarrow", concurrency=(1, 8), batch_size=2048
     )
 
 
