@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..pool import default_pool
+from ..pool import broadcast_map_batches, default_pool
 
 
 def _topk_block(
@@ -127,15 +127,16 @@ def knn_broadcast(
     euclidean distance as int64 (exact for integer coordinates).
     ``nrows``: optional left row-count hint for actor-pool sizing."""
     ref = ray.put(neighbors)
-    return left.map_batches(
+    return broadcast_map_batches(
+        left,
         KnnBroadcast,
         fn_constructor_kwargs={
             "neighbors_ref": ref, "k": k, "id_col": id_col,
             "x_col": x_col, "y_col": y_col, "strict": strict,
         },
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
+        concurrency=concurrency,
+        nrows=nrows,
     )
 
 

@@ -33,7 +33,7 @@ import ray
 from ..geo import cells, kernels, wkb
 from ..geo.strtree import STRtree
 
-from ..pool import default_pool
+from ..pool import broadcast_map_batches, default_pool
 
 Mode = Literal["semi", "anti", "split", "pairs"]
 
@@ -176,12 +176,13 @@ def sfilter(
     size the actor pool (see pool.default_pool)."""
     ref = broadcast_table(right_table)
     cls = PIPFilter if left_kind == "point" else PolyPolyFilter
-    return left.map_batches(
+    return broadcast_map_batches(
+        left,
         cls,
         fn_constructor_kwargs={"right_ref": ref, "mode": mode},
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
+        concurrency=concurrency,
+        nrows=nrows,
     )
 
 
@@ -197,12 +198,13 @@ def sjoin_pairs(
     """Inner spatial join (one row per matching pair), broadcast plan."""
     ref = broadcast_table(right_table)
     cls = PIPJoin if left_kind == "point" else PolyPolyPairs
-    return left.map_batches(
+    return broadcast_map_batches(
+        left,
         cls,
         fn_constructor_kwargs={"right_ref": ref, "right_cols": right_cols},
-        batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=default_pool(concurrency, nrows=nrows, batch_size=batch_size),
+        concurrency=concurrency,
+        nrows=nrows,
     )
 
 

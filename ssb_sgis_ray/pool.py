@@ -39,3 +39,36 @@ def default_pool(concurrency=None, nrows=None, batch_size=None):
         # on a single-batch input are pure spin-up cost
         cap = min(cap, max(2, -(-int(nrows) // int(batch_size))))
     return (1, cap)
+
+
+SMALL_TASK_BATCHES = 4
+
+
+def broadcast_map_batches(ds, cls, *, fn_constructor_kwargs, batch_size,
+                          batch_format="pyarrow", concurrency=None,
+                          nrows=None, **kw):
+    """map_batches dispatch for broadcast stages with a CHEAP __init__.
+
+    Small inputs (<= SMALL_TASK_BATCHES batches by the ``nrows`` hint) run
+    as a STATELESS task-pool stage: Ray tasks reuse warm worker processes,
+    so there is no actor spawn at all — the class is constructed fresh per
+    batch (init must be cheap: a ray.get of the broadcast ref + a small
+    index build). Measured on knn3 (15k rows, one batch): even a capped
+    2-actor pool swings 1.4-6.7 s on a warm session from actor-spawn
+    timing; the task pool is a stable 0.8-0.9 s. Large inputs keep the
+    autoscaling actor pool so the init runs once per actor, not per batch.
+    """
+    if concurrency is None and nrows is not None and batch_size:
+        if -(-int(nrows) // int(batch_size)) <= SMALL_TASK_BATCHES:
+            def fn(batch):
+                return cls(**fn_constructor_kwargs)(batch)
+
+            return ds.map_batches(fn, batch_size=batch_size,
+                                  batch_format=batch_format, **kw)
+    return ds.map_batches(
+        cls, fn_constructor_kwargs=fn_constructor_kwargs,
+        batch_size=batch_size, batch_format=batch_format,
+        concurrency=default_pool(concurrency, nrows=nrows,
+                                 batch_size=batch_size),
+        **kw,
+    )
