@@ -152,6 +152,9 @@ def _pair_jaccard_from_flat(flat, offsets, lengths, ia, ib):
 
 
 BUCKET_CAP = 4096  # band-bucket size beyond which all-pairs is refused
+# video-level rows (~24 B each) the driver will merge for the identical-
+# frame-set collapse before falling back to the distributed shuffle
+VIDEO_COLLAPSE_DRIVER_LIMIT = 5_000_000
 SUPER_GROUPS = 256  # shuffle groups for the LSH bucket stage
 # verify dual-plan bounds: below these the broadcast verify path runs
 # (driver holds 16 B/pair of ids + the candidate docs' texts once)
@@ -1044,12 +1047,81 @@ def _collapsed_video_clusters(videos_ds, concurrency=None,
     The materialize() is the stage boundary between the two consumers —
     it holds distinct frame-hash rows (never video bytes) in the object
     store, exactly what a shuffle would hold anyway."""
+    import ray
+    import ray.data as rd
     import pyarrow.compute as pc
 
     hashed = videos_ds.map_batches(
         VideoFrameHashStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_pool(concurrency),
-    )
+    ).materialize()  # frame rows held once, consumed by both passes below
+
+    # -- driver-merge fast path --------------------------------------------
+    # The collapse only needs ONE row per video (doc_id, sig, nfu): each
+    # video's frame rows come out of a single VideoFrameHashStage call, so
+    # a per-block first-row-per-doc scan yields ~one row per video (a block
+    # split can duplicate a boundary video; the driver dedups). At 50k
+    # videos that's a 1 MB driver merge replacing a full frame-row
+    # groupby(super) shuffle (~3.5 s of exchange machinery at sf0.1).
+    # Guard: corpora beyond VIDEO_COLLAPSE_DRIVER_LIMIT videos take the
+    # distributed collapse shuffle below instead.
+    def vid_rows(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.concatenate([[True], d[1:] != d[:-1]]) if len(d) else \
+            np.zeros(0, dtype=bool)
+        m = pa.array(first)
+        return pa.table({
+            "doc_id": b["doc_id"].filter(m),
+            "sig": b["sig"].filter(m),
+            "nfu": b["nfu"].filter(m),
+        })
+
+    vm = hashed.map_batches(vid_rows, batch_format="pyarrow").materialize()
+    if vm.count() <= VIDEO_COLLAPSE_DRIVER_LIMIT:
+        blocks = [t for t in ray.get(vm.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            vt = pa.concat_tables(blocks)
+            d = vt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = vt["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = vt["nfu"].to_numpy(zero_copy_only=False).astype(np.int64)
+            _, uidx = np.unique(d, return_index=True)  # block-split dedup
+            d, s, n = d[uidx], s[uidx], n[uidx]
+            order = np.lexsort((d, s))
+            d, s, n = d[order], s[order], n[order]
+            new_sig = np.concatenate([[True], s[1:] != s[:-1]])
+            rep = d[new_sig][np.cumsum(new_sig) - 1]  # min doc per sig run
+            members_tbl = pa.table({
+                "doc_id": pa.array(d, pa.int64()),
+                "rep": pa.array(rep, pa.int64()),
+                "nfu": pa.array(n, pa.int64()),
+            })
+            reps_sorted = np.unique(rep)
+        else:
+            members_tbl = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "rep": pa.array([], pa.int64()),
+                "nfu": pa.array([], pa.int64()),
+            })
+            reps_sorted = np.empty(0, dtype=np.int64)
+        rref = ray.put(reps_sorted)
+
+        def pick_rep_frames(b: pa.Table) -> pa.Table:
+            reps = ray.get(rref)
+            dd = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(reps, dd)
+            keep = (pos < len(reps)) & (
+                reps[np.minimum(pos, max(len(reps) - 1, 0))] == dd
+            ) if len(reps) else np.zeros(len(dd), dtype=bool)
+            m = pa.array(keep)
+            return pa.table({
+                "doc_id": b["doc_id"].filter(m),
+                "fh": b["fh"].filter(m),
+                "nfu": b["nfu"].filter(m),
+            })
+
+        rep_frames = hashed.map_batches(pick_rep_frames, batch_format="pyarrow")
+        return rd.from_arrow(members_tbl), rep_frames
+    # -- distributed collapse (corpus too large for the driver merge) -------
 
     def add_sig_super(b: pa.Table) -> pa.Table:
         s = b["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1139,6 +1211,110 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
     )
     if not expand_identical:
         return rep_pairs
+
+    import ray
+    import ray.data as rd
+
+    # -- broadcast expansion fast path ------------------------------------
+    # The non-trivial membership (doc_id != rep) is usually a tiny slice of
+    # the corpus; the tag-union join path below costs THREE extra
+    # groupby(super) shuffles (two expand sides + intra) — ~14 s of pure
+    # exchange machinery at sf0.1 to expand 3.2k member rows. When the
+    # slice fits the broadcast envelope, expand rep pairs in ONE
+    # map_batches against a ray.put cluster index and build the
+    # within-cluster (Jaccard 1) pairs directly — both outputs are
+    # answer-bounded either way, this just removes the shuffles.
+    import pyarrow.compute as pc
+
+    def _nontrivial(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["doc_id"], b["rep"]))
+
+    dup_mat = members.map_batches(_nontrivial, batch_format="pyarrow").materialize()
+    if dup_mat.count() <= BROADCAST_DOCS_LIMIT:
+        blocks = [t for t in ray.get(dup_mat.to_arrow_refs()) if t.num_rows]
+        if not blocks:  # no identical-set clusters: rep pairs ARE the answer
+            return rep_pairs
+        dup = pa.concat_tables(blocks)
+        d_doc = dup["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_rep = dup["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_nfu = dup["nfu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # cluster index: members INCLUDE the rep itself (its own row in
+        # `members` is trivial, so it isn't in `dup` — prepend it here)
+        ureps, inv = np.unique(d_rep, return_inverse=True)
+        nfu_rep = np.zeros(len(ureps), dtype=np.int64)
+        nfu_rep[inv] = d_nfu  # identical sets: any member's nfu works
+        order = np.argsort(inv, kind="stable")
+        counts = np.bincount(inv, minlength=len(ureps))
+        sizes = counts + 1  # + the rep itself
+        offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        mem_flat = np.empty(int(sizes.sum()), dtype=np.int64)
+        mem_flat[offs] = ureps
+        mpos = np.arange(len(d_doc)) - np.concatenate([[0], np.cumsum(counts)])[:-1][inv[order]]
+        mem_flat[offs[inv[order]] + 1 + mpos] = d_doc[order]
+        ref2 = ray.put((ureps, mem_flat, offs, sizes))
+
+        def expand_bc(b: pa.Table) -> pa.Table:
+            reps, flat, off, sz = ray.get(ref2)
+            a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            jn = b["jac_num"].to_numpy(zero_copy_only=False).astype(np.int64)
+            jd = b["jac_den"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(reps, a)
+            ca_hit = (ia < len(reps)) & (reps[np.minimum(ia, len(reps) - 1)] == a)
+            ib = np.searchsorted(reps, bb)
+            cb_hit = (ib < len(reps)) & (reps[np.minimum(ib, len(reps) - 1)] == bb)
+            ca = np.where(ca_hit, sz[np.minimum(ia, len(reps) - 1)], 1)
+            cb = np.where(cb_hit, sz[np.minimum(ib, len(reps) - 1)], 1)
+            cnt = ca * cb
+            if (cnt == 1).all():  # common case: nothing to expand
+                oa, ob = np.minimum(a, bb), np.maximum(a, bb)
+                return pa.table({"id_a": pa.array(oa, pa.int64()),
+                                 "id_b": pa.array(ob, pa.int64()),
+                                 "jac_num": pa.array(jn, pa.int64()),
+                                 "jac_den": pa.array(jd, pa.int64())})
+            T = int(cnt.sum())
+            row = np.repeat(np.arange(len(a)), cnt)
+            base = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            within = np.arange(T) - base[row]
+            wa = within // cb[row]
+            wb = within % cb[row]
+            A = np.where(ca_hit[row], flat[np.minimum(off[np.minimum(ia, len(reps) - 1)][row] + wa, len(flat) - 1)], a[row])
+            B = np.where(cb_hit[row], flat[np.minimum(off[np.minimum(ib, len(reps) - 1)][row] + wb, len(flat) - 1)], bb[row])
+            return pa.table({"id_a": pa.array(np.minimum(A, B), pa.int64()),
+                             "id_b": pa.array(np.maximum(A, B), pa.int64()),
+                             "jac_num": pa.array(jn[row], pa.int64()),
+                             "jac_den": pa.array(jd[row], pa.int64())})
+
+        cross_bc = rep_pairs.map_batches(expand_bc, batch_format="pyarrow")
+
+        total_intra = int((sizes * (sizes - 1) // 2).sum())
+        if total_intra <= 5_000_000:
+            # within-cluster pairs built driver-side (answer-bounded and
+            # counted above; the guard keeps degenerate corpora off the
+            # driver and on the distributed intra shuffle below)
+            a_idx, b_idx = _triangular_pair_indices(
+                np.cumsum(sizes), sizes, np.ones(len(sizes), dtype=bool))
+            ea, eb = mem_flat[a_idx], mem_flat[b_idx]
+            en = np.repeat(nfu_rep, sizes * (sizes - 1) // 2)
+            intra_tbl = pa.table({
+                "id_a": pa.array(np.minimum(ea, eb), pa.int64()),
+                "id_b": pa.array(np.maximum(ea, eb), pa.int64()),
+                "jac_num": pa.array(en, pa.int64()),
+                "jac_den": pa.array(en, pa.int64()),
+            })
+            return cross_bc.union(rd.from_arrow(intra_tbl))
+
+        def add_rep_super_bc(b: pa.Table) -> pa.Table:
+            r = b["rep"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column("super", pa.array(r % SUPER_GROUPS, pa.int64()))
+
+        intra_ds = (
+            members.map_batches(add_rep_super_bc, batch_format="pyarrow")
+            .groupby("super")
+            .map_groups(_intra_cluster_pairs, batch_format="pandas")
+        )
+        return cross_bc.union(intra_ds)
+    # ---------------------------------------------------------------------
 
     def tag_members(b: pa.Table) -> pa.Table:
         n = len(b)

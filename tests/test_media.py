@@ -187,3 +187,46 @@ def test_video_near_dup_degenerate_constant_corpus(ray_session):
     assert len(full) == k * (k - 1) // 2
     assert (full["jac_num"] == 3).all() and (full["jac_den"] == 3).all()
     assert (full["id_a"] < full["id_b"]).all()
+
+
+def test_video_collapse_distributed_fallback_matches_driver_path(
+    ray_session, monkeypatch
+):
+    """The distributed collapse shuffle (corpus above the driver-merge
+    limit) and the join-based expansion (membership above the broadcast
+    limit) must produce the same pairs as the fast paths."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import dedup as dedup_ops
+
+    def blob(vals):
+        return media.encode_video(
+            np.stack([np.full((4, 16), v, dtype=np.uint8) for v in vals])
+        )
+
+    # two identical-set clusters {0,1,2} / {3,4} plus a near-dup bridge:
+    # doc 5 shares 2 of the cluster-A 3-frame set (J = 2/4 >= 1/3)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "video": pa.array(
+                [blob([7, 8, 9])] * 3 + [blob([1, 2])] * 2
+                + [blob([7, 8, 99])],
+                pa.binary(),
+            ),
+        }
+    )
+
+    def run():
+        out = dedup_ops.video_frame_jaccard_pairs(
+            rd.from_arrow(t), t_num=1, t_den=3
+        ).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(dedup_ops, "VIDEO_COLLAPSE_DRIVER_LIMIT", 0)
+    monkeypatch.setattr(dedup_ops, "BROADCAST_DOCS_LIMIT", 0)
+    slow = run()
+    assert fast.equals(slow)
+    # 3 intra-A + 1 intra-B + doc5 x cluster-A = 3 cross pairs
+    assert len(fast) == 3 + 1 + 3
