@@ -693,8 +693,28 @@ def distinct_pairs(pairs_ds):
              "id_b": (pk & ((1 << 31) - 1)).astype(np.int64)}
         )
 
+    import ray
+    import ray.data as rd
+
+    packed = pairs_ds.map_batches(pack, batch_format="pyarrow").materialize()
+    # in-kernel pre-dedup usually collapses the candidate set to a few
+    # hundred rows at bench density — a driver np.unique replaces the
+    # whole groupby(super) exchange (~3.5 s of machinery). Limit-guarded:
+    # big candidate sets keep the distributed distinct.
+    if packed.count() <= SMALL_VERIFY_PAIRS:
+        blocks = [t for t in ray.get(packed.to_arrow_refs()) if t.num_rows]
+        pk = (
+            np.unique(np.concatenate(
+                [t["pk"].to_numpy(zero_copy_only=False) for t in blocks]
+            ).astype(np.int64))
+            if blocks else np.empty(0, dtype=np.int64)
+        )
+        return rd.from_arrow(pa.table(
+            {"id_a": pa.array(pk >> 31, pa.int64()),
+             "id_b": pa.array(pk & ((1 << 31) - 1), pa.int64())}
+        ))
     return (
-        pairs_ds.map_batches(pack, batch_format="pyarrow")
+        packed
         .groupby("super")
         .map_groups(distinct_unpack, batch_format="pandas")
     )
