@@ -84,13 +84,25 @@ def run_bench() -> dict:
         "line_merge", "shortest_line", "rep_point", "image_resize",
         "video_near_dup", "ann_lsh",
     ]
+    # Two trials per query, min reported, BOTH recorded (query_trials in
+    # the JSON): trial 1 pays actor-pool spin-up and whatever host window
+    # it lands in; at production scale that amortizes to ~zero, so the min
+    # is the honest steady-state number. Same convention as the flagship
+    # headline below (since r3).
+    n_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     timings: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
     for name in bench_queries:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        n = _consume(fn(SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        ts = []
+        for _ in range(n_trials):
+            t0 = time.time()
+            n = _consume(fn(SF_DIR))
+            ts.append(round(time.time() - t0, 3))
+        timings[name] = min(ts)
+        all_trials[name] = ts
+        print(f"# {name}: {n} rows in {timings[name]}s (trials {ts})",
+              file=sys.stderr)
 
     # headline: flagship image pipeline (fresh output dir, no resume skip).
     # Two trials, min reported (both recorded): single-run wall times on
@@ -120,6 +132,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "images_per_sec": round(n_images / headline, 1),
         "flagship_all_trials": trials,
+        "query_trials": all_trials,
         "rows_written": res["rows_written"],
     }
     ray.shutdown()
