@@ -702,7 +702,13 @@ def distinct_pairs(pairs_ds):
     # whole groupby(super) exchange (~3.5 s of machinery). Limit-guarded:
     # big candidate sets keep the distributed distinct.
     if packed.count() <= SMALL_VERIFY_PAIRS:
-        blocks = [t for t in ray.get(packed.to_arrow_refs()) if t.num_rows]
+        # schema-less empty PANDAS blocks can ride along when the input
+        # pairs came out of a map_groups (the DEVNOTES empty-block quirk)
+        blocks = [
+            t if isinstance(t, pa.Table)
+            else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(packed.to_arrow_refs()) if len(t)
+        ]
         pk = (
             np.unique(np.concatenate(
                 [t["pk"].to_numpy(zero_copy_only=False) for t in blocks]
