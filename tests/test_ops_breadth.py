@@ -683,3 +683,64 @@ def test_make_directed_network_norway_preset(ray_session):
     # direction codes: 0 = forward, 1 = backward
     assert (1, 0, 2.0) in got and (1, 1, 4.0) in got
     assert (2, 0, 3.0) in got and (3, 1, 7.0) in got
+
+
+def test_to_geo_table_input_domain():
+    """to_geo_table accepts the reference to_gdf's input domain
+    (conversion.py:120-268) and always lands on geometry_wkb."""
+    import pandas as pd
+
+    from ssb_sgis_ray.geo import conversion, wkb
+
+    # scalar WKT / xy pair / WKB bytes
+    t = conversion.to_geo_table("POINT (3 4)", crs=25833)
+    assert t.num_rows == 1 and t.schema.metadata[b"crs"] == b"25833"
+    p = wkb.decode_points(t["geometry_wkb"])
+    assert (p.x[0], p.y[0]) == (3.0, 4.0)
+    t2 = conversion.to_geo_table((7, 8))
+    assert wkb.decode_points(t2["geometry_wkb"]).x[0] == 7.0
+    t3 = conversion.to_geo_table(bytes(t2["geometry_wkb"][0].as_py()))
+    assert wkb.decode_points(t3["geometry_wkb"]).y[0] == 8.0
+
+    # coordinate lists / ndarray / list of WKT
+    t4 = conversion.to_geo_table([(0, 1), (2, 3)])
+    assert t4.num_rows == 2
+    t5 = conversion.to_geo_table(np.array([[0.0, 1.0], [2.0, 3.0]]))
+    assert wkb.decode_points(t5["geometry_wkb"]).y.tolist() == [1.0, 3.0]
+    t6 = conversion.to_geo_table(
+        ["POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POINT (1 1)"]
+    )
+    assert t6.num_rows == 2
+    # generator input
+    t7 = conversion.to_geo_table(iter([(5, 5), (6, 6)]))
+    assert t7.num_rows == 2
+
+    # dict with x/y autodetect; attribute column carried
+    t8 = conversion.to_geo_table({"id": [1, 2], "x": [0, 1], "y": [2, 3]})
+    assert set(t8.column_names) == {"id", "geometry_wkb"}
+    # DataFrame with named geometry column of WKT
+    df = pd.DataFrame({"id": [9], "geom": ["POINT (5 6)"]})
+    t9 = conversion.to_geo_table(df, geometry="geom")
+    assert t9["id"].to_pylist() == [9]
+    assert wkb.decode_points(t9["geometry_wkb"]).x[0] == 5.0
+    # explicit (x_col, y_col) pair
+    t10 = conversion.to_geo_table(
+        {"k": [1], "lon": [10.0], "lat": [20.0]}, geometry=("lon", "lat")
+    )
+    assert wkb.decode_points(t10["geometry_wkb"]).y[0] == 20.0
+    # pa.Table with geometry_wkb passes through
+    assert conversion.to_geo_table(t4).equals(t4)
+
+    import pytest as _pt
+
+    with _pt.raises(TypeError):
+        conversion.to_geo_table({"id": [1]})
+    with _pt.raises(TypeError):
+        conversion.to_geo_table(3.14)
+
+
+def test_to_geo_dataset_roundtrip(ray_session):
+    from ssb_sgis_ray.geo import conversion
+
+    ds = conversion.to_geo_dataset([(0, 0), (1, 1), (2, 2)], crs=25833)
+    assert ds.count() == 3
