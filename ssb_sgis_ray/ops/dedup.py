@@ -514,14 +514,18 @@ def embed_dedup_pairs_bucketed(
                 }
             )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
-        )
-        if len(g) < 2:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if g.num_rows < 2:
             return empty
-        ids = g[id_col].to_numpy().astype(np.int64)
-        m = _normalize(np.stack(g[col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # zero-copy flatten of the fixed-width list<float> column
+        arr = g[col].combine_chunks()
+        m = _normalize(
+            arr.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(len(arr), -1)
+        )
         s = m @ m.T
         ii, jj = np.nonzero(np.triu(s >= threshold, k=1))
         if len(ii) == 0:
@@ -529,13 +533,14 @@ def embed_dedup_pairs_bucketed(
         a = np.minimum(ids[ii], ids[jj])
         b = np.maximum(ids[ii], ids[jj])
         keep = a != b  # the same vector assigned to 2 shared lists
-        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
 
     pairs = (
         emb_ds.map_batches(Assign, batch_format="pyarrow",
                            concurrency=default_pool(), batch_size=4096)
         .groupby("list_id")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
     # distinct via packed single-key groupby (multi-key is ~15x slower)
@@ -994,7 +999,7 @@ def _expand_pair_side(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
+def _frame_super_to_pair_instances(g: pa.Table) -> pa.Table:
     """One super-group of frame rows -> PAIR INSTANCES (one row per
     shared frame): (pk, na, nb).
 
@@ -1004,14 +1009,14 @@ def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
     must be emitted. A frame shared by b videos emits C(b,2) rows —
     bounded here by the frame-content key space; log if a bucket is
     degenerate."""
-    empty = pd.DataFrame({"pk": pd.Series([], dtype="int64"),
-                          "na": pd.Series([], dtype="int64"),
-                          "nb": pd.Series([], dtype="int64")})
-    if len(g) < 2:
+    empty = pa.table({"pk": pa.array([], pa.int64()),
+                      "na": pa.array([], pa.int64()),
+                      "nb": pa.array([], pa.int64())})
+    if g.num_rows < 2:
         return empty
-    h = g["fh"].to_numpy()
-    d = g["doc_id"].to_numpy().astype(np.int64)
-    n = g["nfu"].to_numpy().astype(np.int64)
+    h = g["fh"].to_numpy(zero_copy_only=False)
+    d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = g["nfu"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((d, h))
     h, d, n = h[order], d[order], n[order]
     _, ends, sizes = _bucket_bounds(h)
@@ -1037,27 +1042,29 @@ def _frame_super_to_pair_instances(g: pd.DataFrame) -> pd.DataFrame:
     # keep (na, nb) aligned with the (lo, hi) orientation
     nlo = np.where(a <= b, na, nb)
     nhi = np.where(a <= b, nb, na)
-    return pd.DataFrame({"pk": lo * (1 << 31) + hi, "na": nlo, "nb": nhi})
+    return pa.table({"pk": pa.array(lo * (1 << 31) + hi, pa.int64()),
+                     "na": pa.array(nlo, pa.int64()),
+                     "nb": pa.array(nhi, pa.int64())})
 
 
 def _pair_instances_to_jaccard(t_num: int, t_den: int):
     """Per super-group: count instances per pk (= |A∩B|), filter on the
     EXACT integer Jaccard predicate t_den*c >= t_num*(na+nb-c)."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        pk = g["pk"].to_numpy().astype(np.int64)
-        na = g["na"].to_numpy().astype(np.int64)
-        nb = g["nb"].to_numpy().astype(np.int64)
+    def fn(g: pa.Table) -> pa.Table:
+        pk = g["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = g["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = g["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
         u, first, c = np.unique(pk, return_index=True, return_counts=True)
         na_u, nb_u = na[first], nb[first]
         den = na_u + nb_u - c
         keep = t_den * c >= t_num * den
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": (u[keep] >> 31).astype(np.int64),
-                "id_b": (u[keep] & ((1 << 31) - 1)).astype(np.int64),
-                "jac_num": c[keep].astype(np.int64),
-                "jac_den": den[keep].astype(np.int64),
+                "id_a": pa.array((u[keep] >> 31).astype(np.int64), pa.int64()),
+                "id_b": pa.array((u[keep] & ((1 << 31) - 1)).astype(np.int64), pa.int64()),
+                "jac_num": pa.array(c[keep].astype(np.int64), pa.int64()),
+                "jac_den": pa.array(den[keep].astype(np.int64), pa.int64()),
             }
         )
 
@@ -1222,7 +1229,7 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
     inst = (
         rep_frames.map_batches(add_super, batch_format="pyarrow")
         .groupby("super")
-        .map_groups(_frame_super_to_pair_instances, batch_format="pandas")
+        .map_groups(_frame_super_to_pair_instances, batch_format="pyarrow")
     )
 
     def add_super2(b: pa.Table) -> pa.Table:
@@ -1233,7 +1240,7 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
         inst.map_batches(add_super2, batch_format="pyarrow")
         .groupby("super")
         .map_groups(_pair_instances_to_jaccard(t_num, t_den),
-                    batch_format="pandas")
+                    batch_format="pyarrow")
     )
     if not expand_identical:
         return rep_pairs
