@@ -84,25 +84,26 @@ def run_bench() -> dict:
         "line_merge", "shortest_line", "rep_point", "image_resize",
         "video_near_dup", "ann_lsh",
     ]
-    # Two trials per query, min reported, BOTH recorded (query_trials in
-    # the JSON): trial 1 pays actor-pool spin-up and whatever host window
-    # it lands in; at production scale that amortizes to ~zero, so the min
-    # is the honest steady-state number. Same convention as the flagship
+    # Two INTERLEAVED trials per query (all queries once, then all again),
+    # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
+    # actor-pool spin-up; at production scale that amortizes to ~zero, so
+    # the min is the honest steady-state number. Interleaving matters on
+    # this host: throughput windows drift 2-4x over minutes, and
+    # back-to-back trials share a window — two passes ~minutes apart
+    # sample two windows per query. Same convention as the flagship
     # headline below (since r3).
     n_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
-    timings: dict[str, float] = {}
-    all_trials: dict[str, list[float]] = {}
-    for name in bench_queries:
-        fn, _ = REGISTRY[name]
-        ts = []
-        for _ in range(n_trials):
+    all_trials: dict[str, list[float]] = {q: [] for q in bench_queries}
+    for trial in range(n_trials):
+        for name in bench_queries:
+            fn, _ = REGISTRY[name]
             t0 = time.time()
             n = _consume(fn(SF_DIR))
-            ts.append(round(time.time() - t0, 3))
-        timings[name] = min(ts)
-        all_trials[name] = ts
-        print(f"# {name}: {n} rows in {timings[name]}s (trials {ts})",
-              file=sys.stderr)
+            all_trials[name].append(round(time.time() - t0, 3))
+            if trial == n_trials - 1:
+                print(f"# {name}: {n} rows in {min(all_trials[name])}s "
+                      f"(trials {all_trials[name]})", file=sys.stderr)
+    timings = {q: min(ts) for q, ts in all_trials.items()}
 
     # headline: flagship image pipeline (fresh output dir, no resume skip).
     # Two trials, min reported (both recorded): single-run wall times on
