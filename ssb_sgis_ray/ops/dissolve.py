@@ -153,33 +153,19 @@ def cluster_labels_ds(
     connected components → left join back (isolated rows label = own id).
     Returns the input Dataset with a ``cluster_label`` int64 column.
     """
-    num_partitions = default_join_partitions(num_partitions)
+    from .lookup import lookup_join
+
     polys_ds = polys_ds.materialize()  # consumed twice: pairs + join-back
     pairs = self_intersect_pairs_ds(polys_ds, id_col, res=res)
     labels = connected_components(pairs, limit=limit, num_partitions=num_partitions)
-    if labels.count() == 0:  # no overlaps at all: every row its own cluster
-        # (Ray's hash join chokes on an entirely empty side)
-        def own_label(b: pa.Table) -> pa.Table:
-            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            return b.append_column("cluster_label", pa.array(ids, pa.int64()))
-
-        return polys_ds.map_batches(own_label, batch_format="pyarrow")
-    joined = polys_ds.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=(id_col,),
-        right_on=("node",),
+    # join-back: broadcast searchsorted lookup while the label table is
+    # bounded (it IS driver-resident whenever the union-find path ran),
+    # distributed hash join beyond — isolated rows label = own id
+    return lookup_join(
+        polys_ds, labels, id_col,
+        small_key="node", value_col="label", out_col="cluster_label",
+        default_from=id_col, num_partitions=num_partitions,
     )
-
-    def finish(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lab = np.where(np.isnan(lab), ids, lab).astype(np.int64)
-        out = b.drop_columns([c for c in ("label", "node") if c in b.column_names])
-        return out.append_column("cluster_label", pa.array(lab, pa.int64()))
-
-    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def union_find_labels(ids: np.ndarray, pairs: pd.DataFrame) -> np.ndarray:

@@ -91,7 +91,8 @@ def line_components(lines_ds, id_col: str, tolerance: float,
     component labels come from dissolve.connected_components (driver
     union-find only while the pair table is provably bounded, join-based
     label propagation beyond), and lines pick up their component by a
-    hash join on node_a — no driver-side edge materialization (VERDICT
+    label lookup on node_a (broadcast searchsorted while bounded, hash
+    join beyond) — no unbounded driver-side edge materialization (VERDICT
     r1 'what's wrong' #3). Returns a Dataset (id_col, component_label).
     """
     from .dissolve import connected_components, default_join_partitions
@@ -105,18 +106,21 @@ def line_components(lines_ds, id_col: str, tolerance: float,
         batch_format="pyarrow",
     )
     labels = connected_components(pairs, num_partitions=num_partitions)
-    joined = edges.join(
-        labels,
-        join_type="inner",
+    # every node_a appears in the pair table, so the lookup never misses;
+    # broadcast searchsorted while the label table is bounded, hash join
+    # beyond (ops/lookup.py)
+    from .lookup import lookup_join
+
+    joined = lookup_join(
+        edges, labels, "node_a",
+        small_key="node", value_col="label", out_col="component_label",
         num_partitions=num_partitions,
-        on=("node_a",),
-        right_on=("node",),
     )
     return joined.map_batches(
         lambda b: pa.table(
             {
                 id_col: b[id_col].cast(pa.int64()),
-                "component_label": b["label"].cast(pa.int64()),
+                "component_label": b["component_label"].cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
@@ -495,17 +499,16 @@ def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
     Plan: node-keyed seg table materialized ONCE (both downstream legs read
     it) -> endpoint rows on a coarse (node % num_groups) shuffle with exact
     in-kernel per-node regroup (only degree-2 nodes emit a segment-pair
-    edge) -> connected_components over segment ids -> LEFT-OUTER hash join
-    back to the seg table, label coalesced to seg_id so unlinked segments
-    survive without self-pair inflation -> coarse-grouped per-chain
+    edge) -> connected_components over segment ids -> label lookup back
+    onto the seg table (broadcast searchsorted while bounded, hash join
+    beyond; ops/lookup.py), label defaulting to seg_id so unlinked
+    segments survive without self-pair inflation -> coarse-grouped per-chain
     ordering walk. Join partitions are sized to the data (~50k rows per
     aggregator), not the CPU count. label = min seg_id of the merged line.
     Returns (merge_label, start_x, start_y, end_x, end_y, n_points),
     endpoints direction-normalized (lex-smaller end first; closed rings
     report start == end).
     """
-    import pyarrow.compute as pc
-
     from .dissolve import connected_components, default_join_partitions
 
     def seg_table(batch: pa.Table) -> pa.Table:
@@ -538,30 +541,18 @@ def line_merge(segments_ds, id_col: str, tolerance: float = 1e-6,
     if num_partitions is None:
         num_partitions = default_join_partitions(max(2, n_rows // 50_000))
 
-    if labels.count() == 0:
-        # nothing links (or empty input): every segment is its own line —
-        # skip the join (Ray's hash join crashes on an all-empty side)
-        joined = segs.map_batches(
-            lambda b: b.append_column("label", b["seg_id"]),
-            batch_format="pyarrow",
-        )
-    else:
-        joined = segs.join(
-            labels,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=("seg_id",),
-            right_on=("node",),
-        )
+    # unlabeled segments are their own chain (label = own seg_id); broadcast
+    # lookup while the label table is bounded, hash join beyond
+    from .lookup import lookup_join
+
+    joined = lookup_join(
+        segs, labels, "seg_id",
+        small_key="node", value_col="label", out_col="label",
+        default_from="seg_id", num_partitions=num_partitions,
+    )
 
     def add_cg(b: pa.Table) -> pa.Table:
-        lab = pc.coalesce(
-            b["label"].combine_chunks() if isinstance(b["label"], pa.ChunkedArray) else b["label"],
-            b["seg_id"].combine_chunks() if isinstance(b["seg_id"], pa.ChunkedArray) else b["seg_id"],
-        )
-        lab_np = lab.to_numpy(zero_copy_only=False)
-        b = b.drop_columns([c for c in ("label", "node") if c in b.column_names])
-        b = b.append_column("label", lab.cast(pa.int64()))
+        lab_np = b["label"].to_numpy(zero_copy_only=False)
         return b.append_column(
             "cg", pa.array((lab_np % num_groups + num_groups) % num_groups, pa.int64())
         )
@@ -591,10 +582,13 @@ def component_sizes(lines_ds, id_col: str, tolerance: float,
     ).materialize()  # consumed twice: count per label + join back
     sizes = labeled.groupby("component_label").aggregate(
         Count(alias_name="component_size")
-    ).repartition(num_partitions)
-    return labeled.join(
-        sizes, join_type="inner", num_partitions=num_partitions,
-        on=("component_label",),
+    )
+    from .lookup import lookup_join
+
+    return lookup_join(
+        labeled, sizes, "component_label",
+        small_key="component_label", value_col="component_size",
+        out_col="component_size", num_partitions=num_partitions,
     ).select_columns([id_col, "component_size"])
 
 

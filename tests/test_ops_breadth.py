@@ -744,3 +744,51 @@ def test_to_geo_dataset_roundtrip(ray_session):
 
     ds = conversion.to_geo_dataset([(0, 0), (1, 1), (2, 2)], crs=25833)
     assert ds.count() == 3
+
+
+def test_lookup_join_broadcast_matches_hash_join(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.lookup import lookup_join
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    )
+    small = rd.from_arrow(
+        pa.table({"node": pa.array([2, 4], pa.int64()),
+                  "label": pa.array([200, 400], pa.int64())})
+    )
+
+    def rows(res):
+        return sorted(map(tuple, res.to_pandas().to_numpy().tolist()))
+
+    # left-outer semantics (default_from): broadcast vs hash-join fallback
+    bc = lookup_join(ds, small, "k", small_key="node", value_col="label",
+                     out_col="lab", default_from="k")
+    hj = lookup_join(ds, small, "k", small_key="node", value_col="label",
+                     out_col="lab", default_from="k", limit=0)
+    expect = [(1, 10, 1), (2, 20, 200), (3, 30, 3), (4, 40, 400), (5, 50, 5)]
+    assert rows(bc) == expect
+    assert rows(hj) == expect
+
+    # inner semantics: misses drop
+    bc_i = lookup_join(ds, small, "k", small_key="node", value_col="label",
+                       out_col="lab")
+    hj_i = lookup_join(ds, small, "k", small_key="node", value_col="label",
+                       out_col="lab", limit=0)
+    expect_i = [(2, 20, 200), (4, 40, 400)]
+    assert rows(bc_i) == expect_i
+    assert rows(hj_i) == expect_i
+
+    # empty small side: default_from -> self labels; inner -> empty
+    empty = rd.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()),
+                  "label": pa.array([], pa.int64())})
+    )
+    own = lookup_join(ds, empty, "k", small_key="node", value_col="label",
+                      out_col="lab", default_from="k")
+    assert rows(own) == [(1, 10, 1), (2, 20, 2), (3, 30, 3), (4, 40, 4), (5, 50, 5)]
+    none = lookup_join(ds, empty, "k", small_key="node", value_col="label",
+                       out_col="lab")
+    assert none.count() == 0
