@@ -418,9 +418,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8, k: int = 5,
         .groupby("doc_id")
         .aggregate(Count(alias_name="__n"))
     )
-    docs_small = docs_ds.join(
-        cand_ids, join_type="inner", num_partitions=num_partitions,
-        on=("doc_id",),
+    # semi-join: stream the full corpus through a broadcast membership
+    # filter while the candidate-id set is bounded (it usually is — LSH
+    # candidates, not the corpus) instead of hash-shuffling every doc;
+    # distributed join fallback beyond (ops/lookup.py)
+    from .lookup import membership_filter
+
+    docs_small = membership_filter(
+        docs_ds, cand_ids, "doc_id", num_partitions=num_partitions,
     ).materialize()  # O(candidate docs); consumed twice below
 
     def _take(b: pa.Table, cols: dict) -> pa.Table:

@@ -126,3 +126,77 @@ def lookup_join(
         return b.append_column(out_col, pa.array(out, pa.int64()))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def membership_filter(
+    ds,
+    keys_ds,
+    key_col: str,
+    *,
+    small_key: str | None = None,
+    anti: bool = False,
+    limit: int = BROADCAST_LOOKUP_LIMIT,
+    num_partitions: int | None = None,
+):
+    """Semi (or anti) join: keep rows of ``ds`` whose ``key_col`` is (is
+    not) present in ``keys_ds[small_key]``. ``keys_ds`` must carry UNIQUE
+    keys (it typically comes out of a groupby) — the hash-join fallback
+    would duplicate rows otherwise.
+
+    Broadcasts the key set while bounded (int64 keys: 2M = 16 MB), so the
+    big side streams through one vectorized filter instead of feeding a
+    full hash-join exchange; falls back to the distributed join beyond.
+    """
+    from .dissolve import default_join_partitions
+
+    small_key = small_key or key_col
+    keys_ds = keys_ds.materialize()
+    n = keys_ds.count()
+
+    if n == 0:
+        if anti:
+            return ds
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+
+    if n <= limit:
+        import ray
+
+        keys = np.sort(
+            keys_ds.to_pandas()[small_key].to_numpy().astype(np.int64)
+        )
+        ref = ray.put(keys)
+
+        def bmap(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            skeys = _ray.get(ref)
+            ids = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.minimum(np.searchsorted(skeys, ids), len(skeys) - 1)
+            found = skeys[pos] == ids
+            return b.filter(pa.array(~found if anti else found))
+
+        return ds.map_batches(bmap, batch_format="pyarrow")
+
+    num_partitions = default_join_partitions(num_partitions)
+    keyed = keys_ds.map_batches(
+        lambda b: pa.table({small_key: b[small_key].cast(pa.int64()),
+                            "__member": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = ds.join(
+        keyed,
+        join_type="left_outer" if anti else "inner",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=(small_key,),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if anti:
+            m = b["__member"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(np.isnan(m.astype(np.float64))))
+        drop = [c for c in ("__member", small_key)
+                if c in b.column_names and c != key_col]
+        return b.drop_columns(drop)
+
+    return joined.map_batches(finish, batch_format="pyarrow")

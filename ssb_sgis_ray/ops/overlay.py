@@ -634,11 +634,8 @@ def overlay_union_legs(
     ).map_batches(norm("left", lmap), batch_format="pandas")
     legs.append(ldiff)
     if how in ("union", "symmetric_difference"):
-        import pyarrow.compute as pc
         import ray.data as rd
         from ray.data.aggregate import Count
-
-        from .dissolve import default_join_partitions
 
         pairs = left.map_batches(
             RightPairsEmitter,
@@ -667,15 +664,15 @@ def overlay_union_legs(
                 .groupby("right_row")
                 .aggregate(Count(alias_name="__m"))
             )
-            um = right_rows.join(
-                matched_ids,
-                join_type="left_outer",
-                num_partitions=default_join_partitions(None),
-                on=("right_row",),
+            # anti-join: matched right_row ids are bounded by the (already
+            # broadcast-bounded) right table, so a broadcast membership
+            # filter replaces the hash-join exchange (ops/lookup.py)
+            from .lookup import membership_filter
+
+            um = membership_filter(
+                right_rows, matched_ids, "right_row", anti=True,
             ).map_batches(
-                lambda b: b.filter(pc.is_null(b["__m"])).drop_columns(
-                    ["__m", "right_row"]
-                ),
+                lambda b: b.drop_columns(["right_row"]),
                 batch_format="pyarrow",
             )
             legs.append(um.map_batches(norm("right", rmap), batch_format="pandas"))

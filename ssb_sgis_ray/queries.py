@@ -3405,29 +3405,19 @@ def q_buffdissexp_clusters(sf_dir: str):
         customers(sf_dir), nb, distance=3000.0, id_col="c_custkey"
     ).map_batches(to_pairs, batch_format="pyarrow")
     labels = dis.connected_components(pairs)
-    if labels.count() == 0:  # hash join chokes on an entirely empty side
-        return customers(sf_dir).map_batches(
-            lambda b: pa.table(
-                {"c_custkey": b["c_custkey"].cast(pa.int64()),
-                 "cluster_label": b["c_custkey"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    joined = customers(sf_dir).join(
-        labels, join_type="left_outer", num_partitions=16,
-        on=("c_custkey",), right_on=("node",),
+    from ssb_sgis_ray.ops.lookup import lookup_join
+
+    return lookup_join(
+        customers(sf_dir), labels, "c_custkey",
+        small_key="node", value_col="label", out_col="cluster_label",
+        default_from="c_custkey",
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"].cast(pa.int64()),
+             "cluster_label": b["cluster_label"]}
+        ),
+        batch_format="pyarrow",
     )
-
-    def finish(b: pa.Table) -> pa.Table:
-        ids_ = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lab = np.where(np.isnan(lab), ids_, lab).astype(np.int64)
-        return pa.table(
-            {"c_custkey": pa.array(ids_, pa.int64()),
-             "cluster_label": pa.array(lab, pa.int64())}
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_BUFFDISSEXP_CLUSTERS = f"""
