@@ -420,34 +420,39 @@ class WithinDistanceJoin:
 
     def __init__(self, right_ref, distance: float, id_col: str,
                  x_col="px", y_col="py"):
+        from ..geo.strtree import STRtree
+
         r = ray.get(right_ref)
         self.rx = r["x"].astype(np.float64)
         self.ry = r["y"].astype(np.float64)
         self.rid = r["id"].astype(np.int64)
-        self.d2 = float(distance) * float(distance)
+        self.d = float(distance)
+        self.d2 = self.d * self.d
         self.id_col = id_col
         self.x_col = x_col
         self.y_col = y_col
+        # index once per actor: a dense n_left x n_right distance matrix is
+        # O(n^2) memory traffic (and quadratic at scale); candidate pairs
+        # from an R-tree over the broadcast points are ~output-sized
+        self.tree = STRtree(
+            np.column_stack([self.rx, self.ry, self.rx, self.ry])
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_l, out_r, out_d = [], [], []
-        for s in range(0, len(px), 4096):
-            d2 = (px[s:s+4096, None] - self.rx[None, :]) ** 2 + (
-                py[s:s+4096, None] - self.ry[None, :]
-            ) ** 2
-            li, ri = np.nonzero(d2 <= self.d2)
-            out_l.append(ids[s:s+4096][li])
-            out_r.append(self.rid[ri])
-            out_d.append(d2[li, ri])
-        cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
+        qboxes = np.column_stack(
+            [px - self.d, py - self.d, px + self.d, py + self.d]
+        )
+        li, ri = self.tree.query_bbox(qboxes)
+        d2 = (px[li] - self.rx[ri]) ** 2 + (py[li] - self.ry[ri]) ** 2
+        m = d2 <= self.d2
         return pa.table(
             {
-                self.id_col: pa.array(cat(out_l, np.int64), pa.int64()),
-                "neighbor_id": pa.array(cat(out_r, np.int64), pa.int64()),
-                "dist2": pa.array(cat(out_d, np.int64), pa.int64()),
+                self.id_col: pa.array(ids[li[m]], pa.int64()),
+                "neighbor_id": pa.array(self.rid[ri[m]], pa.int64()),
+                "dist2": pa.array(d2[m].astype(np.int64), pa.int64()),
             }
         )
 
