@@ -315,27 +315,38 @@ class KnnRankTies:
         px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k_eff = min(self.k, len(self.nx))
         out_id, out_nid, out_d2, out_rank = [], [], [], []
-        for s in range(0, len(px), 2048):
-            d2 = (px[s:s+2048, None] - self.nx[None, :]) ** 2 + (
-                py[s:s+2048, None] - self.ny[None, :]
+        # 512-row slabs keep the dense temporaries small (the full-matrix
+        # slab + argsort version thrashed mmap page faults and looped rows
+        # in Python); an element with min-rank <= k is exactly one whose
+        # d2 <= the row's k-th smallest value, so O(n) partition replaces
+        # the O(n log n) row sort and ranks come from run-starts over the
+        # kept candidates alone (everything strictly smaller is kept too).
+        for s in range(0, len(px), 512):
+            d2 = (px[s:s+512, None] - self.nx[None, :]) ** 2 + (
+                py[s:s+512, None] - self.ny[None, :]
             ) ** 2
-            # min-rank = 1 + count of strictly smaller distances
-            order = np.argsort(d2, axis=1, kind="stable")
-            sorted_d2 = np.take_along_axis(d2, order, axis=1)
-            # rank of sorted position j = 1 + index of first equal value
-            first_eq = np.zeros_like(sorted_d2, dtype=np.int64)
-            for j in range(1, sorted_d2.shape[1]):
-                same = sorted_d2[:, j] == sorted_d2[:, j - 1]
-                first_eq[:, j] = np.where(same, first_eq[:, j - 1], j)
-            ranks = first_eq + 1
-            keep = ranks <= self.k
-            for r in range(len(d2)):
-                cols = order[r][keep[r]]
-                out_id.append(np.full(len(cols), ids[s + r]))
-                out_nid.append(self.nid[cols])
-                out_d2.append(d2[r][cols])
-                out_rank.append(ranks[r][keep[r]])
+            vk = np.partition(d2, k_eff - 1, axis=1)[:, k_eff - 1]
+            ri, ci = np.nonzero(d2 <= vk[:, None])
+            vals = d2[ri, ci]
+            ord_ = np.lexsort((self.nid[ci], vals, ri))
+            ri_s, vals_s, ci_s = ri[ord_], vals[ord_], ci[ord_]
+            if not len(ri_s):
+                continue
+            idx = np.arange(len(ri_s))
+            new_row = np.empty(len(ri_s), dtype=bool)
+            new_row[0] = True
+            new_row[1:] = ri_s[1:] != ri_s[:-1]
+            new_val = np.empty(len(ri_s), dtype=bool)
+            new_val[0] = True
+            new_val[1:] = (vals_s[1:] != vals_s[:-1]) | new_row[1:]
+            run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+            row_start = np.maximum.accumulate(np.where(new_row, idx, 0))
+            out_id.append(ids[s + ri_s])
+            out_nid.append(self.nid[ci_s])
+            out_d2.append(vals_s)
+            out_rank.append(run_start - row_start + 1)
         cat = lambda xs, dt: (np.concatenate(xs) if xs else np.empty(0)).astype(dt)
         return pa.table(
             {
