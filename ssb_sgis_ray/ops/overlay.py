@@ -1590,57 +1590,163 @@ def overlay_union_leg_areas_cell(
     with BOTH sides streaming as Datasets — the cell co-partitioned
     counterpart of ``overlay_union_leg_areas`` (no broadcast anywhere).
 
-    ONE cell co-group exchange produces the matched-pair table; the
-    intersection leg reruns the tiered pair math per pair batch, and the
-    left/right remainder legs run ``overlay_difference_cell`` in both
-    directions off the same pairs (the mirrored direction is a column
-    rename, not a second shuffle). Disjoint cell tiling makes per-cell
-    piece areas additive, so the composition is exact. Emits one partial
-    row per batch; finish with ``relational.sum_by_small_key``.
+    ONE cell co-group exchange computes ALL legs: cells tile the plane
+    disjointly, so area(row − union(partners)) = sum over covered cells
+    of area((row ∩ cell) − union(partners in that cell)) — the subject is
+    clipped to the cell rect; partners need no clipping because
+    subtracting geometry outside the subject is a no-op. The intersection
+    leg anchor-cell-dedups pairs inside the same kernel. Every earlier
+    plan re-shuffled the matched-pair table (28M rows at sf0.1) at least
+    once more; ANY 28M-row exchange costs 57-78 s on this host even for
+    a narrow int64 groupby, so the one tagged-cover exchange (~rows x
+    cells-covered, geometry carried once per covered cell) is the whole
+    shuffle budget. Emits <= 3 partial rows per cell; finish with
+    ``relational.sum_by_small_key``.
     """
     if how not in ("union", "symmetric_difference"):
         raise ValueError(how)
-    pairs = cell_pair_table(left_ds, right_ds, left_id, right_id, res)
+    lt = left_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+    )
+    return (
+        lt.union(rt)
+        .groupby("cell")
+        .map_groups(_cell_union_areas_kernel(how, res), batch_format="pandas")
+    )
 
-    def inter_leg(b: pd.DataFrame) -> pa.Table:
-        total = 0
-        if len(b):
-            lpg = wkb.decode_polygons(b["left_geom"].to_numpy())
-            R = RightGeoms(pa.table(
-                {"geometry_wkb": pa.array(list(b["right_geom"]), pa.binary())}
+
+def _clip_rows_to_rect_wkb(pg: wkb.PolygonArray, rect: np.ndarray,
+                           rlin: np.ndarray, rects: np.ndarray,
+                           offs: np.ndarray) -> list[bytes | None]:
+    """Clip every row of ``pg`` to an axis rect -> WKB per row (None when
+    the clipped result is empty). Rectilinear rows clip by interval math
+    on their rect decomposition; general rings by convex (Sutherland-
+    Hodgman) clipping, shell/hole structure preserved (intersection with
+    a convex region keeps holes inside their shells)."""
+    rect_ring = np.array(
+        [[rect[0], rect[1]], [rect[2], rect[1]], [rect[2], rect[3]],
+         [rect[0], rect[3]], [rect[0], rect[1]]], dtype=np.float64
+    )
+    out: list[bytes | None] = []
+    for i in range(len(pg)):
+        if rlin[i]:
+            rs = rects[offs[i]:offs[i + 1]]
+            x0 = np.maximum(rs[:, 0], rect[0])
+            y0 = np.maximum(rs[:, 1], rect[1])
+            x1 = np.minimum(rs[:, 2], rect[2])
+            y1 = np.minimum(rs[:, 3], rect[3])
+            m = (x1 > x0) & (y1 > y0)
+            if not m.any():
+                out.append(None)
+                continue
+            out.append(_pieces_to_wkb(
+                list(kernels.rects_to_rings(
+                    np.stack([x0[m], y0[m], x1[m], y1[m]], axis=1)
+                ))
             ))
-            idx = np.arange(len(lpg))
-            _, _, areas, _ = intersection_pieces(
-                lpg, kernels.polygon_bounds(lpg),
-                kernels.decompose_rectilinear(lpg),
-                kernels.detect_axis_rects(lpg), R, idx, idx, True,
+            continue
+        polys = []
+        for q in range(pg.geom_offsets[i], pg.geom_offsets[i + 1]):
+            r0, r1 = pg.poly_offsets[q], pg.poly_offsets[q + 1]
+            shell = kernels.clip_ring_convex(
+                pg.coords[pg.ring_offsets[r0]:pg.ring_offsets[r0 + 1]],
+                rect_ring,
             )
-            total = int(np.round(np.asarray(areas)).sum())
+            if len(shell) < 4 or abs(kernels.ring_area(shell)) == 0:
+                continue
+            rings = [shell]
+            for r in range(r0 + 1, r1):
+                h = kernels.clip_ring_convex(
+                    pg.coords[pg.ring_offsets[r]:pg.ring_offsets[r + 1]],
+                    rect_ring,
+                )
+                if len(h) >= 4 and abs(kernels.ring_area(h)) > 0:
+                    rings.append(h)
+            polys.append(rings)
+        out.append(_polys_to_wkb(polys) if polys else None)
+    return out
+
+
+def _cell_union_areas_kernel(how: str, res: int):
+    """Per-cell kernel for the union/symmetric_difference AREA legs: up to
+    three (leg, area_i) partial rows per cell, no downstream exchange."""
+    from ..geo import cells
+
+    def empty():
         return pa.table(
-            {"leg": pa.array(["inter"]), "area_i": pa.array([total], pa.int64())}
+            {"leg": pa.array([], pa.string()), "area_i": pa.array([], pa.int64())}
         )
 
-    def rem_leg(name: str):
-        def fn(b: pd.DataFrame) -> pa.Table:
-            if len(b):
-                pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
-                total = int(np.round(kernels.polygon_areas(pg)).sum())
-            else:
-                total = 0
-            return pa.table(
-                {"leg": pa.array([name]), "area_i": pa.array([total], pa.int64())}
-            )
+    def rem_partial(spg, sb, s_rlin, s_rects, s_offs, rect, other_R):
+        """sum of area((row ∩ rect) − union(candidate partners))."""
+        cw = _clip_rows_to_rect_wkb(spg, rect, s_rlin, s_rects, s_offs)
+        keep = np.array([w is not None for w in cw], dtype=bool)
+        if not keep.any():
+            return 0
+        spg_c = wkb.decode_polygons(
+            np.asarray([w for w in cw if w is not None], dtype=object)
+        )
+        if other_R is None:
+            return int(np.round(kernels.polygon_areas(spg_c)).sum())
+        decomp = kernels.decompose_rectilinear(spg_c)
+        qi, pi = find_candidate_pairs(
+            spg_c, kernels.detect_axis_rects(spg_c), other_R, decomp[2]
+        )
+        d = difference_areas(spg_c, other_R, qi, pi, decomp)
+        return int(np.round(d).sum())
 
-        return fn
+    def per_cell(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty()
+        cell_id = np.asarray([int(g["cell"].iloc[0])], dtype=np.int64)
+        rect = cells.cell_bounds(cell_id)[0]
+        l = g[g["side"] == 0]
+        r = g[g["side"] == 1]
+        legs: list[str] = []
+        areas: list[int] = []
+        lpg = (wkb.decode_polygons(l["geometry_wkb"].to_numpy())
+               if len(l) else None)
+        rpg = (wkb.decode_polygons(r["geometry_wkb"].to_numpy())
+               if len(r) else None)
+        L = (RightGeoms(pa.table({"geometry_wkb": pa.array(
+            list(l["geometry_wkb"]), pa.binary())})) if len(l) else None)
+        R = (RightGeoms(pa.table({"geometry_wkb": pa.array(
+            list(r["geometry_wkb"]), pa.binary())})) if len(r) else None)
+        if how == "union" and lpg is not None and rpg is not None:
+            l_is_rect = kernels.detect_axis_rects(lpg)
+            l_decomp = kernels.decompose_rectilinear(lpg)
+            qi, pi = find_candidate_pairs(lpg, l_is_rect, R, l_decomp[2])
+            if len(qi):
+                # anchor-cell dedup: pairwise piece areas are emitted by
+                # exactly one cell (the one containing the min-corner of
+                # the bbox intersection)
+                ax = np.maximum(l["minx"].to_numpy()[qi], r["minx"].to_numpy()[pi])
+                ay = np.maximum(l["miny"].to_numpy()[qi], r["miny"].to_numpy()[pi])
+                m = cells.xy_to_cell(ax, ay, res) == int(cell_id[0])
+                qi, pi = qi[m], pi[m]
+            if len(qi):
+                lb = kernels.polygon_bounds(lpg)
+                _, _, pareas, _ = intersection_pieces(
+                    lpg, lb, l_decomp, l_is_rect, R, qi, pi, True
+                )
+                legs.append("inter")
+                areas.append(int(np.round(np.asarray(pareas)).sum()))
+        if lpg is not None:
+            s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(lpg)
+            legs.append("left")
+            areas.append(rem_partial(lpg, None, s_rlin, s_rects, s_offs, rect, R))
+        if rpg is not None:
+            s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(rpg)
+            legs.append("right")
+            areas.append(rem_partial(rpg, None, s_rlin, s_rects, s_offs, rect, L))
+        if not legs:
+            return empty()
+        return pa.table(
+            {"leg": pa.array(legs, pa.string()),
+             "area_i": pa.array(areas, pa.int64())}
+        )
 
-    left_rem = overlay_difference_cell(
-        left_ds, right_ds, left_id, right_id, res=res, pairs=pairs,
-    ).map_batches(rem_leg("left"), batch_format="pandas")
-    right_rem = overlay_difference_cell(
-        right_ds, left_ds, right_id, left_id, res=res,
-        pairs=swap_pair_table(pairs),
-    ).map_batches(rem_leg("right"), batch_format="pandas")
-    legs = left_rem.union(right_rem)
-    if how == "union":
-        legs = pairs.map_batches(inter_leg, batch_format="pandas").union(legs)
-    return legs
+    return per_cell
