@@ -350,7 +350,12 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
     )
     import ray.data as rd
 
-    dead = rd.from_pandas(nodes_pd[nodes_pd["degree"] == 1].reset_index(drop=True))
+    dead_pd = nodes_pd[nodes_pd["degree"] == 1].reset_index(drop=True)
+    # from_pandas yields ONE block — without a split the whole deadend set
+    # runs through a single actor serially (66 s for 100k deadends at
+    # sf0.1); repartition is a block split, not a shuffle
+    n_blocks = int(np.clip(len(dead_pd) // 2048, 1, 64))
+    dead = rd.from_pandas(dead_pd).repartition(n_blocks)
     return dead.map_batches(
         _CloseHolesActor,
         fn_constructor_kwargs={"nodes_ref": nodes_ref,
