@@ -442,6 +442,21 @@ class WithinDistanceJoin:
         px = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not np.isfinite(self.d):
+            # d=inf (get_all_distances): the output IS the cross product —
+            # emit it flat; a tree descent with infinite query boxes only
+            # burns frontier memory to return every pair anyway
+            n = len(self.rx)
+            li = np.repeat(np.arange(len(px), dtype=np.int64), n)
+            ri = np.tile(np.arange(n, dtype=np.int64), len(px))
+            d2 = (px[li] - self.rx[ri]) ** 2 + (py[li] - self.ry[ri]) ** 2
+            return pa.table(
+                {
+                    self.id_col: pa.array(ids[li], pa.int64()),
+                    "neighbor_id": pa.array(self.rid[ri], pa.int64()),
+                    "dist2": pa.array(d2.astype(np.int64), pa.int64()),
+                }
+            )
         qboxes = np.column_stack(
             [px - self.d, py - self.d, px + self.d, py + self.d]
         )

@@ -296,6 +296,17 @@ def subtract_union_wkb(spg: wkb.PolygonArray, srow: int,
     crows = [int(r) for r in crows]
     if not crows:
         return _row_passthrough_wkb(spg, srow)
+    # covers short-circuit: a single-rect clip whose bounds cover the
+    # subject bbox erases the row (geometry ⊆ bbox) — skip all tiers
+    sb = kernels.polygon_bounds(spg)[srow]
+    cb = kernels.polygon_bounds(cpg)[crows]
+    c_is_rect = kernels.detect_axis_rects(cpg)[crows]
+    if bool(np.any(
+        c_is_rect
+        & (cb[:, 0] <= sb[0]) & (cb[:, 1] <= sb[1])
+        & (cb[:, 2] >= sb[2]) & (cb[:, 3] >= sb[3])
+    )):
+        return None
     s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(spg)
     c_rects, c_offs, c_rlin = kernels.decompose_rectilinear(cpg)
     if s_rlin[srow] and c_rlin[crows].all():
@@ -419,11 +430,29 @@ class OverlayActor:
             l_decomp = kernels.decompose_rectilinear(lpg)
         l_rects, l_offs, l_rlin = l_decomp
         out_li, out_geom = [], []
+        # vectorized covers pre-pass (same as difference_areas): a plain
+        # axis-rect right whose bounds cover the left row's bbox erases
+        # the row — no per-clip subtraction loop for fully-covered rows
+        dead: set[int] = set()
+        if len(qi):
+            covers = (
+                self.r_is_rect[pi]
+                & (self.rbounds[pi, 0] <= lbounds[qi, 0])
+                & (self.rbounds[pi, 1] <= lbounds[qi, 1])
+                & (self.rbounds[pi, 2] >= lbounds[qi, 2])
+                & (self.rbounds[pi, 3] >= lbounds[qi, 3])
+            )
+            if covers.any():
+                dead = set(np.unique(qi[covers]).tolist())
+                alive = ~np.isin(qi, list(dead))
+                qi, pi = qi[alive], pi[alive]
         # group matched right rows per left row (overlay.py:399-423 agg)
         by_left: dict[int, list[int]] = {}
         for k in range(len(qi)):
             by_left.setdefault(int(qi[k]), []).append(int(pi[k]))
         for i in range(n):
+            if i in dead:
+                continue
             if i not in by_left:
                 g = _row_passthrough_wkb(lpg, i)  # untouched rows, holes kept
             elif l_rlin[i] and self.r_rlin[by_left[i]].all():
