@@ -792,3 +792,32 @@ def test_lookup_join_broadcast_matches_hash_join(ray_session):
     none = lookup_join(ds, empty, "k", small_key="node", value_col="label",
                        out_col="lab")
     assert none.count() == 0
+
+
+def test_membership_filter_broadcast_matches_hash_join(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.lookup import membership_filter
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    )
+    keys = rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int64())}))
+
+    def rows(res):
+        return sorted(map(tuple, res.to_pandas()[["k", "v"]].to_numpy().tolist()))
+
+    semi_bc = membership_filter(ds, keys, "k")
+    semi_hj = membership_filter(ds, keys, "k", limit=0)
+    assert rows(semi_bc) == [(2, 20), (4, 40)]
+    assert rows(semi_hj) == [(2, 20), (4, 40)]
+
+    anti_bc = membership_filter(ds, keys, "k", anti=True)
+    anti_hj = membership_filter(ds, keys, "k", anti=True, limit=0)
+    assert rows(anti_bc) == [(1, 10), (3, 30), (5, 50)]
+    assert rows(anti_hj) == [(1, 10), (3, 30), (5, 50)]
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert membership_filter(ds, empty, "k").count() == 0
+    assert membership_filter(ds, empty, "k", anti=True).count() == 5
