@@ -1733,7 +1733,23 @@ def _cell_union_areas_kernel(how: str, res: int):
         if not len(g):
             return empty()
         cell_id = np.asarray([int(g["cell"].iloc[0])], dtype=np.int64)
-        rect = cells.cell_bounds(cell_id)[0]
+        rect = cells.cell_bounds(cell_id)[0].copy()
+        # cover_bbox clamps out-of-domain geometry to the edge cells, so
+        # the edge cells' clip rects must extend to the exterior or that
+        # area silently vanishes from the partition (found by the
+        # cell-clip additivity Hypothesis test). Large-finite, not inf:
+        # Sutherland-Hodgman intersections with inf produce NaN.
+        cx, cy, rr = cells.cell_to_xy(cell_id)
+        lim = (1 << res) - 1
+        big = np.float64(1e12)
+        if int(cx[0]) == 0:
+            rect[0] = -big
+        if int(cy[0]) == 0:
+            rect[1] = -big
+        if int(cx[0]) == lim:
+            rect[2] = big
+        if int(cy[0]) == lim:
+            rect[3] = big
         l = g[g["side"] == 0]
         r = g[g["side"] == 1]
         legs: list[str] = []

@@ -162,3 +162,70 @@ def test_erosion_morphology_properties(w, h, d):
     sagitta = d * (1 - np.cos(np.pi / (4 * res)))
     # 4 corners, each sliver within a (2*d*sagitta) box — generous bound
     assert closed >= w * h - 4 * (2 * d * sagitta + sagitta * sagitta) - 1e-9
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=1, max_value=12),
+    res=st.integers(min_value=5, max_value=7),
+)
+@settings(max_examples=25, deadline=None)
+def test_cell_clip_partition_additivity(seed, n, res):
+    """The union-cell plan's invariant: cells tile the plane disjointly,
+    so sum over covered cells of area(clip(poly, cell)) == area(poly) —
+    for axis rects, L-shapes (rectilinear), and diamonds (general ring
+    path) alike."""
+    from ssb_sgis_ray.geo import cells, kernels, wkb as W
+    from ssb_sgis_ray.ops.overlay import _clip_rows_to_rect_wkb
+
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for i in range(n):
+        kind = rng.integers(0, 3)
+        x, y = rng.integers(0, 2_000_000, 2).astype(float)
+        w, h = rng.integers(1, 120_000, 2).astype(float)
+        if kind == 0:  # axis rect
+            ring = np.array([[x, y], [x + w, y], [x + w, y + h],
+                             [x, y + h], [x, y]])
+        elif kind == 1:  # L-shape (rectilinear, concave)
+            ring = np.array([[x, y], [x + w, y], [x + w, y + h / 2],
+                             [x + w / 2, y + h / 2], [x + w / 2, y + h],
+                             [x, y + h], [x, y]])
+        else:  # diamond (non-rectilinear)
+            ring = np.array([[x + w / 2, y], [x + w, y + h / 2],
+                             [x + w / 2, y + h], [x, y + h / 2],
+                             [x + w / 2, y]])
+        blobs.append(W.encode_polygon([ring]))
+    pg = W.decode_polygons(np.asarray(blobs, dtype=object))
+    full = kernels.polygon_areas(pg)
+    b = kernels.polygon_bounds(pg)
+    rows, cell = cells.cover_bbox(
+        b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res
+    )
+    acc = np.zeros(len(pg))
+    for c in np.unique(cell):
+        cid = np.asarray([c], dtype=np.int64)
+        rect = cells.cell_bounds(cid)[0].copy()
+        # same edge-cell widening as _cell_union_areas_kernel: cover_bbox
+        # clamps out-of-domain geometry to edge cells, whose clip rects
+        # must therefore extend to the exterior
+        cx, cy, _ = cells.cell_to_xy(cid)
+        lim = (1 << res) - 1
+        if int(cx[0]) == 0:
+            rect[0] = -1e12
+        if int(cy[0]) == 0:
+            rect[1] = -1e12
+        if int(cx[0]) == lim:
+            rect[2] = 1e12
+        if int(cy[0]) == lim:
+            rect[3] = 1e12
+        rsel = rows[cell == c]
+        sub = W.decode_polygons(np.asarray(
+            [blobs[i] for i in rsel], dtype=object))
+        rects, offs, rlin = kernels.decompose_rectilinear(sub)
+        cw = _clip_rows_to_rect_wkb(sub, rect, rlin, rects, offs)
+        for j, wkb_bytes in enumerate(cw):
+            if wkb_bytes is not None:
+                cp = W.decode_polygons(np.asarray([wkb_bytes], dtype=object))
+                acc[rsel[j]] += kernels.polygon_areas(cp)[0]
+    np.testing.assert_allclose(acc, full, rtol=1e-9)
