@@ -229,3 +229,64 @@ def test_cell_clip_partition_additivity(seed, n, res):
                 cp = W.decode_polygons(np.asarray([wkb_bytes], dtype=object))
                 acc[rsel[j]] += kernels.polygon_areas(cp)[0]
     np.testing.assert_allclose(acc, full, rtol=1e-9)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    nl=st.integers(min_value=1, max_value=6),
+    nr=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=30, deadline=None)
+def test_difference_areas_matches_boolean_engine(seed, nl, nr):
+    """difference_areas (covers pre-pass + Klee sweep + boolean fallback)
+    against the scanline boolean engine computed independently per row —
+    mixed rect/L/diamond subjects and clips."""
+    from ssb_sgis_ray.geo import booleans, kernels, wkb as W
+    from ssb_sgis_ray.ops.overlay import (
+        RightGeoms, difference_areas, find_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def shape(kind, x, y, w, h):
+        if kind == 0:
+            return np.array([[x, y], [x + w, y], [x + w, y + h],
+                             [x, y + h], [x, y]])
+        if kind == 1:
+            return np.array([[x, y], [x + w, y], [x + w, y + h / 2],
+                             [x + w / 2, y + h / 2], [x + w / 2, y + h],
+                             [x, y + h], [x, y]])
+        return np.array([[x + w / 2, y], [x + w, y + h / 2],
+                         [x + w / 2, y + h], [x, y + h / 2],
+                         [x + w / 2, y]])
+
+    def blob():
+        kind = int(rng.integers(0, 3))
+        x, y = rng.integers(0, 5000, 2).astype(float)
+        w, h = rng.integers(1, 3000, 2).astype(float)
+        return W.encode_polygon([shape(kind, x, y, w, h)])
+
+    lblobs = [blob() for _ in range(nl)]
+    rblobs = [blob() for _ in range(nr)]
+    lpg = W.decode_polygons(np.asarray(lblobs, dtype=object))
+    R = RightGeoms(pa.table({"geometry_wkb": pa.array(rblobs, pa.binary())}))
+    decomp = kernels.decompose_rectilinear(lpg)
+    if nr:
+        qi, pi = find_candidate_pairs(
+            lpg, kernels.detect_axis_rects(lpg), R, decomp[2]
+        )
+    else:
+        qi = pi = np.empty(0, dtype=np.int64)
+    got = difference_areas(lpg, R, qi, pi, decomp)
+    # independent per-row ground truth: one scanline boolean difference
+    # against ALL rights (not just candidates — non-candidates are no-ops)
+    rpg = W.decode_polygons(np.asarray(rblobs, dtype=object)) if nr else None
+    for i in range(nl):
+        s_r, s_h = booleans.ringset_of_row(lpg, i)
+        c_r, c_h = [], []
+        for r in range(nr):
+            rr_, hh_ = booleans.ringset_of_row(rpg, r)
+            c_r.extend(rr_)
+            c_h.extend(hh_)
+        want = booleans.boolean_area(s_r, c_r, "difference", s_h, c_h)
+        assert abs(got[i] - want) < 1e-6 * max(1.0, want), (i, got[i], want)
