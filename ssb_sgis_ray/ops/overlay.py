@@ -950,6 +950,21 @@ def overlay_difference_cell(
     from .dissolve import default_join_partitions
 
     if pairs is None:
+        # survivor pre-filter: a NARROW per-cell area pass (the verified
+        # union-cell math) finds which lefts have any remainder at all;
+        # only those enter the pair/geometry path. In dense-coverage data
+        # ~97% of matched lefts are fully covered, and the pair table the
+        # full path would shuffle is 28M geometry-laden rows at sf0.1 —
+        # pruning it to survivors removes the dominant exchange. The
+        # survivor rule reproduces the old semantics exactly: remainder
+        # area > 0 (areas are >= 0.5 in the integer/half-integer world),
+        # or a zero-area left that was never matched (pass-through).
+        survivors = _diff_survivor_ids(left_ds, right_ds, left_id, right_id, res)
+        from .lookup import membership_filter
+
+        left_ds = membership_filter(
+            left_ds, survivors, left_id, small_key="left_id",
+        ).materialize()
         lt = left_ds.map_batches(
             lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
         )
@@ -1797,3 +1812,109 @@ def _cell_union_areas_kernel(how: str, res: int):
         )
 
     return per_cell
+
+
+def _diff_survivor_ids(left_ds, right_ds, left_id: str, right_id: str, res: int):
+    """Narrow per-cell area pass -> Dataset of left ids with a non-empty
+    difference remainder (plus zero-area never-matched pass-throughs).
+
+    Emits one (left_id, rem, clip, matched) row per (left, cell) — the
+    cell-clipped remainder area (the Hypothesis-verified union-cell
+    math), the clipped area itself, and whether the left had any matched
+    pair candidate in the cell (computed on the UNCLIPPED geometry with
+    the same candidate test as the pair kernel, so max-over-cells equals
+    membership in the pair table). One narrow int64-keyed groupby sums
+    the partials; no geometry ever leaves the cell kernel.
+    """
+    from ..geo import cells
+    from ray.data.aggregate import Max, Sum
+
+    def per_cell(g: pd.DataFrame) -> pa.Table:
+        l = g[g["side"] == 0]
+        if not len(l):
+            return pa.table(
+                {"left_id": pa.array([], pa.int64()),
+                 "rem": pa.array([], pa.float64()),
+                 "clip": pa.array([], pa.float64()),
+                 "matched": pa.array([], pa.int64())}
+            )
+        r = g[g["side"] == 1]
+        cell_id = np.asarray([int(g["cell"].iloc[0])], dtype=np.int64)
+        rect = cells.cell_bounds(cell_id)[0].copy()
+        cx, cy, _ = cells.cell_to_xy(cell_id)
+        lim = (1 << res) - 1
+        big = np.float64(1e12)
+        if int(cx[0]) == 0:
+            rect[0] = -big
+        if int(cy[0]) == 0:
+            rect[1] = -big
+        if int(cx[0]) == lim:
+            rect[2] = big
+        if int(cy[0]) == lim:
+            rect[3] = big
+        lpg = wkb.decode_polygons(l["geometry_wkb"].to_numpy())
+        lids = l["oid"].to_numpy().astype(np.int64)
+        n = len(lpg)
+        matched = np.zeros(n, dtype=np.int64)
+        R = None
+        if len(r):
+            R = RightGeoms(pa.table(
+                {"geometry_wkb": pa.array(list(r["geometry_wkb"]), pa.binary())}
+            ))
+            l_decomp_full = kernels.decompose_rectilinear(lpg)
+            qi_f, _pi_f = find_candidate_pairs(
+                lpg, kernels.detect_axis_rects(lpg), R, l_decomp_full[2]
+            )
+            matched[np.unique(qi_f)] = 1
+        s_rects, s_offs, s_rlin = kernels.decompose_rectilinear(lpg)
+        cw = _clip_rows_to_rect_wkb(lpg, rect, s_rlin, s_rects, s_offs)
+        keep = np.array([w is not None for w in cw], dtype=bool)
+        clip_a = np.zeros(n, dtype=np.float64)
+        rem = np.zeros(n, dtype=np.float64)
+        if keep.any():
+            spg_c = wkb.decode_polygons(
+                np.asarray([w for w in cw if w is not None], dtype=object)
+            )
+            areas_c = kernels.polygon_areas(spg_c)
+            clip_a[keep] = areas_c
+            if R is None:
+                rem[keep] = areas_c
+            else:
+                decomp_c = kernels.decompose_rectilinear(spg_c)
+                qi, pi = find_candidate_pairs(
+                    spg_c, kernels.detect_axis_rects(spg_c), R, decomp_c[2]
+                )
+                rem[keep] = difference_areas(spg_c, R, qi, pi, decomp_c)
+        return pa.table(
+            {"left_id": pa.array(lids, pa.int64()),
+             "rem": pa.array(rem, pa.float64()),
+             "clip": pa.array(clip_a, pa.float64()),
+             "matched": pa.array(matched, pa.int64())}
+        )
+
+    lt = left_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+    )
+    totals = (
+        lt.union(rt)
+        .groupby("cell")
+        .map_groups(per_cell, batch_format="pandas")
+        .groupby("left_id")
+        .aggregate(Sum(on="rem", alias_name="rem_sum"),
+                   Sum(on="clip", alias_name="clip_sum"),
+                   Max(on="matched", alias_name="matched_max"))
+    )
+
+    def pick(b: pa.Table) -> pa.Table:
+        rs = b["rem_sum"].to_numpy(zero_copy_only=False)
+        cs = b["clip_sum"].to_numpy(zero_copy_only=False)
+        mm = b["matched_max"].to_numpy(zero_copy_only=False)
+        keep = (rs > 1e-6) | ((cs <= 1e-6) & (mm == 0))
+        return pa.table(
+            {"left_id": b["left_id"].filter(pa.array(keep)).cast(pa.int64())}
+        )
+
+    return totals.map_batches(pick, batch_format="pyarrow")
