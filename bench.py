@@ -83,6 +83,10 @@ def run_bench() -> dict:
         "events_asof", "destination_count", "top_tokens",
         "line_merge", "shortest_line", "rep_point", "image_resize",
         "video_near_dup", "ann_lsh",
+        # registry-wide outlier audit (round 4): previously-pathological
+        # queries kept in the bench so regressions stay visible
+        "overlay_union_cell", "overlay_diff_cell", "close_network_holes",
+        "buffdissexp_clusters", "all_distances",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
