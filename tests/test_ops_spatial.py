@@ -747,3 +747,40 @@ def test_union_leg_areas_empty_left(ray_session):
     ).to_pydict()
     assert out["leg"] == ["right"]
     assert out["total_area"] == [100 + 50]
+
+
+def test_cell_difference_and_union_with_empty_right(ray_session):
+    """Empty right side: difference passes every left through unchanged
+    (incl. the survivor pre-filter path), and the union-area legs reduce
+    to the left areas."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+    from ssb_sgis_ray.ops import relational as rel
+
+    rings = [
+        np.array([[0, 0], [100, 0], [100, 50], [0, 50], [0, 0]], float),
+        np.array([[500, 500], [700, 500], [700, 900], [500, 900],
+                  [500, 500]], float),
+    ]
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "geometry_wkb": pa.array([W.encode_polygon([r]) for r in rings],
+                                 pa.binary()),
+    }))
+    empty = rd.from_arrow(pa.table({
+        "rid": pa.array([], pa.int64()),
+        "geometry_wkb": pa.array([], pa.binary()),
+    }))
+
+    diff = ov.overlay_difference_cell(left, empty, "lid", "rid", res=8)
+    got = diff.to_pandas().sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == [1, 2]
+
+    legs = ov.overlay_union_leg_areas_cell(left, empty, "lid", "rid",
+                                           how="union", res=8)
+    t = rel.sum_by_small_key(legs, "leg", "area_i", ("inter", "left", "right"))
+    by = dict(zip(t["leg"].to_pylist(), t["total_area"].to_pylist()))
+    assert by.get("left") == 100 * 50 + 200 * 400
+    assert "right" not in by and "inter" not in by
