@@ -4993,6 +4993,46 @@ FROM px GROUP BY image_id
 """
 
 
+def q_grouped_centroids(sf_dir: str):
+    """Reference get_grouped_centroids (general.py:225-241): label every
+    supplier row with the centroid of its nation's dissolved centroid
+    points as "{int(x)}_{int(y)}". Distributed: per-batch centroid dedup
+    partials -> small groupby over distinct centroids -> broadcast
+    searchsorted label map over the stream (ops/dissolve.py)."""
+    ds = (
+        _rd()
+        .read_parquet(f"{sf_dir}/supplier.parquet",
+                      columns=["s_suppkey", "s_nationkey"])
+        .map_batches(synth.add_supplier_diamonds, batch_format="pyarrow")
+    )
+    out = dis.get_grouped_centroids(ds, by="s_nationkey")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"s_suppkey": b["s_suppkey"].cast(pa.int64()),
+             "grouped_centroid": b["grouped_centroid"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# dissolve of centroid POINTS dedups coincident points (unary_union), so
+# the group centroid is the mean of DISTINCT (sx, sy); coords are
+# non-negative, so floor == the engine's int() truncation.
+SQL_GROUPED_CENTROIDS = f"""
+WITH sup AS (SELECT s_suppkey, s_nationkey, {synth.SUPPLIER_SX_SQL} AS sx,
+                    {synth.SUPPLIER_SY_SQL} AS sy FROM supplier),
+d AS (SELECT DISTINCT s_nationkey, sx, sy FROM sup),
+g AS (SELECT s_nationkey,
+             CAST(floor(avg(CAST(sx AS DOUBLE))) AS BIGINT) AS gx,
+             CAST(floor(avg(CAST(sy AS DOUBLE))) AS BIGINT) AS gy
+      FROM d GROUP BY s_nationkey)
+SELECT sup.s_suppkey,
+       CAST(g.gx AS VARCHAR) || '_' || CAST(g.gy AS VARCHAR)
+           AS grouped_centroid
+FROM sup JOIN g USING (s_nationkey)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -5004,6 +5044,7 @@ REGISTRY: dict[str, tuple] = {
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
+    "grouped_centroids": (q_grouped_centroids, SQL_GROUPED_CENTROIDS),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
     "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),

@@ -821,3 +821,29 @@ def test_membership_filter_broadcast_matches_hash_join(ray_session):
     empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert membership_filter(ds, empty, "k").count() == 0
     assert membership_filter(ds, empty, "k", anti=True).count() == 5
+
+
+def test_grouped_centroids_dedups_coincident_points(ray_session):
+    import ray.data as rd
+
+    # group 1: two coincident unit boxes (centroid (5,5)) + one at (20,20)
+    # -> dissolve of centroid points dedups the coincident pair, so the
+    # group centroid is mean({(5,5),(20,20)}) = (12.5, 12.5) -> "12_12",
+    # NOT the multiplicity-weighted (10,10).
+    # group 2: a single box at (100,40) -> "100_40".
+    boxes = synth.box_wkb(
+        np.array([4.0, 4.0, 19.0, 99.0]),
+        np.array([4.0, 4.0, 19.0, 39.0]),
+        np.array([6.0, 6.0, 21.0, 101.0]),
+        np.array([6.0, 6.0, 21.0, 41.0]),
+    )
+    t = pa.table(
+        {
+            "rid": pa.array([1, 2, 3, 4], pa.int64()),
+            "g": pa.array([1, 1, 1, 2], pa.int64()),
+            "geometry_wkb": pa.array(list(boxes), pa.binary()),
+        }
+    )
+    out = dis.get_grouped_centroids(rd.from_arrow(t), by="g").to_pandas()
+    lab = dict(zip(out["rid"], out["grouped_centroid"]))
+    assert lab == {1: "12_12", 2: "12_12", 3: "12_12", 4: "100_40"}
