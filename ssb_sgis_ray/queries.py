@@ -4105,7 +4105,10 @@ FROM (SELECT doc_id, {CONTENT_KEY_SQL} AS ck FROM documents) GROUP BY ck
 
 def q_phash_dedup(sf_dir: str):
     """Near-dup grouping on the perceptual hash of decoded pixels (real
-    aHash; not SQL-recomputable -> rows-only driver check)."""
+    aHash). The oracle recomputes the full decode->grayscale->8x8
+    block-mean->bit-pack aHash per image in SQL from the closed-form
+    pixel rule (incl. the lossy quantization round-trip for odd content
+    keys), so the 64-bit hash itself is value-checked."""
     from ray.data.aggregate import Count, Min
 
     out = _images_ds(sf_dir).groupby("phash").aggregate(
@@ -4114,13 +4117,74 @@ def q_phash_dedup(sf_dir: str):
     return out
 
 
+# aHash in SQL, mirroring codecs/phash.ahash64 exactly: gray = channel SUM
+# (scale-invariant bit predicate, exact integer block sums); block bounds
+# ys_i = (i*h)//8 give pixel gy the block index (8*gy+7)//h; bit idx
+# (row-major ravel) = bi*8 + bj, packed with weight 2^idx for idx < 63.
+# Lossy ("jpeg", odd ck) pixels are the quantization round-trip
+# (p//8)*8 + 4 (the +4 clamp at 255 never binds since p <= 255).
+# Float-safety: cell means are rationals with denominator <= 81, so the
+# minimum nonzero |cell - mean| is >= 1/(64*lcm(areas)) ~ 2.5e-9, five
+# orders above the ~1e-11 float64 summation error — no bit can flip
+# between DuckDB's avg() and numpy's pairwise mean.
+_SQL_PHASH_CTES = f"""
+k AS (SELECT doc_id, {CONTENT_KEY_SQL} AS ck FROM documents),
+p AS (SELECT doc_id, ck, 32 + (ck*7)%33 AS w, 32 + (ck*11)%33 AS h FROM k),
+xs AS (SELECT doc_id, ck, w, h, unnest(generate_series(0, w-1)) AS gx FROM p),
+px AS (SELECT doc_id, ck, w, h, gx, unnest(generate_series(0, h-1)) AS gy
+       FROM xs),
+gr AS (SELECT doc_id, gx, gy, w, h,
+         CASE WHEN ck % 2 = 0
+              THEN (3*gx + 5*gy + 13*ck) % 256 + (7*gx + 2*gy + 29*ck) % 256
+                   + (4*(gx+gy) + 53*ck) % 256
+              ELSE (((3*gx + 5*gy + 13*ck) % 256) // 8) * 8 + 4
+                 + (((7*gx + 2*gy + 29*ck) % 256) // 8) * 8 + 4
+                 + (((4*(gx+gy) + 53*ck) % 256) // 8) * 8 + 4
+         END AS gval,
+         (8*gy+7)//h AS bi, (8*gx+7)//w AS bj
+       FROM px),
+cells AS (SELECT doc_id, bi, bj, CAST(sum(gval) AS DOUBLE)/count(*) AS cell
+          FROM gr GROUP BY doc_id, bi, bj),
+m AS (SELECT doc_id AS mdoc, avg(cell) AS mean FROM cells GROUP BY doc_id),
+ph AS (SELECT doc_id,
+       CAST(sum(CASE WHEN bi*8+bj < 63 AND cell > mean
+                THEN (CAST(1 AS BIGINT) << (bi*8+bj)) ELSE 0 END) AS BIGINT)
+           AS phash
+       FROM cells JOIN m ON doc_id = mdoc GROUP BY doc_id)
+"""
+
+SQL_PHASH_DEDUP = f"""
+WITH {_SQL_PHASH_CTES}
+SELECT phash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM ph GROUP BY phash
+"""
+
+# near-dup keep list: the pigeonhole-banded engine pairs are EXACTLY the
+# Hamming<=3 pairs (two 64-bit hashes within distance 3 agree on >= 1 of
+# 4 disjoint 16-bit bands), so the oracle joins on bit_count(xor)<=3
+# directly and runs the same min-label closure as SQL_POLY_CLUSTERS.
+SQL_PHASH_KEEP = f"""
+WITH RECURSIVE {_SQL_PHASH_CTES},
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib FROM ph a JOIN ph b
+  ON a.doc_id <> b.doc_id AND bit_count(xor(a.phash, b.phash)) <= 3
+),
+reach(ia, ib) AS (
+  SELECT ia, ib FROM edges
+  UNION
+  SELECT r.ia, e.ib FROM reach r JOIN edges e ON r.ib = e.ia
+)
+SELECT ia AS doc_id, least(min(ib), ia) AS keep_id FROM reach GROUP BY ia
+"""
+
+
 def q_phash_keep(sf_dir: str):
     """Image near-dup KEEP LIST — the artifact an image dedup pipeline
     ships: banded-phash LSH pairs (4×16-bit pigeonhole bands, Hamming<=3
     verified INSIDE the bucket kernel, no second join) -> connected
     components -> every clustered image mapped to its cluster's min
-    doc_id. The image twin of minhash_keep; deterministic, rows-only
-    (the perceptual hash is not SQL-recomputable)."""
+    doc_id. The image twin of minhash_keep; the oracle recomputes the
+    aHash closed-form in SQL and closes the Hamming<=3 graph."""
     imgs = _images_ds(sf_dir)
     pairs = dedup_ops.phash_near_dup_pairs(
         imgs.select_columns(["doc_id", "phash"])
@@ -5040,7 +5104,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
-    "phash_keep": (q_phash_keep, None),
+    "phash_keep": (q_phash_keep, SQL_PHASH_KEEP),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
@@ -5092,7 +5156,7 @@ REGISTRY: dict[str, tuple] = {
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
-    "phash_dedup": (q_phash_dedup, None),
+    "phash_dedup": (q_phash_dedup, SQL_PHASH_DEDUP),
     "image_tiles": (q_image_tiles, SQL_IMAGE_TILES),
     "image_region_counts": (q_image_region_counts, SQL_IMAGE_REGION_COUNTS),
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
