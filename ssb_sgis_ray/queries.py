@@ -5105,6 +5105,7 @@ REGISTRY: dict[str, tuple] = {
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
     "phash_keep": (q_phash_keep, SQL_PHASH_KEEP),
+    "phash_dedup": (q_phash_dedup, SQL_PHASH_DEDUP),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
@@ -5156,7 +5157,6 @@ REGISTRY: dict[str, tuple] = {
     "token_quantiles": (q_token_quantiles, SQL_TOKEN_QUANTILES),
     "image_decode_validate": (q_image_decode_validate, SQL_IMAGE_DECODE),
     "image_exact_dedup": (q_image_exact_dedup, SQL_IMAGE_EXACT_DEDUP),
-    "phash_dedup": (q_phash_dedup, SQL_PHASH_DEDUP),
     "image_tiles": (q_image_tiles, SQL_IMAGE_TILES),
     "image_region_counts": (q_image_region_counts, SQL_IMAGE_REGION_COUNTS),
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
