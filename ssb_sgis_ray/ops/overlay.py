@@ -825,12 +825,15 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
             else:
                 cols["geometry_wkb"] = pa.array([], pa.binary())
             return pa.table(cols)
-        return pd.DataFrame(
+        # typed Arrow empty: pandas object-column empties defeat Ray's
+        # block size estimator (a noisy np.vectorize error per block) and
+        # can ride along schema-less into downstream joins
+        return pa.table(
             {
-                "left_id": pd.Series([], dtype="int64"),
-                "right_id": pd.Series([], dtype="int64"),
-                "left_geom": pd.Series([], dtype="object"),
-                "right_geom": pd.Series([], dtype="object"),
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "left_geom": pa.array([], pa.binary()),
+                "right_geom": pa.array([], pa.binary()),
             }
         )
 
@@ -880,13 +883,19 @@ def _cell_overlay_kernel(how: str, emit: str, res: int):
             return pa.table(cols)
         # difference: emit matched pairs with BOTH geometries; the actual
         # subtraction needs the union of ALL matching rights per left row,
-        # which may live in different cells -> second stage groupby(left_id)
-        return pd.DataFrame(
+        # which may live in different cells -> second stage groupby(left_id).
+        # Arrow binary columns (not pandas object) so the big pair
+        # exchange ships typed buffers, not pickled object arrays.
+        return pa.table(
             {
-                "left_id": lids[qi],
-                "right_id": rids[pi],
-                "left_geom": l["geometry_wkb"].to_numpy()[qi],
-                "right_geom": r["geometry_wkb"].to_numpy()[pi],
+                "left_id": pa.array(lids[qi], pa.int64()),
+                "right_id": pa.array(rids[pi], pa.int64()),
+                "left_geom": pa.array(
+                    l["geometry_wkb"].to_numpy()[qi].tolist(), pa.binary()
+                ),
+                "right_geom": pa.array(
+                    r["geometry_wkb"].to_numpy()[pi].tolist(), pa.binary()
+                ),
             }
         )
 
@@ -1611,17 +1620,17 @@ def swap_pair_table(pairs):
     """Mirror a pair table (cheap column rename, no shuffle) so the
     difference machinery can run right-minus-lefts."""
 
-    def fn(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def fn(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "left_id": b["right_id"].to_numpy(),
-                "right_id": b["left_id"].to_numpy(),
-                "left_geom": b["right_geom"].to_numpy(),
-                "right_geom": b["left_geom"].to_numpy(),
+                "left_id": b["right_id"],
+                "right_id": b["left_id"],
+                "left_geom": b["right_geom"],
+                "right_geom": b["left_geom"],
             }
         )
 
-    return pairs.map_batches(fn, batch_format="pandas")
+    return pairs.map_batches(fn, batch_format="pyarrow")
 
 
 def overlay_union_leg_areas_cell(
@@ -1814,6 +1823,31 @@ def _cell_union_areas_kernel(how: str, res: int):
     return per_cell
 
 
+def _tag_survivor_side(batch: pa.Table, res: int, id_col: str, side: int) -> pa.Table:
+    """_tag_overlay_side plus (maxx, maxy, rect): the survivor kernel's
+    covered-cell fast path needs full bboxes and the axis-rect flag."""
+    from ..geo import cells
+
+    pg = wkb.decode_polygons(batch["geometry_wkb"])
+    b = kernels.polygon_bounds(pg)
+    is_rect = kernels.detect_axis_rects(pg)
+    rows, cell = cells.cover_bbox(b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res)
+    take = pa.array(rows, pa.int64())
+    return pa.table(
+        {
+            "cell": pa.array(cell, pa.int64()),
+            "side": pa.array(np.full(len(rows), side, dtype=np.int8)),
+            "oid": batch[id_col].take(take).cast(pa.int64()),
+            "minx": pa.array(b[rows, 0], pa.float64()),
+            "miny": pa.array(b[rows, 1], pa.float64()),
+            "maxx": pa.array(b[rows, 2], pa.float64()),
+            "maxy": pa.array(b[rows, 3], pa.float64()),
+            "rect": pa.array(is_rect[rows].astype(np.int8)),
+            "geometry_wkb": batch["geometry_wkb"].take(take),
+        }
+    )
+
+
 def _diff_survivor_ids(left_ds, right_ds, left_id: str, right_id: str, res: int):
     """Narrow per-cell area pass -> Dataset of left ids with a non-empty
     difference remainder (plus zero-area never-matched pass-throughs).
@@ -1825,6 +1859,15 @@ def _diff_survivor_ids(left_ds, right_ds, left_id: str, right_id: str, res: int)
     the same candidate test as the pair kernel, so max-over-cells equals
     membership in the pair table). One narrow int64-keyed groupby sums
     the partials; no geometry ever leaves the cell kernel.
+
+    Covered-cell fast path: if some axis-rect right's bbox contains the
+    whole cell rect, every left's cell-clipped remainder is 0 (clip ⊆
+    cell ⊆ right), every left is matched (rect×rect candidacy is
+    boundary-inclusive bbox overlap, and the tag's 1e-9 pad only admits
+    exact boundary touches in the engine's half-integer coordinate
+    world), and rect lefts' clip areas are closed-form interval
+    overlaps — no decode, no per-cell STRtree, no scanline. In
+    dense-coverage data nearly every interior cell takes this path.
     """
     from ..geo import cells
     from ray.data.aggregate import Max, Sum
@@ -1852,9 +1895,64 @@ def _diff_survivor_ids(left_ds, right_ds, left_id: str, right_id: str, res: int)
             rect[2] = big
         if int(cy[0]) == lim:
             rect[3] = big
-        lpg = wkb.decode_polygons(l["geometry_wkb"].to_numpy())
         lids = l["oid"].to_numpy().astype(np.int64)
-        n = len(lpg)
+        n = len(l)
+
+        covered = False
+        if len(r):
+            rr = r["rect"].to_numpy() == 1
+            if rr.any():
+                covered = bool(np.any(
+                    rr
+                    & (r["minx"].to_numpy() <= rect[0])
+                    & (r["miny"].to_numpy() <= rect[1])
+                    & (r["maxx"].to_numpy() >= rect[2])
+                    & (r["maxy"].to_numpy() >= rect[3])
+                ))
+        if covered:
+            clip_a = np.zeros(n, dtype=np.float64)
+            matched = np.ones(n, dtype=np.int64)
+            l_rect = l["rect"].to_numpy() == 1
+            w = np.minimum(l["maxx"].to_numpy(), rect[2]) - np.maximum(
+                l["minx"].to_numpy(), rect[0]
+            )
+            h = np.minimum(l["maxy"].to_numpy(), rect[3]) - np.maximum(
+                l["miny"].to_numpy(), rect[1]
+            )
+            ov = np.maximum(w, 0.0) * np.maximum(h, 0.0)
+            clip_a[l_rect] = ov[l_rect]
+            sub = ~l_rect
+            if sub.any():
+                # exact path for the (rare) non-rect lefts: their clip
+                # area and candidate test need real geometry
+                lpg = wkb.decode_polygons(l["geometry_wkb"].to_numpy()[sub])
+                R = RightGeoms(pa.table(
+                    {"geometry_wkb": pa.array(list(r["geometry_wkb"]), pa.binary())}
+                ))
+                dec = kernels.decompose_rectilinear(lpg)
+                qi_f, _pi_f = find_candidate_pairs(
+                    lpg, kernels.detect_axis_rects(lpg), R, dec[2]
+                )
+                m_sub = np.zeros(len(lpg), dtype=np.int64)
+                m_sub[np.unique(qi_f)] = 1
+                matched[sub] = m_sub
+                cw = _clip_rows_to_rect_wkb(lpg, rect, dec[2], dec[0], dec[1])
+                keep = np.array([x is not None for x in cw], dtype=bool)
+                c_sub = np.zeros(len(lpg), dtype=np.float64)
+                if keep.any():
+                    spg_c = wkb.decode_polygons(
+                        np.asarray([x for x in cw if x is not None], dtype=object)
+                    )
+                    c_sub[keep] = kernels.polygon_areas(spg_c)
+                clip_a[sub] = c_sub
+            return pa.table(
+                {"left_id": pa.array(lids, pa.int64()),
+                 "rem": pa.array(np.zeros(n), pa.float64()),
+                 "clip": pa.array(clip_a, pa.float64()),
+                 "matched": pa.array(matched, pa.int64())}
+            )
+
+        lpg = wkb.decode_polygons(l["geometry_wkb"].to_numpy())
         matched = np.zeros(n, dtype=np.int64)
         R = None
         if len(r):
@@ -1893,10 +1991,10 @@ def _diff_survivor_ids(left_ds, right_ds, left_id: str, right_id: str, res: int)
         )
 
     lt = left_ds.map_batches(
-        lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
+        lambda b: _tag_survivor_side(b, res, left_id, 0), batch_format="pyarrow"
     )
     rt = right_ds.map_batches(
-        lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
+        lambda b: _tag_survivor_side(b, res, right_id, 1), batch_format="pyarrow"
     )
     totals = (
         lt.union(rt)
