@@ -847,3 +847,61 @@ def test_grouped_centroids_dedups_coincident_points(ray_session):
     out = dis.get_grouped_centroids(rd.from_arrow(t), by="g").to_pandas()
     lab = dict(zip(out["rid"], out["grouped_centroid"]))
     assert lab == {1: "12_12", 2: "12_12", 3: "12_12", 4: "100_40"}
+
+
+def test_diff_cell_covered_cell_fast_path(ray_session):
+    import ray.data as rd
+    from ssb_sgis_ray import synth
+    from ssb_sgis_ray.ops import overlay as ov
+
+    # one big right rect fully covering hundreds of res-16 cells (32-unit
+    # cells) -> the survivor kernel's covered-cell short circuit fires;
+    # inside it sit rect lefts (closed-form clip), an L-shape left (the
+    # exact non-rect sub-path), a left straddling the covered boundary,
+    # and a far-away pass-through left.
+    lshape = synth.lshape_wkb(
+        np.array([100.0]), np.array([100.0]), np.array([140.0]),
+        np.array([140.0]), np.array([180.0]), np.array([180.0]),
+    )[0]
+    left_t = pa.table(
+        {
+            "lid": pa.array(np.arange(5, dtype=np.int64), pa.int64()),
+            "geometry_wkb": pa.array(
+                [
+                    synth.box_wkb(np.array([50.0]), np.array([50.0]),
+                                  np.array([80.0]), np.array([80.0]))[0],
+                    synth.box_wkb(np.array([300.0]), np.array([300.0]),
+                                  np.array([700.0]), np.array([600.0]))[0],
+                    lshape,
+                    synth.box_wkb(np.array([900.0]), np.array([400.0]),
+                                  np.array([1100.0]), np.array([500.0]))[0],
+                    synth.box_wkb(np.array([5000.0]), np.array([5000.0]),
+                                  np.array([5010.0]), np.array([5010.0]))[0],
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    right_t = _boxes_table([(0, 0, 1000, 1000)], "rid")
+
+    bc = ov.clean_overlay(rd.from_arrow(left_t), right_t, how="difference")
+    cell = ov.overlay_difference_cell(
+        rd.from_arrow(left_t), rd.from_arrow(right_t), "lid", "rid", res=16
+    )
+
+    def rows_of(ds):
+        df = ds.to_pandas()
+        out = {}
+        for lid, g in zip(df["lid"], df["geometry_wkb"]):
+            pg = wkb.decode_polygons(np.asarray([g], dtype=object))
+            out[int(lid)] = float(kernels.polygon_areas(pg)[0])
+        return out
+
+    got_bc, got_cell = rows_of(bc), rows_of(cell)
+    # lids 0-2 fully inside the right: consumed. lid 3 keeps the strip
+    # outside x=1000. lid 4 passes through untouched.
+    assert got_cell == {3: pytest.approx(100.0 * 100.0),
+                       4: pytest.approx(100.0)}
+    assert got_bc.keys() == got_cell.keys()
+    for k in got_bc:
+        assert got_cell[k] == pytest.approx(got_bc[k])
