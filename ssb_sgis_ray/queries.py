@@ -2351,10 +2351,154 @@ FROM documents GROUP BY md5(text)
 
 def q_minhash_bands(sf_dir: str):
     """MinHash LSH band rows (doc_id, band_id, band_hash) — the shuffle
-    key material for near-dup candidate generation. Not SQL-expressible."""
+    key material for near-dup candidate generation."""
     return documents(sf_dir).map_batches(
         dedup_ops.MinHashStage, batch_format="pyarrow", concurrency=(1, 8), batch_size=2048
     )
+
+
+def _minhash_cte_body() -> str:
+    """Shared CTE chain replicating the engine's MinHash in exact SQL
+    (ops/dedup.py:41 _shingle_hashes, :56 minhash_signature, :66
+    band_hashes). Every wrapping-uint64 step is modelled in HUGEINT:
+
+      - 5-gram polynomial hash sum(byte_j * 257^j) — exact, < 2^41.
+      - xorshift h ^= h >> 33: the shifted value is < 2^31, so only the
+        low 31 bits change; BIGINT xor on (h % 2^31, h >> 33).
+      - wrapping multiply by the 64-bit murmur constant via hi/lo split:
+        h*m mod 2^64 = (h*m_lo + ((h mod 2^32)*m_hi mod 2^32)*2^32) mod 2^64
+        (every intermediate < 2^105 < HUGEINT max).
+      - (sh*a + b) % MERSENNE is wrapping uint64 in numpy BEFORE the
+        Mersenne mod — replicated as ((sh*a % 2^64 + b) % 2^64) % p.
+      - band fold h = h*FNV + m_j in wrapping uint64, band index seeded
+        by the golden-ratio constant, final >> 1 keeps int64 positive.
+
+    Valid for ASCII corpora (UTF-8 byte == ord(char)) and bucket sizes
+    <= BUCKET_CAP=4096 (the engine's hot-bucket star cap never fires at
+    oracle scale: 500 docs at sf0.01)."""
+    perm_vals = ",\n".join(
+        f"({i}, CAST('{int(dedup_ops.PERM_A[i])}' AS HUGEINT),"
+        f" CAST('{int(dedup_ops.PERM_B[i])}' AS HUGEINT))"
+        for i in range(dedup_ops.N_PERM)
+    )
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    mm = 0xFF51AFD7ED558CCD
+    mm_hi, mm_lo = mm >> 32, mm & 0xFFFFFFFF
+
+    def xs(h: str) -> str:
+        # h ^ (h >> 33) for h < 2^64
+        return (
+            f"(({h}) - ({h}) % 2147483648 + "
+            f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
+            f" CAST(({h}) // 8589934592 AS BIGINT)))"
+        )
+
+    mul_mm = (
+        f"((h1 * {mm_lo} + ((h1 % 4294967296) * {mm_hi} % 4294967296)"
+        f" * 4294967296) % {m64})"
+    )
+    fold = f"((CAST(band_id AS HUGEINT) * CAST('{0x9E3779B97F4A7C15}' AS HUGEINT)) % {m64})"
+    for m in ("m0", "m1", "m2", "m3"):
+        fold = f"(({fold} * 1099511628211 + {m}) % {m64})"
+    return f"""
+perms(i, a, b) AS (VALUES {perm_vals}),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 5 THEN text
+              ELSE text || repeat(' ', 5 - length(text)) END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS p FROM padded
+),
+win AS (
+  SELECT doc_id,
+         CAST(ord(substr(t, p, 1)) AS HUGEINT)
+         + CAST(ord(substr(t, p + 1, 1)) AS HUGEINT) * 257
+         + CAST(ord(substr(t, p + 2, 1)) AS HUGEINT) * 66049
+         + CAST(ord(substr(t, p + 3, 1)) AS HUGEINT) * 16974593
+         + CAST(ord(substr(t, p + 4, 1)) AS HUGEINT) * 4362470401 AS h0
+  FROM pos
+),
+f1 AS (SELECT doc_id, {xs('h0')} AS h1 FROM win),
+f2 AS (SELECT doc_id, {mul_mm} AS h2 FROM f1),
+shingles AS (SELECT DISTINCT doc_id, {xs('h2')} AS sh FROM f2),
+mins AS (
+  SELECT s.doc_id, p.i,
+         min((((s.sh * p.a) % {m64} + p.b) % {m64}) % 2305843009213693951) AS mv
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id,
+         max(CASE WHEN i % 4 = 0 THEN mv END) AS m0,
+         max(CASE WHEN i % 4 = 1 THEN mv END) AS m1,
+         max(CASE WHEN i % 4 = 2 THEN mv END) AS m2,
+         max(CASE WHEN i % 4 = 3 THEN mv END) AS m3
+  FROM mins GROUP BY doc_id, i // 4
+),
+folded AS (
+  SELECT doc_id, band_id, {fold} AS hf FROM bands
+),
+bands_tbl AS (
+  SELECT doc_id, band_id, CAST(hf // 2 AS BIGINT) AS band_hash FROM folded
+)"""
+
+
+_MINHASH_VERIFIED_PAIRS_CTES = """,
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_tbl a JOIN bands_tbl b
+    ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+ssize AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+),
+vpairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN ssize za ON za.doc_id = c.id_a
+  JOIN ssize zb ON zb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE 3 * coalesce(i.ni, 0) >= za.ns + zb.ns
+)"""
+
+SQL_MINHASH_BANDS = (
+    "WITH" + _minhash_cte_body()
+    + "\nSELECT doc_id, band_id, band_hash FROM bands_tbl"
+)
+
+# Jaccard >= 0.5 as exact integers: inter/(na+nb-inter) >= 1/2
+# <=> 3*inter >= na+nb. No float division anywhere.
+SQL_MINHASH_PAIRS = (
+    "WITH" + _minhash_cte_body() + _MINHASH_VERIFIED_PAIRS_CTES
+    + "\nSELECT id_a, id_b FROM vpairs"
+)
+
+# Connected components over the verified pairs by transitive closure
+# (set-semantics recursive CTE), keep_id = component min — exactly the
+# engine's min-label propagation (ops/dissolve.py connected_components).
+SQL_MINHASH_KEEP = (
+    "WITH RECURSIVE" + _minhash_cte_body() + _MINHASH_VERIFIED_PAIRS_CTES
+    + """,
+e AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION SELECT id_b, id_a FROM vpairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION SELECT a, a FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS keep_id FROM reach GROUP BY node
+"""
+)
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -2393,6 +2537,50 @@ def q_simhash(sf_dir: str):
     return documents(sf_dir).map_batches(
         dedup_ops.SimHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
     )
+
+
+# Exact SQL replica of the engine's SimHash (ops/dedup.py:605 simhash64_batch):
+# FNV-1a 64-bit per [a-z0-9]+ token of lower(text) via a recursive CTE
+# (HUGEINT carries the wrapping multiply: h < 2^64, prime < 2^41, product
+# < 2^105 < HUGEINT max), then per-doc per-bit majority votes, ties -> 0,
+# packed >> 1 exactly like the engine's 63-bit fold. Valid for ASCII text
+# (UTF-8 byte == ord(char)); the synth corpus is ASCII by construction.
+SQL_SIMHASH = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)
+),
+fnv(doc_id, tok, pos, h) AS (
+  SELECT doc_id, tok, 1, CAST('14695981039346656037' AS HUGEINT) FROM toks
+  UNION ALL
+  SELECT doc_id, tok, pos + 1,
+         ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, pos, 1))))
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE pos <= length(tok)
+),
+tok_hash AS (
+  SELECT doc_id, h FROM fnv WHERE pos = length(tok) + 1
+),
+pows(j, pw) AS (
+  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT j + 1, pw * 2 FROM pows WHERE j < 63
+),
+nt AS (SELECT doc_id, count(*) AS n_tok FROM tok_hash GROUP BY doc_id),
+bits AS (
+  SELECT th.doc_id, p.j, p.pw, sum(CAST((th.h // p.pw) % 2 AS BIGINT)) AS ones
+  FROM tok_hash th CROSS JOIN pows p
+  GROUP BY th.doc_id, p.j, p.pw
+),
+sh AS (
+  SELECT b.doc_id,
+         CAST(sum(CASE WHEN b.j >= 1 AND 2 * b.ones > nt.n_tok
+                       THEN b.pw // 2 ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits b JOIN nt USING (doc_id)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+"""
 
 
 def q_langid(sf_dir: str):
@@ -3775,13 +3963,81 @@ FROM events GROUP BY event_type
 
 
 def q_hll_distinct(sf_dir: str):
-    """Approximate distinct user_ids via mergeable HyperLogLog sketches
-    (rows-only: estimate within ~1.6% of exact; pytest asserts the bound)."""
+    """Approximate distinct user_ids via mergeable HyperLogLog sketches;
+    pytest asserts the ~1.6% error bound, the SQL oracle replays the exact
+    sketch math (registers are a deterministic function of the distinct
+    value set — batch splits never change an elementwise max)."""
     from .ops import sketch as sk
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = sk.approx_distinct(ds, "user_id")
     return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
+
+def _hll_sql() -> str:
+    """Exact SQL replica of ops/sketch.py (hll_registers/hll_estimate):
+    murmur-style 64-bit finalizer in HUGEINT (hi/lo split multiplies,
+    xorshift-33 on the low 31 bits), register = max rank per 12-bit
+    prefix, and — the trick that makes the FLOAT estimate bit-stable —
+    sum(2^-reg) computed as the INTEGER sum S = sum(2^(53-reg)) so no
+    float accumulation order exists; est = alpha*M^2 / (S/2^53) then
+    matches numpy's pairwise sum bit-for-bit whenever max rank <= 40
+    (always, for any realistic cardinality: P(rank>40) = 2^-40/value).
+    Small-range correction branch replicated verbatim."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+
+    def mul(h: str, m: int) -> str:
+        hi, lo = m >> 32, m & 0xFFFFFFFF
+        return (f"((({h}) * {lo} + ((({h}) % 4294967296) * {hi}"
+                f" % 4294967296) * 4294967296) % {m64})")
+
+    def xs(h: str) -> str:
+        return (f"(({h}) - ({h}) % 2147483648 + "
+                f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
+                f" CAST(({h}) // 8589934592 AS BIGINT)))")
+
+    return f"""
+WITH RECURSIVE
+pows(j, pw) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT j+1, pw*2 FROM pows WHERE j < 63),
+u AS (SELECT DISTINCT ((CAST(user_id AS HUGEINT) % {m64}) + {m64}) % {m64} AS v FROM events),
+h0 AS (SELECT {xs('v')} AS h FROM u),
+h1 AS (SELECT {mul('h', 0xFF51AFD7ED558CCD)} AS h FROM h0),
+h2 AS (SELECT {xs('h')} AS h FROM h1),
+h3 AS (SELECT {mul('h', 0xC4CEB9FE1A85EC53)} AS h FROM h2),
+h4 AS (SELECT {xs('h')} AS h FROM h3),
+ranked AS (
+  SELECT CAST(h // 4503599627370496 AS BIGINT) AS idx,
+         (h % 4503599627370496) * 4096 AS rest
+  FROM h4
+),
+lz AS (
+  SELECT idx,
+         CASE WHEN rest = 0 THEN 53
+              ELSE least(53, 64 - (SELECT max(j) FROM pows WHERE pw <= rest))
+         END AS rank
+  FROM ranked
+),
+regs AS (SELECT idx, max(rank) AS r FROM lz GROUP BY idx),
+s AS (
+  SELECT sum((SELECT pw FROM pows WHERE j = 53 - r)) AS s_present,
+         count(*) AS n_present
+  FROM regs
+),
+est0 AS (
+  SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096 /
+         (CAST(s_present + (4096 - n_present) * CAST('9007199254740992' AS HUGEINT) AS DOUBLE)
+          / 9007199254740992.0) AS est,
+         4096 - n_present AS zeros
+  FROM s
+)
+SELECT CAST(round(CASE WHEN est <= 10240.0 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros) ELSE est END) AS BIGINT)
+       AS approx_distinct_users
+FROM est0
+"""
+
+
+SQL_HLL_DISTINCT = _hll_sql()
 
 
 def q_snap_nearest(sf_dir: str):
@@ -5110,6 +5366,11 @@ REGISTRY: dict[str, tuple] = {
     "image_channel_stats": (q_image_channel_stats, SQL_IMAGE_CHANNEL_STATS),
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
     "grouped_centroids": (q_grouped_centroids, SQL_GROUPED_CENTROIDS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+    "minhash_keep": (q_minhash_keep, SQL_MINHASH_KEEP),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
     "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),
@@ -5121,7 +5382,6 @@ REGISTRY: dict[str, tuple] = {
     "destination_count": (q_destination_count, SQL_DESTINATION_COUNT),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "overlay_union_cell": (q_overlay_union_cell, SQL_OVERLAY_UNION),
-    "minhash_keep": (q_minhash_keep, None),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "k_routes": (q_k_routes, SQL_K_ROUTES),
     "route_frequencies": (q_route_frequencies, SQL_ROUTE_FREQUENCIES),
@@ -5162,7 +5422,6 @@ REGISTRY: dict[str, tuple] = {
     "embed_dedup_pairs": (q_embed_dedup_pairs, SQL_EMBED_DEDUP),
     "overlay_concave_inter": (q_overlay_concave_inter, SQL_OVERLAY_CONCAVE_INTER),
     "buffer_line_area": (q_buffer_line_area, SQL_BUFFER_LINE_AREA),
-    "minhash_pairs": (q_minhash_pairs, None),
     "overlay_holed_inter": (q_overlay_holed_inter, SQL_OVERLAY_HOLED_INTER),
     "overlay_intersection": (q_overlay_intersection, SQL_OVERLAY_INTERSECTION),
     "overlay_difference_area": (q_overlay_difference_area, SQL_OVERLAY_DIFFERENCE_AREA),
@@ -5223,9 +5482,6 @@ REGISTRY: dict[str, tuple] = {
     "size_rank": (q_size_rank, SQL_SIZE_RANK),
     "close_holes": (q_close_holes, SQL_CLOSE_HOLES),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "hll_distinct": (q_hll_distinct, None),
-    "minhash_bands": (q_minhash_bands, None),
-    "simhash": (q_simhash, None),
 }
 
 
