@@ -433,3 +433,104 @@ def test_embed_captions_matches_numpy_and_feeds_ann(ray_session):
     top = ann_ops.ann_bruteforce(rd.from_arrow(emb), queries, k=2).to_pandas()
     top = top.sort_values("ann_rank")
     assert list(top["vec_id"]) == [0, 1]
+
+
+def _oracle_con_with_docs(texts):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    return con
+
+
+def test_simhash_sql_oracle_matches_kernel():
+    """The registry's SQL_SIMHASH must replay simhash64_batch bit-for-bit
+    (recursive-CTE FNV-1a + per-bit majority votes). Guards the oracle
+    math without needing the driver's gate."""
+    from ssb_sgis_ray.queries import SQL_SIMHASH
+
+    texts = [
+        "the quick brown fox 123",
+        "THE QUICK BROWN FOX 123",   # case-folds to the same hash
+        "paddington",
+        "",                           # zero tokens -> 0
+        "a",                          # single 1-char token
+        "x9 " * 40,
+    ]
+    con = _oracle_con_with_docs(texts)
+    got = (
+        con.execute(SQL_SIMHASH).df().sort_values("doc_id")["simhash"].to_numpy()
+    )
+    want = dedup_ops.simhash64_batch(texts)
+    assert (got == want).all()
+    assert got[0] == got[1]
+    assert got[3] == 0
+
+
+def test_minhash_sql_oracles_match_kernels():
+    """SQL_MINHASH_BANDS replays MinHashStage exactly (wrapping-uint64
+    HUGEINT arithmetic); SQL_MINHASH_PAIRS's integer Jaccard filter
+    (3*inter >= na+nb) equals the engine's float >= 0.5 threshold."""
+    import pyarrow as pa
+
+    from ssb_sgis_ray.queries import SQL_MINHASH_BANDS, SQL_MINHASH_PAIRS
+
+    base = "large language models eat the world one token at a time "
+    texts = [
+        base * 6,
+        base * 6 + "tail drift",      # near-dup of 0
+        "completely different content about marine biology " * 7,
+        "tiny",                        # shorter than one shingle -> padded
+        base * 6,                      # exact dup of 0
+    ]
+    con = _oracle_con_with_docs(texts)
+
+    got_bands = (
+        con.execute(SQL_MINHASH_BANDS)
+        .df()
+        .sort_values(["doc_id", "band_id"])
+        .reset_index(drop=True)
+    )
+    stage = dedup_ops.MinHashStage()
+    want_bands = (
+        stage(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+        .to_pandas()
+        .sort_values(["doc_id", "band_id"])
+        .reset_index(drop=True)
+    )
+    assert (got_bands["band_hash"].to_numpy()
+            == want_bands["band_hash"].to_numpy()).all()
+
+    pairs = set(
+        map(tuple, con.execute(SQL_MINHASH_PAIRS).df().to_numpy().tolist())
+    )
+    assert (0, 4) in pairs            # exact dup always survives verify
+    assert (0, 1) in pairs            # near-dup above 0.5 Jaccard
+    assert not any(2 in p for p in pairs)   # unrelated doc never pairs
+    for a, b in pairs:
+        assert dedup_ops.ngram_jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_hll_sql_oracle_matches_sketch():
+    """SQL_HLL_DISTINCT replays hll_registers/hll_estimate to the same
+    rounded integer: the float sum is replaced by the exact integer sum
+    S = sum(2^(53-reg)), so the SQL and numpy estimates are bit-stable."""
+    import duckdb
+    import numpy as np
+
+    from ssb_sgis_ray.ops import sketch as sk
+    from ssb_sgis_ray.queries import SQL_HLL_DISTINCT
+
+    rng = np.random.RandomState(7)
+    for n in (3, 200, 5000):
+        vals = rng.randint(0, 1 << 40, size=n).astype(np.int64)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events(user_id BIGINT)")
+        con.register("_v", __import__("pandas").DataFrame({"user_id": vals}))
+        con.execute("INSERT INTO events SELECT user_id FROM _v")
+        got = con.execute(SQL_HLL_DISTINCT).fetchone()[0]
+        want = int(round(sk.hll_estimate(sk.hll_registers(vals))))
+        assert got == want, (n, got, want)
