@@ -932,6 +932,60 @@ def overlay_pairs_cell(
     )
 
 
+# survivor count below which the filtered left side is broadcast whole
+# (a geometry row is ~100-200 B; 200k rows ≈ tens of MB in the object
+# store — the documented broadcast budget used by the other small-side
+# plans). Above it the cell co-partitioned pair plan takes over.
+DIFF_SURVIVOR_BROADCAST_LIMIT = 200_000
+
+
+def _broadcast_survivor_pairs(left_small_ds, right_ds, left_id: str,
+                              right_id: str):
+    """Matched (left_id, left_geom, right_id, right_geom) pair rows via
+    ONE streaming pass over the right table against a broadcast survivor
+    index — no second cell exchange, no pair-table shuffle.
+
+    The survivor set is tiny after the area pre-filter (~3% of matched
+    lefts in dense-coverage data), so the STRtree over their bboxes is
+    built ONCE on the driver and ``ray.put`` whole (the prebuilt-index
+    pattern from the RightGeoms broadcast). Exactness: difference
+    semantics ignore non-intersecting partners — subtracting geometry
+    disjoint from the subject is a no-op — so the bbox-overlap candidate
+    set (a superset of the cell kernel's refined matches) yields an
+    IDENTICAL remainder for every left, and survivors with no bbox
+    overlap at all emit no row and pass through the join-back unchanged,
+    exactly like the cell plan's unmatched rows.
+    """
+    lt = pa.concat_tables(ray.get(left_small_ds.to_arrow_refs()))
+    lpg = wkb.decode_polygons(lt["geometry_wkb"])
+    tree = STRtree(kernels.polygon_bounds(lpg))
+    lids = lt[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+    lgeom = lt["geometry_wkb"].to_numpy(zero_copy_only=False)
+    ref = ray.put((tree, lids, lgeom))
+
+    class MatchSurvivors:
+        def __init__(self):
+            self.tree, self.lids, self.lgeom = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rpg = wkb.decode_polygons(batch["geometry_wkb"])
+            qi, ii = self.tree.query_bbox(kernels.polygon_bounds(rpg))
+            take = pa.array(qi, pa.int64())
+            return pa.table(
+                {
+                    "left_id": pa.array(self.lids[ii], pa.int64()),
+                    "left_geom": pa.array(self.lgeom[ii], pa.binary()),
+                    "right_id": batch[right_id].take(take).cast(pa.int64()),
+                    "right_geom": batch["geometry_wkb"].take(take),
+                }
+            )
+
+    return right_ds.map_batches(
+        MatchSurvivors, batch_format="pyarrow",
+        concurrency=default_pool(), batch_size=8192,
+    )
+
+
 def overlay_difference_cell(
     left_ds,
     right_ds,
@@ -974,18 +1028,27 @@ def overlay_difference_cell(
         left_ds = membership_filter(
             left_ds, survivors, left_id, small_key="left_id",
         ).materialize()
-        lt = left_ds.map_batches(
-            lambda b: _tag_overlay_side(b, res, left_id, 0), batch_format="pyarrow"
-        )
-        rt = right_ds.map_batches(
-            lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
-        )
-        pairs = (
-            lt.union(rt)
-            .groupby("cell")
-            .map_groups(_cell_overlay_kernel("difference", "geometry", res),
-                        batch_format="pandas")
-        )
+        if left_ds.count() <= DIFF_SURVIVOR_BROADCAST_LIMIT:
+            # few survivors: broadcast them, stream the rights ONCE —
+            # the second cell exchange and the pair shuffle disappear
+            pairs = _broadcast_survivor_pairs(
+                left_ds, right_ds, left_id, right_id
+            )
+        else:
+            lt = left_ds.map_batches(
+                lambda b: _tag_overlay_side(b, res, left_id, 0),
+                batch_format="pyarrow",
+            )
+            rt = right_ds.map_batches(
+                lambda b: _tag_overlay_side(b, res, right_id, 1),
+                batch_format="pyarrow",
+            )
+            pairs = (
+                lt.union(rt)
+                .groupby("cell")
+                .map_groups(_cell_overlay_kernel("difference", "geometry", res),
+                            batch_format="pandas")
+            )
 
     def diff_group(g: pd.DataFrame) -> pd.DataFrame:
         spg = wkb.decode_polygons(
