@@ -784,3 +784,58 @@ def test_cell_difference_and_union_with_empty_right(ray_session):
     by = dict(zip(t["leg"].to_pylist(), t["total_area"].to_pylist()))
     assert by.get("left") == 100 * 50 + 200 * 400
     assert "right" not in by and "inter" not in by
+
+
+def test_difference_cell_broadcast_and_cell_pair_plans_agree(ray_session, monkeypatch):
+    """The survivor BROADCAST pair plan (default at small survivor counts)
+    and the cell co-partitioned pair plan (forced via a zero broadcast
+    limit) must produce identical per-left remainders — including holes
+    punched by partners, fully-covered drops, and never-matched
+    pass-throughs."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.geo import kernels
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import overlay as ov
+
+    def box(x0, y0, x1, y1):
+        return W.encode_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                      float)]
+        )
+
+    left = pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "geometry_wkb": pa.array(
+            [
+                box(0, 0, 100, 100),        # partner punches a hole
+                box(200, 200, 260, 260),    # fully covered -> dropped
+                box(900, 900, 960, 960),    # never matched -> pass-through
+                box(40, 40, 300, 300),      # overlaps two partners
+            ],
+            pa.binary(),
+        ),
+    })
+    right = pa.table({
+        "rid": pa.array([10, 11], pa.int64()),
+        "geometry_wkb": pa.array(
+            [box(25, 25, 75, 75), box(150, 150, 400, 400)], pa.binary()
+        ),
+    })
+
+    def run():
+        out = ov.overlay_difference_cell(
+            rd.from_arrow(left), rd.from_arrow(right), "lid", "rid", res=6
+        ).to_pandas()
+        pg = W.decode_polygons(out["geometry_wkb"].to_numpy())
+        return dict(zip(out["lid"], np.round(kernels.polygon_areas(pg), 6)))
+
+    broadcast = run()
+    monkeypatch.setattr(ov, "DIFF_SURVIVOR_BROADCAST_LIMIT", 0)
+    cell_pair = run()
+    want = {
+        1: 100 * 100 - 50 * 50,
+        3: 60 * 60,
+        4: 260 * 260 - 150 * 150 - 35 * 35,
+    }
+    assert broadcast == cell_pair == want
