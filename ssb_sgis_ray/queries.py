@@ -2583,6 +2583,42 @@ FROM documents d LEFT JOIN sh USING (doc_id)
 """
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs: fingerprints -> pigeonhole LSH over 4
+    disjoint 16-bit bands -> in-bucket Hamming<=3 verify (the banding is
+    LOSSLESS for this radius: 3 differing bits touch at most 3 bands, so
+    every qualifying pair agrees exactly on at least one band). Reuses
+    the generic 64-bit-hash band machinery (ops/dedup.py
+    phash_near_dup_pairs) over the text fingerprint column — reference
+    duplicates.py semantics at fingerprint granularity."""
+    fp = documents(sf_dir).map_batches(
+        dedup_ops.SimHashStage, batch_format="pandas",
+        concurrency=(1, 8), batch_size=2048,
+    )
+    return dedup_ops.phash_near_dup_pairs(
+        fp, id_col="doc_id", hash_col="simhash", max_hamming=3
+    )
+
+
+# Lossless-banding equivalence lets the oracle skip the LSH entirely:
+# output == ALL pairs with hamming(simhash_a, simhash_b) <= 3, which at
+# oracle scale is a plain self-join + bit_count filter over the exact
+# fingerprints computed by the SQL_SIMHASH CTE chain.
+_SIMHASH_BODY = SQL_SIMHASH[: SQL_SIMHASH.rindex("SELECT d.doc_id")]
+SQL_SIMHASH_NEAR_DUP = (
+    _SIMHASH_BODY
+    + """,
+fp AS (
+  SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sh USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
 def q_langid(sf_dir: str):
     return documents(sf_dir).map_batches(
         text_ops.LangId, batch_format="pandas", concurrency=(1, 8), batch_size=2048
@@ -5367,6 +5403,7 @@ REGISTRY: dict[str, tuple] = {
     "pct_bidirectional": (q_pct_bidirectional, SQL_PCT_BIDIRECTIONAL),
     "grouped_centroids": (q_grouped_centroids, SQL_GROUPED_CENTROIDS),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "minhash_keep": (q_minhash_keep, SQL_MINHASH_KEEP),
