@@ -1425,3 +1425,184 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
         .map_groups(_intra_cluster_pairs, batch_format="pandas")
     )
     return cross.union(intra)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+# df table broadcast bound: (sh, df) int64 pairs are 16 B/row; 20M rows
+# = a 320 MB object-store table — the documented ceiling for a one-shot
+# broadcast. Beyond it the hash-join + per-doc groupby fallback runs.
+DF_BROADCAST_LIMIT = 20_000_000
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        df_broadcast_limit: int = DF_BROADCAST_LIMIT):
+    """EXACT k-gram Jaccard similarity join: every pair with true
+    J >= threshold — recall 1, unlike the MinHash path whose LSH stage
+    can miss. Scale shape comes from PREFIX FILTERING (the AllPairs /
+    PPJoin principle — Bayardo, Ma & Srikant, WWW'07; Xiao et al.,
+    VLDB'08): under any global total order on shingles, two sets with
+    J >= t share at least one shingle among each set's first
+    (|S| - ceil(t*|S|) + 1) shingles, so only those PREFIX rows enter
+    the candidate shuffle. Ordering by ascending document frequency
+    makes prefix buckets rare-shingle by construction.
+
+    Plan (all stages distributed, df-table broadcast limit-guarded):
+      1. df pass: per-batch partial shingle counts -> one narrow int64
+         groupby-sum (the corpus is shingled once more in pass 2 —
+         deliberate, like the asof right-side re-read: recomputing 5-gram
+         hashes beats materializing doc-atomic shingle blocks).
+      2. prefix pass: per doc (one input row -> atomic), rank its
+         shingles by (df, sh) via broadcast searchsorted and emit the
+         first (ns - ceil(t*ns) + 1); fallback joins df distributed and
+         groups by doc.
+      3. prefix-bucket triangular pairs -> distributed packed distinct.
+      4. the existing vectorized Jaccard verify (exact, integer-safe).
+
+    Collapse EXACT duplicates first (exact_dedup): identical texts give
+    every shingle equal df, so prefixes lose pruning power — the
+    standard practice for similarity joins (and what the reference's
+    dedup pipeline does before near-dup detection). Prefix buckets
+    larger than BUCKET_CAP are logged loudly but still expanded —
+    capping would break the exactness contract; the upgrade path is
+    PPJoin's positional filter, noted here for the 100 TB deployment.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        if not texts:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        allsh = np.concatenate([_shingle_hashes(str(t), k) for t in texts])
+        u, c = np.unique(allsh.view(np.int64), return_counts=True)
+        return pa.table({"sh": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    df_tbl = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow",
+                            batch_size=2048)
+        .groupby("sh")
+        .aggregate(Sum(on="c", alias_name="df"))
+        .materialize()
+    )
+
+    def prefix_from_sorted(d, s, dfv, ns):
+        """Rows sorted by doc: keep each doc's first p by (df, sh)."""
+        order = np.lexsort((s, dfv, d))
+        d2, s2 = d[order], s[order]
+        ns2 = ns[order]
+        new = np.r_[True, d2[1:] != d2[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(d2)) - starts[np.cumsum(new) - 1]
+        p = ns2 - np.ceil(threshold * ns2).astype(np.int64) + 1
+        keep = rank < p
+        return d2[keep], s2[keep]
+
+    if df_tbl.count() <= df_broadcast_limit:
+        dfd = df_tbl.to_pandas()
+        ks = dfd["sh"].to_numpy().astype(np.int64)
+        vs = dfd["df"].to_numpy().astype(np.int64)
+        o = np.argsort(ks, kind="stable")
+        ref = ray.put((ks[o], vs[o]))
+
+        class PrefixRows:
+            def __init__(self):
+                self.ks, self.vs = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                texts = b[text_col].to_pylist()
+                shs = [_shingle_hashes(str(t), k) for t in texts]
+                cnt = np.fromiter((len(s) for s in shs), np.int64,
+                                  count=len(shs))
+                s = (np.concatenate(shs).view(np.int64) if len(shs)
+                     else np.empty(0, np.int64))
+                d = np.repeat(ids, cnt)
+                ns = np.repeat(cnt, cnt)
+                dfv = self.vs[np.searchsorted(self.ks, s)]
+                dk, sk = prefix_from_sorted(d, s, dfv, ns)
+                return pa.table({"doc_id": pa.array(dk, pa.int64()),
+                                 "sh": pa.array(sk, pa.int64())})
+
+        prefix = docs_ds.map_batches(
+            PrefixRows, batch_format="pyarrow",
+            concurrency=default_pool(), batch_size=2048,
+        )
+    else:
+        # distributed fallback: full shingle rows -> hash-join df ->
+        # per-doc groupby restores atomicity for the prefix pick
+        from .lookup import lookup_join
+
+        def shingle_rows(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = b[text_col].to_pylist()
+            shs = [_shingle_hashes(str(t), k) for t in texts]
+            cnt = np.fromiter((len(s) for s in shs), np.int64, count=len(shs))
+            s = (np.concatenate(shs).view(np.int64) if len(shs)
+                 else np.empty(0, np.int64))
+            return pa.table({
+                "doc_id": pa.array(np.repeat(ids, cnt), pa.int64()),
+                "sh": pa.array(s, pa.int64()),
+                "ns": pa.array(np.repeat(cnt, cnt), pa.int64()),
+            })
+
+        rows = docs_ds.map_batches(shingle_rows, batch_format="pyarrow",
+                                   batch_size=2048)
+        rows = lookup_join(rows, df_tbl, "sh", small_key="sh",
+                           value_col="df", out_col="df")
+
+        def prefix_group(g: pd.DataFrame) -> pd.DataFrame:
+            d = g["doc_id"].to_numpy().astype(np.int64)
+            s = g["sh"].to_numpy().astype(np.int64)
+            dfv = g["df"].to_numpy().astype(np.int64)
+            ns = g["ns"].to_numpy().astype(np.int64)
+            dk, sk = prefix_from_sorted(d, s, dfv, ns)
+            return pd.DataFrame({"doc_id": dk, "sh": sk})
+
+        prefix = rows.groupby("doc_id").map_groups(
+            prefix_group, batch_format="pandas"
+        )
+
+    def add_super(b: pa.Table) -> pa.Table:
+        s = b["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("super", pa.array(s % SUPER_GROUPS, pa.int64()))
+
+    def super_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        s = g["sh"].to_numpy().astype(np.int64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        _, ends, sizes = _bucket_bounds(s)
+        for kk in np.nonzero(sizes > BUCKET_CAP)[0]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefix bucket of %d docs exceeds %d: expanded anyway "
+                "(exactness contract; collapse exact dups first, or add "
+                "the PPJoin positional filter at deployment scale)",
+                int(sizes[kk]), BUCKET_CAP,
+            )
+        a_idx, b_idx = _triangular_pair_indices(
+            ends, sizes, sizes >= 2
+        )
+        if not len(a_idx):
+            return empty
+        a, b = d[a_idx], d[b_idx]
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    cands = distinct_pairs(
+        prefix.map_batches(add_super, batch_format="pyarrow")
+        .groupby("super")
+        .map_groups(super_to_pairs, batch_format="pandas")
+    )
+    return verify_pairs_jaccard(cands, docs_ds, threshold=threshold, k=k)

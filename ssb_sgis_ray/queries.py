@@ -2357,6 +2357,53 @@ def q_minhash_bands(sf_dir: str):
     )
 
 
+def _shingle_cte_sql() -> str:
+    """CTE chain ending in ``shingles(doc_id, sh)`` — the exact SQL
+    replica of ops/dedup.py:41 _shingle_hashes: 5-gram polynomial hash
+    (sum byte_j * 257^j, exact, < 2^41) then the murmur-style finalizer
+    (xorshift-33 / wrapping multiply / xorshift-33) in HUGEINT. Shared
+    by every shingle-based oracle (minhash bands/pairs/keep, exact
+    n-gram Jaccard)."""
+    m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    mm = 0xFF51AFD7ED558CCD
+    mm_hi, mm_lo = mm >> 32, mm & 0xFFFFFFFF
+
+    def xs(h: str) -> str:
+        # h ^ (h >> 33) for h < 2^64: the shifted value is < 2^31, so
+        # only the low 31 bits change — BIGINT xor suffices
+        return (
+            f"(({h}) - ({h}) % 2147483648 + "
+            f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
+            f" CAST(({h}) // 8589934592 AS BIGINT)))"
+        )
+
+    mul_mm = (
+        f"((h1 * {mm_lo} + ((h1 % 4294967296) * {mm_hi} % 4294967296)"
+        f" * 4294967296) % {m64})"
+    )
+    return f"""padded AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 5 THEN text
+              ELSE text || repeat(' ', 5 - length(text)) END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS p FROM padded
+),
+win AS (
+  SELECT doc_id,
+         CAST(ord(substr(t, p, 1)) AS HUGEINT)
+         + CAST(ord(substr(t, p + 1, 1)) AS HUGEINT) * 257
+         + CAST(ord(substr(t, p + 2, 1)) AS HUGEINT) * 66049
+         + CAST(ord(substr(t, p + 3, 1)) AS HUGEINT) * 16974593
+         + CAST(ord(substr(t, p + 4, 1)) AS HUGEINT) * 4362470401 AS h0
+  FROM pos
+),
+f1 AS (SELECT doc_id, {xs('h0')} AS h1 FROM win),
+f2 AS (SELECT doc_id, {mul_mm} AS h2 FROM f1),
+shingles AS (SELECT DISTINCT doc_id, {xs('h2')} AS sh FROM f2)"""
+
+
 def _minhash_cte_body() -> str:
     """Shared CTE chain replicating the engine's MinHash in exact SQL
     (ops/dedup.py:41 _shingle_hashes, :56 minhash_signature, :66
@@ -2382,47 +2429,12 @@ def _minhash_cte_body() -> str:
         for i in range(dedup_ops.N_PERM)
     )
     m64 = "CAST('18446744073709551616' AS HUGEINT)"
-    mm = 0xFF51AFD7ED558CCD
-    mm_hi, mm_lo = mm >> 32, mm & 0xFFFFFFFF
-
-    def xs(h: str) -> str:
-        # h ^ (h >> 33) for h < 2^64
-        return (
-            f"(({h}) - ({h}) % 2147483648 + "
-            f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
-            f" CAST(({h}) // 8589934592 AS BIGINT)))"
-        )
-
-    mul_mm = (
-        f"((h1 * {mm_lo} + ((h1 % 4294967296) * {mm_hi} % 4294967296)"
-        f" * 4294967296) % {m64})"
-    )
     fold = f"((CAST(band_id AS HUGEINT) * CAST('{0x9E3779B97F4A7C15}' AS HUGEINT)) % {m64})"
     for m in ("m0", "m1", "m2", "m3"):
         fold = f"(({fold} * 1099511628211 + {m}) % {m64})"
     return f"""
 perms(i, a, b) AS (VALUES {perm_vals}),
-padded AS (
-  SELECT doc_id,
-         CASE WHEN length(text) >= 5 THEN text
-              ELSE text || repeat(' ', 5 - length(text)) END AS t
-  FROM documents
-),
-pos AS (
-  SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS p FROM padded
-),
-win AS (
-  SELECT doc_id,
-         CAST(ord(substr(t, p, 1)) AS HUGEINT)
-         + CAST(ord(substr(t, p + 1, 1)) AS HUGEINT) * 257
-         + CAST(ord(substr(t, p + 2, 1)) AS HUGEINT) * 66049
-         + CAST(ord(substr(t, p + 3, 1)) AS HUGEINT) * 16974593
-         + CAST(ord(substr(t, p + 4, 1)) AS HUGEINT) * 4362470401 AS h0
-  FROM pos
-),
-f1 AS (SELECT doc_id, {xs('h0')} AS h1 FROM win),
-f2 AS (SELECT doc_id, {mul_mm} AS h2 FROM f1),
-shingles AS (SELECT DISTINCT doc_id, {xs('h2')} AS sh FROM f2),
+{_shingle_cte_sql()},
 mins AS (
   SELECT s.doc_id, p.i,
          min((((s.sh * p.a) % {m64} + p.b) % {m64}) % 2305843009213693951) AS mv
@@ -2478,6 +2490,45 @@ SQL_MINHASH_BANDS = (
 SQL_MINHASH_PAIRS = (
     "WITH" + _minhash_cte_body() + _MINHASH_VERIFIED_PAIRS_CTES
     + "\nSELECT id_a, id_b FROM vpairs"
+)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT 5-gram Jaccard >= 0.5 similarity join (recall 1, no LSH
+    miss) via prefix filtering — the AllPairs/PPJoin candidate rule over
+    df-ordered shingle prefixes, then the shared vectorized verify.
+    ops/dedup.py:ngram_jaccard_pairs documents the 100 TB plan."""
+    return dedup_ops.ngram_jaccard_pairs(
+        documents(sf_dir), threshold=0.5, k=5
+    ).select_columns(["id_a", "id_b"])
+
+
+# The oracle needs no prefix machinery: any qualifying pair (J >= 0.5 >
+# 0) shares at least one shingle, so candidates = shingle-equality
+# self-join, verified by the integer Jaccard predicate.
+SQL_NGRAM_JACCARD = (
+    "WITH "
+    + _shingle_cte_sql()
+    + """,
+ssize AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cands c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b
+FROM cands c
+JOIN ssize za ON za.doc_id = c.id_a
+JOIN ssize zb ON zb.doc_id = c.id_b
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE 3 * i.ni >= za.ns + zb.ns
+"""
 )
 
 # Connected components over the verified pairs by transitive closure
@@ -5407,6 +5458,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "minhash_keep": (q_minhash_keep, SQL_MINHASH_KEEP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),

@@ -534,3 +534,66 @@ def test_hll_sql_oracle_matches_sketch():
         got = con.execute(SQL_HLL_DISTINCT).fetchone()[0]
         want = int(round(sk.hll_estimate(sk.hll_registers(vals))))
         assert got == want, (n, got, want)
+
+
+def test_ngram_jaccard_exact_join_matches_bruteforce(ray_session):
+    """Prefix-filtered exact similarity join == all-pairs brute force
+    (recall 1 is the contract that distinguishes it from the MinHash
+    LSH path), on a corpus with exact dups, near dups straddling the
+    threshold, and sub-shingle texts."""
+    import ray.data as rd
+
+    base = "distributed systems shuffle data across the network " * 4
+    texts = [
+        base,
+        base + "with backpressure",                  # J >= 0.5 vs 0
+        "completely unrelated text about gardening " * 5,
+        base,                                        # exact dup of 0
+        base[: len(base) // 2] + "totally different second half "
+        "that pushes jaccard well below the threshold " * 3,
+        "tiny",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = (
+        dedup_ops.ngram_jaccard_pairs(docs, threshold=0.5, k=5)
+        .to_pandas()[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = sorted(
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if dedup_ops.ngram_jaccard(texts[a], texts[b]) >= 0.5
+    )
+    assert list(map(tuple, got.to_numpy().tolist())) == want
+    assert (0, 3) in want and (0, 1) in want
+    assert not any(2 in p or 4 in p for p in want)
+
+
+def test_ngram_jaccard_distributed_df_fallback_agrees(ray_session):
+    """Forcing the df table past the broadcast bound exercises the
+    hash-join + per-doc-groupby fallback; both paths must emit the same
+    pairs."""
+    import ray.data as rd
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta " * 6,
+        "alpha beta gamma delta epsilon zeta " * 6 + "eta theta",
+        "one two three four five six seven eight nine ten " * 4,
+        "one two three four five six seven eight nine ten " * 4 + "!!",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+    def run(limit):
+        return sorted(
+            map(tuple, dedup_ops.ngram_jaccard_pairs(
+                docs, threshold=0.5, k=5, df_broadcast_limit=limit
+            ).to_pandas()[["id_a", "id_b"]].to_numpy().tolist())
+        )
+
+    assert run(10_000_000) == run(0) == [(0, 1), (2, 3)]
