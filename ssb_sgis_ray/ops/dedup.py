@@ -1436,10 +1436,104 @@ def video_frame_jaccard_pairs(videos_ds, t_num: int = 8, t_den: int = 10,
 # broadcast. Beyond it the hash-join + per-doc groupby fallback runs.
 DF_BROADCAST_LIMIT = 20_000_000
 
+def _dense_universe_jaccard_pairs(docs_ds, df_tbl, threshold: float,
+                                  k: int, id_col: str, text_col: str):
+    """Exact Jaccard join for the dense-universe regime: every doc is a
+    subset of a SMALL shingle universe, so intersection counts come from
+    ONE float32 matmul per doc block against the broadcast presence
+    matrix (exact: 0/1 sums stay integer-valued below 2^24). Output
+    pairs are final — no verify stage needed."""
+    import ray
+    import ray.data as rd
+
+    uni = np.sort(
+        df_tbl.to_pandas()["sh"].to_numpy().astype(np.int64)
+    )
+    n_universe = len(uni)
+
+    # pass A: (doc_id, ns, presence row) per doc, collected bounded
+    # (guarded by the caller: n_docs * n_universe * 4 <= 1 GB)
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        m = np.zeros((len(ids), n_universe), dtype=np.uint8)
+        ns = np.empty(len(ids), dtype=np.int64)
+        for r, t in enumerate(texts):
+            s = _shingle_hashes(str(t), k).view(np.int64)
+            m[r, np.searchsorted(uni, s)] = 1
+            ns[r] = len(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ns": pa.array(ns, pa.int64()),
+                "bits": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+    rows = docs_ds.map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+    blocks = [t for t in ray.get(rows.to_arrow_refs()) if len(t)]
+    all_ids = np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False) for t in blocks]
+    ).astype(np.int64)
+    all_ns = np.concatenate(
+        [t["ns"].to_numpy(zero_copy_only=False) for t in blocks]
+    ).astype(np.int64)
+    M = np.frombuffer(
+        b"".join(bytes(x) for t in blocks for x in t["bits"].to_pylist()),
+        dtype=np.uint8,
+    ).reshape(len(all_ids), n_universe).astype(np.float32)
+    mref = ray.put((M.T.copy(), all_ids, all_ns))
+
+    class BlockPairs:
+        def __init__(self):
+            self.MT, self.ids, self.ns = ray.get(mref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = b["ns"].to_numpy(zero_copy_only=False).astype(np.int64)
+            Q = np.frombuffer(
+                b"".join(bytes(x) for x in b["bits"].to_pylist()), np.uint8
+            ).reshape(len(ids), -1).astype(np.float32)
+            inter = (Q @ self.MT).astype(np.int64)  # exact integer counts
+            union = ns[:, None] + self.ns[None, :] - inter
+            # J >= t  <=>  inter >= t * union; integer-safe at t = a/b:
+            # compare b*inter >= a*union via the float threshold on
+            # EXACT int64 operands (threshold is a small rational)
+            ok = (inter.astype(np.float64)
+                  >= threshold * union.astype(np.float64))
+            ok &= ids[:, None] < self.ids[None, :]
+            qi, mi = np.nonzero(ok)
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[qi], pa.int64()),
+                    "id_b": pa.array(self.ids[mi], pa.int64()),
+                }
+            )
+
+    return rows.map_batches(
+        BlockPairs, batch_format="pyarrow",
+        concurrency=default_pool(), batch_size=512,
+    )
+
+
+# Dense-universe regime: when the DISTINCT shingle count is this small,
+# prefix filtering cannot prune (every shingle is high-df — measured on
+# the synth corpus: 2041 distinct shingles over 5000 docs expand to 89M
+# prefix-bucket pairs vs 12.5M raw pairs) and the exact join is better
+# served by bitset intersection counts via one float32 matmul per doc
+# block against the broadcast presence matrix (the ANN-brute pattern).
+# Counts <= universe < 2^24 are exactly representable, so the matmul is
+# integer-exact.
+DENSE_UNIVERSE_BITS = 8192
+DENSE_MATRIX_BYTES = 1 << 30  # float32 presence-matrix broadcast ceiling
+
 
 def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        df_broadcast_limit: int = DF_BROADCAST_LIMIT):
+                        df_broadcast_limit: int = DF_BROADCAST_LIMIT,
+                        dense_universe_bits: int | None = None):
     """EXACT k-gram Jaccard similarity join: every pair with true
     J >= threshold — recall 1, unlike the MinHash path whose LSH stage
     can miss. Scale shape comes from PREFIX FILTERING (the AllPairs /
@@ -1491,6 +1585,16 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 5,
         .materialize()
     )
 
+    if dense_universe_bits is None:
+        dense_universe_bits = DENSE_UNIVERSE_BITS
+    n_universe = df_tbl.count()
+    n_docs = docs_ds.count()
+    if (n_universe <= dense_universe_bits
+            and n_docs * n_universe * 4 <= DENSE_MATRIX_BYTES):
+        return _dense_universe_jaccard_pairs(
+            docs_ds, df_tbl, threshold, k, id_col, text_col
+        )
+
     def prefix_from_sorted(d, s, dfv, ns):
         """Rows sorted by doc: keep each doc's first p by (df, sh)."""
         order = np.lexsort((s, dfv, d))
@@ -1503,7 +1607,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 5,
         keep = rank < p
         return d2[keep], s2[keep]
 
-    if df_tbl.count() <= df_broadcast_limit:
+    if n_universe <= df_broadcast_limit:
         dfd = df_tbl.to_pandas()
         ks = dfd["sh"].to_numpy().astype(np.int64)
         vs = dfd["df"].to_numpy().astype(np.int64)

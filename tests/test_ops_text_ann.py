@@ -574,9 +574,9 @@ def test_ngram_jaccard_exact_join_matches_bruteforce(ray_session):
 
 
 def test_ngram_jaccard_distributed_df_fallback_agrees(ray_session):
-    """Forcing the df table past the broadcast bound exercises the
-    hash-join + per-doc-groupby fallback; both paths must emit the same
-    pairs."""
+    """All three plans — dense-universe matmul, prefix-filter with df
+    broadcast, and prefix-filter with the df hash-join fallback — must
+    emit the same pairs."""
     import ray.data as rd
 
     texts = [
@@ -589,11 +589,15 @@ def test_ngram_jaccard_distributed_df_fallback_agrees(ray_session):
         pa.table({"doc_id": list(range(len(texts))), "text": texts})
     )
 
-    def run(limit):
+    def run(df_limit, dense_bits):
         return sorted(
             map(tuple, dedup_ops.ngram_jaccard_pairs(
-                docs, threshold=0.5, k=5, df_broadcast_limit=limit
+                docs, threshold=0.5, k=5, df_broadcast_limit=df_limit,
+                dense_universe_bits=dense_bits,
             ).to_pandas()[["id_a", "id_b"]].to_numpy().tolist())
         )
 
-    assert run(10_000_000) == run(0) == [(0, 1), (2, 3)]
+    dense = run(10_000_000, 8192)        # dense-universe matmul path
+    prefix = run(10_000_000, 0)          # prefix-filter, df broadcast
+    fallback = run(0, 0)                 # prefix-filter, df hash join
+    assert dense == prefix == fallback == [(0, 1), (2, 3)]
