@@ -87,6 +87,8 @@ def run_bench() -> dict:
         # queries kept in the bench so regressions stay visible
         "overlay_union_cell", "overlay_diff_cell", "close_network_holes",
         "buffdissexp_clusters", "all_distances",
+        # round-4 additions: exact similarity join + fingerprint near-dup
+        "ngram_jaccard", "simhash_near_dup",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
