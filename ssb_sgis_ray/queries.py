@@ -4061,6 +4061,25 @@ def q_hll_distinct(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
 
 
+_M64_SQL = "CAST('18446744073709551616' AS HUGEINT)"
+
+
+def _sql_mul64(h: str, m: int) -> str:
+    """h * m mod 2^64 in HUGEINT via hi/lo split (every intermediate
+    < 2^105 < HUGEINT max)."""
+    hi, lo = m >> 32, m & 0xFFFFFFFF
+    return (f"((({h}) * {lo} + ((({h}) % 4294967296) * {hi}"
+            f" % 4294967296) * 4294967296) % {_M64_SQL})")
+
+
+def _sql_xs33(h: str) -> str:
+    """h ^ (h >> 33) for h < 2^64: the shift is < 2^31, so only the low
+    31 bits change — BIGINT xor suffices."""
+    return (f"(({h}) - ({h}) % 2147483648 + "
+            f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
+            f" CAST(({h}) // 8589934592 AS BIGINT)))")
+
+
 def _hll_sql() -> str:
     """Exact SQL replica of ops/sketch.py (hll_registers/hll_estimate):
     murmur-style 64-bit finalizer in HUGEINT (hi/lo split multiplies,
@@ -4071,17 +4090,9 @@ def _hll_sql() -> str:
     matches numpy's pairwise sum bit-for-bit whenever max rank <= 40
     (always, for any realistic cardinality: P(rank>40) = 2^-40/value).
     Small-range correction branch replicated verbatim."""
-    m64 = "CAST('18446744073709551616' AS HUGEINT)"
-
-    def mul(h: str, m: int) -> str:
-        hi, lo = m >> 32, m & 0xFFFFFFFF
-        return (f"((({h}) * {lo} + ((({h}) % 4294967296) * {hi}"
-                f" % 4294967296) * 4294967296) % {m64})")
-
-    def xs(h: str) -> str:
-        return (f"(({h}) - ({h}) % 2147483648 + "
-                f"xor(CAST(({h}) % 2147483648 AS BIGINT),"
-                f" CAST(({h}) // 8589934592 AS BIGINT)))")
+    m64 = _M64_SQL
+    mul = _sql_mul64
+    xs = _sql_xs33
 
     return f"""
 WITH RECURSIVE
@@ -4125,6 +4136,43 @@ FROM est0
 
 
 SQL_HLL_DISTINCT = _hll_sql()
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-user sample: the 3 events with smallest
+    (mix64(event_id), event_id) per user — identical output for any
+    cluster size / block layout / retry (ops/sample.py)."""
+    from .ops import sample as sample_ops
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+    return sample_ops.stratified_sample(ds, "user_id", "event_id", 3)
+
+
+def _stratified_sample_sql() -> str:
+    """row_number over the exact mix64 chain (same finalizer as the HLL
+    oracle), partitioned by user. h orders as unsigned 0..2^64 in both
+    systems (numpy uint64 sort == HUGEINT sort on the wrapped value)."""
+    m64 = _M64_SQL
+    v = f"((CAST(event_id AS HUGEINT) % {m64}) + {m64}) % {m64}"
+    return f"""
+WITH
+h0 AS (SELECT user_id, event_id, {_sql_xs33(v)} AS h FROM events),
+h1 AS (SELECT user_id, event_id, {_sql_mul64('h', 0xFF51AFD7ED558CCD)} AS h FROM h0),
+h2 AS (SELECT user_id, event_id, {_sql_xs33('h')} AS h FROM h1),
+h3 AS (SELECT user_id, event_id, {_sql_mul64('h', 0xC4CEB9FE1A85EC53)} AS h FROM h2),
+h4 AS (SELECT user_id, event_id, {_sql_xs33('h')} AS h FROM h3),
+r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY h, event_id) AS rn
+  FROM h4
+)
+SELECT user_id, event_id FROM r WHERE rn <= 3
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sample_sql()
 
 
 def q_snap_nearest(sf_dir: str):
@@ -5460,6 +5508,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_keep": (q_minhash_keep, SQL_MINHASH_KEEP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "rep_point": (q_rep_point, SQL_REP_POINT),
     "unique_points": (q_unique_points, SQL_UNIQUE_POINTS),
     "shortest_line": (q_shortest_line, SQL_SHORTEST_LINE),

@@ -601,3 +601,35 @@ def test_ngram_jaccard_distributed_df_fallback_agrees(ray_session):
     prefix = run(10_000_000, 0)          # prefix-filter, df broadcast
     fallback = run(0, 0)                 # prefix-filter, df hash join
     assert dense == prefix == fallback == [(0, 1), (2, 3)]
+
+
+def test_stratified_sample_deterministic_and_exact(ray_session):
+    """Per-key deterministic sample: equals the numpy brute force and is
+    invariant under repartitioning (the reproducibility contract a
+    streaming training-data pipeline needs — no RNG state anywhere)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import sample as sample_ops
+    from ssb_sgis_ray.ops.sketch import _hash64
+
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 17, size=500).astype(np.int64)
+    ids = rng.permutation(500).astype(np.int64)
+    tbl = pa.table({"k": keys, "i": ids})
+
+    def run(ds):
+        out = sample_ops.stratified_sample(ds, "k", "i", 3).to_pandas()
+        return sorted(map(tuple, out[["k", "i"]].to_numpy().tolist()))
+
+    got = run(rd.from_arrow(tbl))
+    got_repart = run(rd.from_arrow(tbl).repartition(13))
+
+    h = _hash64(ids.view(np.uint64))
+    want = []
+    for k in np.unique(keys):
+        m = keys == k
+        order = np.lexsort((ids[m], h[m]))
+        want += [(int(k), int(x)) for x in ids[m][order][:3]]
+    assert got == got_repart == sorted(want)
+    for k in np.unique(keys):
+        assert sum(1 for a, _ in got if a == k) == min(3, int((keys == k).sum()))
