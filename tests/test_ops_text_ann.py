@@ -633,3 +633,66 @@ def test_stratified_sample_deterministic_and_exact(ray_session):
     assert got == got_repart == sorted(want)
     for k in np.unique(keys):
         assert sum(1 for a, _ in got if a == k) == min(3, int((keys == k).sum()))
+
+
+def test_mix64_sql_chain_parity_random_including_negatives():
+    """The HUGEINT mix64 chain (shared by the HLL and stratified-sample
+    oracles) equals sketch._hash64 bit-for-bit on random int64 values,
+    including negatives (wrapped to uint64 on both sides)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ssb_sgis_ray.ops.sketch import _hash64
+    from ssb_sgis_ray.queries import _M64_SQL, _sql_mul64, _sql_xs33
+
+    v = f"((CAST(x AS HUGEINT) % {_M64_SQL}) + {_M64_SQL}) % {_M64_SQL}"
+    sql_tail = f"""
+h0 AS (SELECT x, {_sql_xs33(v)} AS h FROM vals),
+h1 AS (SELECT x, {_sql_mul64('h', 0xFF51AFD7ED558CCD)} AS h FROM h0),
+h2 AS (SELECT x, {_sql_xs33('h')} AS h FROM h1),
+h3 AS (SELECT x, {_sql_mul64('h', 0xC4CEB9FE1A85EC53)} AS h FROM h2),
+h4 AS (SELECT x, {_sql_xs33('h')} AS h FROM h3)
+SELECT x, CAST(h AS VARCHAR) AS h FROM h4 ORDER BY x
+"""
+
+    @given(st.lists(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+                    min_size=1, max_size=40, unique=True))
+    @settings(max_examples=25, deadline=None)
+    def check(xs):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE vals(x BIGINT)")
+        con.executemany("INSERT INTO vals VALUES (?)", [(x,) for x in xs])
+        got = con.execute("WITH " + sql_tail).df()
+        arr = np.array(sorted(xs), dtype=np.int64)
+        want = _hash64(arr.view(np.uint64))
+        sql_h = np.array([int(v) for v in got["h"]], dtype=object)
+        assert all(int(a) == int(b) for a, b in zip(sql_h, want))
+
+    check()
+
+
+def test_simhash_sql_parity_random_ascii():
+    """SQL_SIMHASH == simhash64_batch on random ASCII corpora (random
+    token lengths exercise every FNV recursion depth)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ssb_sgis_ray.queries import SQL_SIMHASH
+
+    token = st.text(alphabet="abcz019 .,!", min_size=0, max_size=12)
+
+    @given(st.lists(token, min_size=1, max_size=8))
+    @settings(max_examples=20, deadline=None)
+    def check(texts):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)",
+                        list(enumerate(texts)))
+        got = (con.execute(SQL_SIMHASH).df()
+               .sort_values("doc_id")["simhash"].to_numpy())
+        want = dedup_ops.simhash64_batch(texts)
+        assert (got == want).all()
+
+    check()
