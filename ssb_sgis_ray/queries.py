@@ -4848,6 +4848,105 @@ FROM (
 """
 
 
+def q_elevation_gradient(sf_dir: str):
+    """ElevationRaster.gradient (elevationraster.py:6-88): encode every
+    doc's closed-form elevation surface v = x² + y(y+1)/2 + base as a real
+    GeoTIFF, decode it in a second actor stage and run np.gradient slope
+    (|∂₀/res| + |∂₁/res|, 2nd-order interior / 1st-order edges) at pixel
+    scale (2, 2). All gradient values are exact quarters, so stats ship in
+    integer quarter units. Oracle: per-pixel piecewise central/one-sided
+    difference closed form — the SQL never sees the codec or np.gradient."""
+    from .sources import rasters
+
+    return rasters.elevation_dataset(sf_dir).map_batches(
+        rasters.ElevationGradientStage, batch_format="pyarrow", batch_size=256,
+        concurrency=rasters.default_pool(None),
+    )
+
+
+SQL_ELEVATION_GRADIENT = """
+WITH p AS (
+  SELECT doc_id, 20 + doc_id % 15 AS w, 16 + doc_id % 11 AS h FROM documents
+),
+qx AS (
+  SELECT doc_id,
+         CASE WHEN x = 0 THEN 2
+              WHEN x = w - 1 THEN 2 * (2 * w - 3)
+              ELSE 4 * x END AS q1
+  FROM p, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx
+),
+qy AS (
+  SELECT doc_id,
+         CASE WHEN y = 0 THEN 2
+              WHEN y = h - 1 THEN 2 * (h - 1)
+              ELSE 2 * y + 1 END AS q0
+  FROM p, LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy
+)
+SELECT a.doc_id,
+       CAST(sum(a.q1 + b.q0) AS BIGINT) AS grad_sum_q,
+       CAST(max(a.q1 + b.q0) AS BIGINT) AS grad_max_q,
+       CAST(sum(CASE WHEN a.q1 + b.q0 >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+         AS steep_cells
+FROM qx a JOIN qy b ON a.doc_id = b.doc_id
+GROUP BY a.doc_id
+"""
+
+
+def q_sentinel_mosaic(sf_dir: str):
+    """Sentinel2 filename metadata (sentinel.py:6-43): per-doc synthetic
+    S2 product paths -> band via name_regex B\\d{1,2}A|B\\d{1,2}, date via
+    20\\d{6}, is_mask = 'masks' in path, band->color via band_colors.
+    Engine extracts with pyarrow RE2 kernels in a map_batches stage; the
+    oracle re-extracts with DuckDB's RE2 from the same closed-form paths
+    (plumbing-proof convention, like ann_lsh)."""
+    from .sources import rasters
+
+    return rasters.sentinel_path_dataset(sf_dir).map_batches(
+        rasters.SentinelMetadata, batch_format="pyarrow", batch_size=4096,
+        concurrency=rasters.default_pool(None),
+    )
+
+
+SQL_SENTINEL_MOSAIC = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'masks/' ELSE 'tiles/' END)
+         || 'S2B_MSIL2A_'
+         || CAST((2017 + doc_id % 9) * 10000
+                 + (1 + doc_id % 12) * 100 + (1 + doc_id % 28) AS VARCHAR)
+         || 'T104031_N0204_R008_T32VNM_'
+         || (CASE doc_id % 13
+             WHEN 0 THEN 'B1' WHEN 1 THEN 'B2' WHEN 2 THEN 'B3'
+             WHEN 3 THEN 'B4' WHEN 4 THEN 'B5' WHEN 5 THEN 'B6'
+             WHEN 6 THEN 'B7' WHEN 7 THEN 'B8' WHEN 8 THEN 'B8A'
+             WHEN 9 THEN 'B9' WHEN 10 THEN 'B10' WHEN 11 THEN 'B11'
+             ELSE 'B12' END)
+         || '_10m.tif' AS path
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(path, 'B\\d{1,2}A|B\\d{1,2}') AS band,
+       CAST(regexp_extract(path, '20\\d{6}') AS BIGINT) AS date,
+       CASE regexp_extract(path, 'B\\d{1,2}A|B\\d{1,2}')
+         WHEN 'B1' THEN 'coastal aerosol'
+         WHEN 'B2' THEN 'blue'
+         WHEN 'B3' THEN 'green'
+         WHEN 'B4' THEN 'red'
+         WHEN 'B5' THEN 'vegetation red edge'
+         WHEN 'B6' THEN 'vegetation red edge'
+         WHEN 'B7' THEN 'vegetation red edge'
+         WHEN 'B8' THEN 'nir'
+         WHEN 'B8A' THEN 'narrow nir'
+         WHEN 'B9' THEN 'water vapour'
+         WHEN 'B10' THEN 'swir - cirrus'
+         WHEN 'B11' THEN 'swir'
+         ELSE 'swir' END AS color,
+       CAST(CASE WHEN path LIKE 'masks/%' THEN 1 ELSE 0 END AS BIGINT)
+         AS is_mask
+FROM p
+"""
+
+
 def q_k_routes(sf_dir: str):
     """get_k_routes (_get_route.py:143-189): iterated Dijkstra with the
     middle drop_middle_percent of each found route deleted per round. On
@@ -5493,6 +5592,8 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
+    "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
     "phash_keep": (q_phash_keep, SQL_PHASH_KEEP),

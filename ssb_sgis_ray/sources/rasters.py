@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..codecs import geotiff
 from ..pool import default_pool
@@ -139,3 +140,210 @@ def geotiff_dataset(sf_dir: str, concurrency=None, batch_size: int = 256):
         BuildGeoTiffs, batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_pool(concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# ElevationRaster.gradient (reference raster/elevationraster.py:6-88)
+# ---------------------------------------------------------------------------
+
+def elevation_params(doc_id: np.ndarray):
+    """(w, h, base) per doc — deterministic elevation surface dims."""
+    k = np.asarray(doc_id).astype(np.int64)
+    return 20 + k % 15, 16 + k % 11, k % 100
+
+
+def render_elevation(k: int, w: int, h: int) -> np.ndarray:
+    """Nonlinear closed-form surface v(y, x) = x² + y(y+1)/2 + base.
+
+    Chosen so np.gradient varies per pixel (a linear ramp would erase
+    the interior/edge distinction) while staying uint16
+    (max 33² + 25·26/2 + 99 = 1513) and every gradient value is an exact
+    multiple of 1/4 at pixel scale (2, 2)."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return (x * x + y * (y + 1) // 2 + (k % 100)).astype(np.uint16)
+
+
+def elevation_gradient_array(
+    array: np.ndarray, res=PIXEL_SCALE, degrees: bool = False
+) -> np.ndarray:
+    """ElevationRaster.gradient's slope kernel (elevationraster.py:74-88):
+    |∂₀/res₀| + |∂₁/res₁| via np.gradient (2nd-order interior, 1st-order
+    edges), optionally converted to degrees through arctan."""
+    g0, g1 = np.gradient(array.astype(np.float64), res[0], res[1])
+    gradient = np.abs(g0) + np.abs(g1)
+    if not degrees:
+        return gradient
+    return np.degrees(np.arctan(gradient))
+
+
+class BuildElevationTiffs:
+    """Actor stage: documents batch -> (doc_id, tif) elevation GeoTIFFs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w, h, _ = elevation_params(doc_id)
+        blobs = [
+            geotiff.encode_geotiff(
+                render_elevation(int(k), int(w[i]), int(h[i])),
+                origin=(0.0, 0.0),
+                pixel_scale=PIXEL_SCALE,
+                compression="deflate" if k % 2 else "none",
+            )
+            for i, k in enumerate(doc_id)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "tif": pa.array(blobs, pa.binary()),
+            }
+        )
+
+
+class ElevationGradientStage:
+    """Actor stage: decode elevation GeoTIFF -> gradient slope stats.
+
+    Gradient values at pixel scale (2, 2) over an integer surface are
+    exact multiples of 1/4, so stats are emitted in quarter units
+    (q = 4·gradient) as int64 — no float leaves the stage. steep_cells
+    counts pixels at q >= threshold_q (an integer-exact predicate)."""
+
+    def __init__(self, threshold_q: int = 40):
+        self.threshold_q = threshold_q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["tif"].to_pylist()
+        n = len(blobs)
+        gsum = np.empty(n, dtype=np.int64)
+        gmax = np.empty(n, dtype=np.int64)
+        steep = np.empty(n, dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            img, _ = geotiff.decode_geotiff(blob)
+            q = 4.0 * elevation_gradient_array(img)
+            gsum[i] = int(round(q.sum()))
+            gmax[i] = int(round(q.max()))
+            steep[i] = int((q >= self.threshold_q).sum())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "grad_sum_q": pa.array(gsum, pa.int64()),
+                "grad_max_q": pa.array(gmax, pa.int64()),
+                "steep_cells": pa.array(steep, pa.int64()),
+            }
+        )
+
+
+def elevation_dataset(sf_dir: str, concurrency=None, batch_size: int = 256):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        BuildElevationTiffs, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sentinel2 filename metadata (reference raster/sentinel.py:6-43):
+# band via name_regex r"B\d{1,2}A|B\d{1,2}", date via r"20\d{6}",
+# is_mask = "masks" in path, band -> color via the class's band_colors map.
+# ---------------------------------------------------------------------------
+
+SENTINEL_BANDS = (
+    "B1", "B2", "B3", "B4", "B5", "B6", "B7",
+    "B8", "B8A", "B9", "B10", "B11", "B12",
+)
+# sentinel.py:7-21 band_colors
+SENTINEL_BAND_COLORS = {
+    "B1": "coastal aerosol",
+    "B2": "blue",
+    "B3": "green",
+    "B4": "red",
+    "B5": "vegetation red edge",
+    "B6": "vegetation red edge",
+    "B7": "vegetation red edge",
+    "B8": "nir",
+    "B8A": "narrow nir",
+    "B9": "water vapour",
+    "B10": "swir - cirrus",
+    "B11": "swir",
+    "B12": "swir",
+}
+SENTINEL_NAME_REGEX = r"B\d{1,2}A|B\d{1,2}"
+SENTINEL_DATE_REGEX = r"20\d{6}"
+
+
+def sentinel_path_params(doc_id: np.ndarray):
+    """(band_idx, date_num, is_mask) per doc — closed-form path pieces."""
+    k = np.asarray(doc_id).astype(np.int64)
+    band_idx = k % 13
+    date_num = (2017 + k % 9) * 10000 + (1 + k % 12) * 100 + (1 + k % 28)
+    is_mask = (k % 7 == 0).astype(np.int64)
+    return band_idx, date_num, is_mask
+
+
+def synth_sentinel_paths(doc_id: np.ndarray) -> list[str]:
+    band_idx, date_num, is_mask = sentinel_path_params(doc_id)
+    return [
+        ("masks/" if m else "tiles/")
+        + f"S2B_MSIL2A_{d}T104031_N0204_R008_T32VNM_{SENTINEL_BANDS[b]}_10m.tif"
+        for b, d, m in zip(band_idx, date_num, is_mask)
+    ]
+
+
+class SentinelMetadata:
+    """Actor stage: file-path batch -> (band, date, color, is_mask).
+
+    The extraction runs pyarrow's RE2 kernels over the path strings —
+    the same regexes the reference compiles per Raster; the oracle
+    re-extracts with DuckDB's RE2 so both sides parse, neither copies."""
+
+    def __init__(self):
+        self.bands = pa.array(SENTINEL_BANDS, pa.string())
+        self.colors = np.array(
+            [SENTINEL_BAND_COLORS[b] for b in SENTINEL_BANDS], dtype=object
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch["path"]
+        band = pc.struct_field(
+            pc.extract_regex(paths, f"(?P<band>{SENTINEL_NAME_REGEX})"), "band"
+        )
+        date_s = pc.struct_field(
+            pc.extract_regex(paths, f"(?P<date>{SENTINEL_DATE_REGEX})"), "date"
+        )
+        date = pc.cast(date_s, pa.int64())
+        is_mask = pc.cast(
+            pc.match_substring(paths, "masks"), pa.int64()
+        )
+        idx = pc.index_in(band, value_set=self.bands).to_numpy(
+            zero_copy_only=False
+        )
+        color = pa.array(self.colors[idx.astype(np.int64)], pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "band": band,
+                "date": date,
+                "color": color,
+                "is_mask": is_mask,
+            }
+        )
+
+
+def sentinel_path_dataset(sf_dir: str, batch_size: int = 4096):
+    import ray.data as rd
+
+    def add_paths(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "path": pa.array(synth_sentinel_paths(doc_id), pa.string()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(add_paths, batch_format="pyarrow", batch_size=batch_size)
