@@ -165,3 +165,86 @@ def to_geo_dataset(obj, crs=None, geometry=None):
     import ray.data as rd
 
     return rd.from_arrow(to_geo_table(obj, crs=crs, geometry=geometry))
+
+
+# ---------------------------------------------------------------------------
+# GeoDataFrame frame utilities, re-expressed for geometry-WKB tables
+# (reference geopandas_tools/general.py:92-135, conversion.py:17-55).
+# The engine's "active geometry column" is by convention ``geometry_wkb``.
+# ---------------------------------------------------------------------------
+
+GEOM_COL = "geometry_wkb"
+
+
+def _geometry_columns(t: pa.Table) -> list[str]:
+    """Columns holding WKB geometry: the active column plus any *_wkb
+    binary columns (the stack's GeometryDtype equivalent)."""
+    out = []
+    for name, typ in zip(t.column_names, t.schema.types):
+        if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+            if name == GEOM_COL or name.endswith("_wkb"):
+                out.append(name)
+    return out
+
+
+def drop_inactive_geometry_columns(t: pa.Table) -> pa.Table:
+    """Drop every geometry column except the active ``geometry_wkb``
+    (general.py:108-115)."""
+    drop = [c for c in _geometry_columns(t) if c != GEOM_COL]
+    return t.drop_columns(drop) if drop else t
+
+
+def rename_geometry_if(t: pa.Table) -> pa.Table:
+    """Normalize the geometry column name to ``geometry_wkb``
+    (general.py:118-135): no-op when already present; a single other
+    geometry column is renamed; ambiguity raises ValueError."""
+    names = t.column_names
+    if GEOM_COL in names:
+        return t
+    cands = _geometry_columns(t)
+    if "geometry" in names and pa.types.is_binary(t.schema.field("geometry").type):
+        cands = ["geometry"] + [c for c in cands if c != "geometry"]
+    if len(cands) == 1:
+        return t.rename_columns(
+            [GEOM_COL if n == cands[0] else n for n in names]
+        )
+    raise ValueError(
+        "There are multiple geometry columns and none are the active geometry"
+    )
+
+
+def push_geom_col(t: pa.Table) -> pa.Table:
+    """Geometry column last (general.py:92-105 _push_geom_col; the
+    engine's overlay emit already follows geometry-last)."""
+    names = [c for c in t.column_names if c != GEOM_COL]
+    if GEOM_COL not in t.column_names:
+        return t
+    return t.select(names + [GEOM_COL])
+
+
+def geometry_array(obj, geometry=None) -> pa.Array:
+    """The ``to_geoseries`` analogue (conversion.py:17-42): the WKB
+    geometry column of any to_geo_table-accepted input, as one combined
+    pa.BinaryArray."""
+    t = to_geo_table(obj, geometry=geometry)
+    return t[GEOM_COL].combine_chunks()
+
+
+def to_wkb_geom(obj) -> bytes:
+    """The ``to_shapely`` analogue (conversion.py:44-55): one WKB scalar.
+
+    bytes/str/(x, y) pass through the scalar rule; a 4-number bbox becomes
+    its box polygon (counter-clockwise, closed ring)."""
+    if isinstance(obj, (bytes, bytearray, str)) or _is_xy(obj):
+        return _scalar_ok(obj)
+    if (
+        isinstance(obj, (tuple, list))
+        and len(obj) == 4
+        and all(isinstance(v, (int, float, np.integer, np.floating)) for v in obj)
+    ):
+        x0, y0, x1, y1 = (float(v) for v in obj)
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+        return wkb.encode_polygon([ring])
+    raise TypeError(f"not geometry-like: {type(obj).__name__}")

@@ -46,6 +46,35 @@ def ensure_same_crs(*objs, default: str = DEFAULT_CRS) -> str:
     return next(iter(seen)) if seen else default
 
 
+def get_common_crs(iterable, strict: bool = False) -> str | None:
+    """Common not-None CRS of tables / tagged schemas / CRS-like strings,
+    or raise ValueError on a real mismatch (general.py:28-77 semantics).
+
+    Falsy CRS-es are ignored unless ``strict``; equality is decided on the
+    normalized string form (the reference compares ``to_string()`` because
+    hash-distinct pyproj objects can be the same CRS — here the normal
+    form is the upper-cased tag)."""
+    crs: set = set()
+    for obj in iterable:
+        if isinstance(obj, (pa.Table, pa.Schema)):
+            crs.add(crs_of(obj))
+        elif obj is None or isinstance(obj, (str, int)):
+            crs.add(str(obj) if obj is not None and obj != "" else None)
+        elif hasattr(obj, "schema"):  # ray Dataset / record batch
+            try:
+                crs.add(crs_of(obj.schema() if callable(obj.schema) else obj.schema))
+            except Exception:
+                pass
+        else:
+            crs.add(None)
+    truthy = {str(x).upper() for x in crs if x}
+    if strict and len(truthy) != len(crs):
+        raise ValueError("Mix of falsy and truthy CRS-es found.")
+    if len(truthy) > 1:
+        raise ValueError("'crs' mismatch.", sorted(truthy))
+    return next(iter(truthy)) if truthy else None
+
+
 def check_crs_pair(left_crs: str | None, right_table) -> None:
     """Pairwise guard for join/overlay entry points: explicit left CRS vs
     the right table's tag; untagged/None sides are assumed compatible."""

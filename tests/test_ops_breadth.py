@@ -905,3 +905,66 @@ def test_diff_cell_covered_cell_fast_path(ray_session):
     assert got_bc.keys() == got_cell.keys()
     for k in got_bc:
         assert got_cell[k] == pytest.approx(got_bc[k])
+
+
+def test_frame_utilities_and_common_crs():
+    """The GeoDataFrame frame helpers re-expressed for WKB tables
+    (general.py:28-135, conversion.py:17-55): rename_geometry_if,
+    drop_inactive_geometry_columns, push_geom_col, geometry_array,
+    to_wkb_geom, get_common_crs."""
+    import pytest as _pt
+
+    from ssb_sgis_ray.geo import conversion, crs, wkb
+
+    t = conversion.to_geo_table([(0, 1), (2, 3)])
+
+    # rename: a single non-active geometry column is normalized
+    renamed = conversion.rename_geometry_if(
+        t.rename_columns(["other_wkb"]).append_column(
+            "v", pa.array([1, 2], pa.int64())
+        )
+    )
+    assert "geometry_wkb" in renamed.column_names
+    # already-active: no-op; ambiguity raises
+    assert conversion.rename_geometry_if(t).equals(t)
+    two = t.append_column("b_wkb", t["geometry_wkb"]).rename_columns(
+        ["a_wkb", "b_wkb"]
+    )
+    with _pt.raises(ValueError):
+        conversion.rename_geometry_if(two)
+
+    # drop_inactive keeps only geometry_wkb; push_geom_col puts it last
+    multi = t.append_column("shadow_wkb", t["geometry_wkb"]).append_column(
+        "v", pa.array([1, 2], pa.int64())
+    )
+    dropped = conversion.drop_inactive_geometry_columns(multi)
+    assert dropped.column_names == ["geometry_wkb", "v"]
+    assert conversion.push_geom_col(dropped).column_names == [
+        "v", "geometry_wkb",
+    ]
+
+    # geometry_array: the to_geoseries analogue over any accepted input
+    arr = conversion.geometry_array({"x": [1.0], "y": [2.0]})
+    assert wkb.decode_points(arr).y[0] == 2.0
+
+    # to_wkb_geom: scalar dispatch incl. bbox -> box (to_shapely analogue)
+    box = conversion.to_wkb_geom((0, 0, 4, 2))
+    from ssb_sgis_ray.geo import kernels
+
+    assert kernels.polygon_areas(wkb.decode_polygons([box]))[0] == 8.0
+    assert conversion.to_wkb_geom("POINT (1 2)") == conversion.to_wkb_geom(
+        (1, 2)
+    )
+    with _pt.raises(TypeError):
+        conversion.to_wkb_geom(object())
+
+    # get_common_crs over tagged tables / strings / None mixes
+    a = crs.tag_crs(t, "EPSG:25833")
+    b = crs.tag_crs(t, "epsg:25833")
+    assert crs.get_common_crs([a, b]) == "EPSG:25833"
+    assert crs.get_common_crs([t, None, "EPSG:25833"]) == "EPSG:25833"
+    assert crs.get_common_crs([t, t]) is None
+    with _pt.raises(ValueError):
+        crs.get_common_crs([a, crs.tag_crs(t, "EPSG:4326")])
+    with _pt.raises(ValueError):
+        crs.get_common_crs([a, t], strict=True)
