@@ -2764,6 +2764,49 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "ann_rank"])
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Distributed KMeans assignment pass (ops/cluster.py) against fixed
+    closed-form integer centroids, int-quantized (floor(e·512) — exact
+    power-of-two scaling) so 68 exact argmax ties resolve identically on
+    both sides. The Lloyd ITERATION machinery (per-round AggregateFn
+    partial sums, tree merge, driver update) is pinned in pytest where a
+    local reference loop must agree bitwise on integer-valued vectors."""
+    from .ops import cluster as cluster_ops
+
+    cent = (
+        ((np.arange(8)[:, None] + 1) * (np.arange(64)[None, :] + 3)) % 7 - 3
+    ).astype(np.int64)
+    return cluster_ops.kmeans_assign(
+        embeddings_ds(sf_dir), cent, quantize=512
+    )
+
+
+SQL_KMEANS_ASSIGN = """
+WITH cent AS (
+  SELECT c, list(CAST(((c+1)*(d+3)) % 7 - 3 AS DOUBLE) ORDER BY d) AS cv
+  FROM (SELECT unnest(generate_series(0, 7)) AS c),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY c
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 512)) AS qv
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id, c.c, list_inner_product(q.qv, c.cv) AS sim
+  FROM q CROSS JOIN cent c
+)
+SELECT vec_id, CAST(c AS BIGINT) AS cluster
+FROM (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+  FROM sims
+)
+WHERE rn = 1
+"""
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, vec_id, ann_rank FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -5594,6 +5637,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
     "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
+    "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "image_sharpness": (q_image_sharpness, SQL_IMAGE_SHARPNESS),
     "phash_keep": (q_phash_keep, SQL_PHASH_KEEP),

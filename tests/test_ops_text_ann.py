@@ -696,3 +696,83 @@ def test_simhash_sql_parity_random_ascii():
         assert (got == want).all()
 
     check()
+
+
+def test_kmeans_distributed_matches_local_reference(ray_session):
+    """The Lloyd AggregateFn pass must equal a plain local loop BITWISE on
+    integer-valued vectors: partial float64 sums of integers < 2^53 are
+    exact under any tree-merge order, means are the same exact ratio, and
+    the argmax tie rule (lowest cluster) is shared. Also pins empty-cluster
+    preservation and partition-count invariance."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import cluster as cluster_ops
+
+    rng = np.random.RandomState(11)
+    n, d, k = 400, 16, 5
+    m = rng.randint(-50, 51, size=(n, d)).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+
+    def local_kmeans(m, init, iters):
+        cent = init.astype(np.float64).copy()
+        nrm = np.linalg.norm(cent, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        cent = cent / nrm
+        for _ in range(iters):
+            assign = (m @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                sel = m[assign == c]
+                if len(sel):
+                    cent[c] = sel.sum(axis=0) / len(sel)
+            nrm = np.linalg.norm(cent, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            cent = cent / nrm
+        return cent
+
+    init = m[:k]
+    want_cent = local_kmeans(m, init, iters=4)
+    want_assign = (m @ want_cent.T).argmax(axis=1)
+
+    for nparts in (1, 7):
+        ds = rd.from_arrow(
+            pa.table({"vec_id": ids, "embedding": list(map(list, m))})
+        ).repartition(nparts)
+        cent = cluster_ops.kmeans_iterate(ds, init, iters=4)
+        np.testing.assert_array_equal(cent, want_cent)
+        out = (
+            cluster_ops.kmeans_assign(ds, cent)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        np.testing.assert_array_equal(out["cluster"].to_numpy(), want_assign)
+
+    # min-id init + full kmeans() wrapper: same answer as explicit init
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": list(map(list, m))})
+    ).repartition(5)
+    cent2, assign_ds = cluster_ops.kmeans(ds, k=k, iters=4)
+    np.testing.assert_array_equal(cent2, want_cent)
+
+    # empty-cluster preservation: a far-away init centroid nobody selects
+    # keeps its (normalized) position instead of collapsing to NaN
+    far = np.zeros((1, d))
+    far[0, 0] = 1e9
+    init3 = np.vstack([m[:2], -far])
+    cent3 = cluster_ops.kmeans_iterate(ds, init3, iters=2)
+    assert not np.isnan(cent3).any()
+    np.testing.assert_allclose(np.linalg.norm(cent3, axis=1), 1.0)
+
+
+def test_kmeans_quantized_assignment_tie_rule():
+    """floor(e·2^b) quantization is exact (power-of-two scaling) and exact
+    integer ties resolve to the lowest cluster id."""
+    from ssb_sgis_ray.ops import cluster as cluster_ops
+
+    m = np.array([[0.25, 0.25]])
+    cent = np.array([[1, 1], [2, 2]], dtype=np.int64)  # colinear: exact tie
+    q = np.floor(m * 4).astype(np.int64)
+    assert (q == np.array([[1, 1]])).all()
+    assert cluster_ops.assign_clusters(q, cent.astype(np.float64))[0] == 1
+    # tie in the INTEGER world: sims (2, 4) -> no tie here; force one
+    cent_tie = np.array([[1, 0], [0, 1]], dtype=np.float64)
+    assert cluster_ops.assign_clusters(q, cent_tie)[0] == 0
