@@ -89,6 +89,8 @@ def run_bench() -> dict:
         "buffdissexp_clusters", "all_distances",
         # round-4 additions: exact similarity join + fingerprint near-dup
         "ngram_jaccard", "simhash_near_dup",
+        # round-4 late additions: raster parity + distributed clustering
+        "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
