@@ -201,13 +201,17 @@ def rename_geometry_if(t: pa.Table) -> pa.Table:
     names = t.column_names
     if GEOM_COL in names:
         return t
-    cands = _geometry_columns(t)
-    if "geometry" in names and pa.types.is_binary(t.schema.field("geometry").type):
-        cands = ["geometry"] + [c for c in cands if c != "geometry"]
+    cands = _geometry_columns(t)  # never contains bare "geometry"
+    if "geometry" in names:
+        gtyp = t.schema.field("geometry").type
+        if pa.types.is_binary(gtyp) or pa.types.is_large_binary(gtyp):
+            cands = ["geometry"] + cands
     if len(cands) == 1:
         return t.rename_columns(
             [GEOM_COL if n == cands[0] else n for n in names]
         )
+    if not cands:
+        raise ValueError("No geometry column found")
     raise ValueError(
         "There are multiple geometry columns and none are the active geometry"
     )

@@ -59,7 +59,9 @@ def get_common_crs(iterable, strict: bool = False) -> str | None:
         if isinstance(obj, (pa.Table, pa.Schema)):
             crs.add(crs_of(obj))
         elif obj is None or isinstance(obj, (str, int)):
-            crs.add(str(obj) if obj is not None and obj != "" else None)
+            # falsy CRS-like values (None, "", 0) all normalize to None —
+            # str(0) == "0" would otherwise smuggle a truthy fake CRS in
+            crs.add(str(obj) if obj else None)
         elif hasattr(obj, "schema"):  # ray Dataset / record batch
             try:
                 crs.add(crs_of(obj.schema() if callable(obj.schema) else obj.schema))
@@ -68,7 +70,10 @@ def get_common_crs(iterable, strict: bool = False) -> str | None:
         else:
             crs.add(None)
     truthy = {str(x).upper() for x in crs if x}
-    if strict and len(truthy) != len(crs):
+    # strict fires only on an ACTUAL falsy entry alongside a truthy one;
+    # comparing set sizes in the raw space misfires when two truthy tags
+    # normalize to the same CRS (e.g. case-differing strings)
+    if strict and truthy and any(not x for x in crs):
         raise ValueError("Mix of falsy and truthy CRS-es found.")
     if len(truthy) > 1:
         raise ValueError("'crs' mismatch.", sorted(truthy))

@@ -35,8 +35,12 @@ def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
+    if n == 0:
+        # reshape(0, -1) raises on a zero-row block (e.g. a filtered-empty
+        # partition); callers guard on len(m) == 0
+        return np.zeros((0, 0), dtype=np.float64)
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     return values.reshape(n, -1)
 
 

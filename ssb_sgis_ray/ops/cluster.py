@@ -117,10 +117,19 @@ def kmeans_assign(
     makes the SQL oracle tie-safe: 68 of the 500 sf0.01 rows tie exactly)."""
     import ray
 
+    if quantize and not np.equal(np.mod(centroids, 1), 0).all():
+        raise ValueError(
+            "quantized assignment requires integer-valued centroids "
+            "(vectors are floored; silently truncating float centroids "
+            "would break the bit-identical-argmax contract)"
+        )
     dtype = np.int64 if quantize else np.float64
     cref = ray.put(np.ascontiguousarray(centroids, dtype=dtype))
 
     def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], pa.int64())})
         m = embedding_matrix(batch, col)
         if quantize:
             m = np.floor(m * quantize).astype(np.int64)
@@ -141,13 +150,28 @@ def kmeans_assign(
 
 def min_id_init(ds, k: int, col: str = "embedding", id_col: str = "vec_id"):
     """Deterministic partition-independent init: the vectors of the k
-    smallest ids."""
+    smallest ids.
+
+    One map pass (per-batch k-smallest partial) + a driver merge over the
+    bounded partials — no sort shuffle, honoring the module's no-shuffle
+    contract; result is identical regardless of blocking."""
     import ray
 
-    head = ds.select_columns([id_col, col]).sort(id_col).limit(k)
-    tables = [t for t in ray.get(head.to_arrow_refs()) if t.num_rows]
-    t = pa.concat_tables(tables)
-    return embedding_matrix(t.sort_by(id_col), col)
+    def per_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        idx = np.argpartition(ids, k - 1)[:k]
+        return b.take(pa.array(np.sort(idx)))
+
+    parts = ds.select_columns([id_col, col]).map_batches(
+        per_batch, batch_format="pyarrow"
+    )
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables)  # bounded: <= k rows per input batch
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")[:k]
+    return embedding_matrix(t.take(pa.array(order)), col)
 
 
 def kmeans(

@@ -317,10 +317,16 @@ class SentinelMetadata:
         is_mask = pc.cast(
             pc.match_substring(paths, "masks"), pa.int64()
         )
-        idx = pc.index_in(band, value_set=self.bands).to_numpy(
-            zero_copy_only=False
+        # fill_null(-1) -> the appended None slot: a path whose band regex
+        # doesn't match (SCL/TCI/metadata files in real listings) emits a
+        # null band/color row instead of a NaN->int64 IndexError
+        idx = (
+            pc.index_in(band, value_set=self.bands)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        color = pa.array(self.colors[idx.astype(np.int64)], pa.string())
+        color = pa.array(np.append(self.colors, None)[idx], pa.string())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

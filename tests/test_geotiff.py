@@ -149,3 +149,15 @@ def test_sentinel_metadata_regex_edges():
     dates = out["date"].to_pylist()
     bi, dn, _ = rasters.sentinel_path_params(ids)
     assert dates == list(dn)
+    # a path whose band regex doesn't match (SCL/TCI/metadata file in a
+    # real listing) emits a null band/color row instead of crashing
+    odd = rasters.SentinelMetadata()(
+        pa.table({
+            "doc_id": pa.array([99], pa.int64()),
+            "path": pa.array(
+                ["tiles/S2X_MSIL2A_20170101T104031_nothing_10m.tif"]
+            ),
+        })
+    )
+    assert odd["band"][0].as_py() is None
+    assert odd["color"][0].as_py() is None

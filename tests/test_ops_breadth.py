@@ -968,3 +968,14 @@ def test_frame_utilities_and_common_crs():
         crs.get_common_crs([a, crs.tag_crs(t, "EPSG:4326")])
     with _pt.raises(ValueError):
         crs.get_common_crs([a, t], strict=True)
+    # strict must NOT fire on case-differing tags of the SAME crs, and
+    # falsy non-string values (0) are ignored like None/""
+    assert crs.get_common_crs([a, b], strict=True) == "EPSG:25833"
+    assert crs.get_common_crs(["EPSG:25833", 0]) == "EPSG:25833"
+
+    # rename_geometry_if edge cases: no geometry at all is a clear error;
+    # a large_binary bare "geometry" column is recognized and renamed
+    with _pt.raises(ValueError, match="No geometry"):
+        conversion.rename_geometry_if(pa.table({"v": [1, 2]}))
+    lb = pa.table({"geometry": pa.array([b"x"], pa.large_binary())})
+    assert conversion.rename_geometry_if(lb).column_names == ["geometry_wkb"]

@@ -762,6 +762,24 @@ def test_kmeans_distributed_matches_local_reference(ray_session):
     assert not np.isnan(cent3).any()
     np.testing.assert_allclose(np.linalg.norm(cent3, axis=1), 1.0)
 
+    # empty blocks (a filter that empties some partitions) must not crash
+    # the aggregate pass or the assignment stage
+    import pyarrow.compute as _pc
+
+    ds_empty = ds.map_batches(
+        lambda b: b.filter(_pc.less(b["vec_id"], 100)),
+        batch_format="pyarrow",
+    )
+    cent4 = cluster_ops.kmeans_iterate(ds_empty, init, iters=1)
+    assert not np.isnan(cent4).any()
+    got = cluster_ops.kmeans_assign(ds_empty, cent4).to_pandas()
+    assert len(got) == 100
+
+    # quantized assignment refuses float centroids loudly (silent
+    # truncation would break the bit-identical-argmax contract)
+    with pytest.raises(ValueError, match="integer-valued"):
+        cluster_ops.kmeans_assign(ds, want_cent, quantize=512)
+
 
 def test_kmeans_quantized_assignment_tie_rule():
     """floor(e·2^b) quantization is exact (power-of-two scaling) and exact
