@@ -91,6 +91,8 @@ def run_bench() -> dict:
         "ngram_jaccard", "simhash_near_dup",
         # round-4 late additions: raster parity + distributed clustering
         "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
+        # quality-aware keep rule (clusters x token stats argmax)
+        "dedup_keep_best",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

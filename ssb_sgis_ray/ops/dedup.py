@@ -1710,3 +1710,117 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k: int = 5,
         .map_groups(super_to_pairs, batch_format="pandas")
     )
     return verify_pairs_jaccard(cands, docs_ds, threshold=threshold, k=k)
+
+
+def keep_best_per_cluster(labels_ds, quality_ds, id_col: str = "doc_id",
+                          score_col: str = "n_tokens",
+                          num_partitions: int | None = None):
+    """Quality-aware near-dup keep rule: every clustered doc mapped to its
+    cluster's HIGHEST-QUALITY member (ties -> lowest id) — the
+    representative-selection step a training-data dedup pipeline runs
+    after clustering (keep the longest/cleanest copy, not the min-id one).
+
+    ``labels_ds`` is a (node, label) Dataset (connected_components output);
+    ``quality_ds`` carries (id_col, score_col) for at least every clustered
+    doc. Output: (doc_id, keep_id), one row per clustered doc — singletons
+    keep themselves trivially and are not emitted (same contract as the
+    min-id keep list).
+
+    Scale plan: the label table is answer-bounded (only near-dup docs);
+    while it fits the broadcast envelope the quality stream is filtered
+    down to clustered ids (one vectorized membership pass over the corpus,
+    no join) and the per-cluster argmax is one driver lexsort over the
+    bounded slice. Beyond the envelope: semi-join + one co-partitioned
+    hash join + groupby(label) argmax, all distributed.
+    """
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "keep_id": pa.array([], pa.int64())})
+    lab_mat = labels_ds.materialize()
+    n = lab_mat.count()
+    if n == 0:
+        return rd.from_arrow(empty)
+    if n <= BROADCAST_DOCS_LIMIT:
+        blocks = [t for t in ray.get(lab_mat.to_arrow_refs()) if t.num_rows]
+        lt = pa.concat_tables(blocks)
+        nodes = lt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = lt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes)
+        nodes, labels = nodes[order], labels[order]
+        nref = ray.put(nodes)
+
+        def pick_scores(b: pa.Table) -> pa.Table:
+            ns = ray.get(nref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ns, ids)
+            hit = (pos < len(ns)) & (ns[np.minimum(pos, len(ns) - 1)] == ids)
+            m = pa.array(hit)
+            return pa.table({
+                "doc_id": pa.array(ids[hit], pa.int64()),
+                "score": b[score_col].filter(m).cast(pa.int64()),
+            })
+
+        sc = [t for t in ray.get(
+            quality_ds.map_batches(pick_scores, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        if not sc:
+            raise ValueError("quality_ds carries no clustered doc ids")
+        st = pa.concat_tables(sc)
+        sid = st["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sval = st["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        spos = np.searchsorted(nodes, sid)
+        scores = np.full(len(nodes), np.iinfo(np.int64).min, dtype=np.int64)
+        scores[spos] = sval
+        # per-label argmax: lexsort (label asc, score desc, node asc)
+        idx = np.lexsort((nodes, -scores, labels))
+        lab_s = labels[idx]
+        first = np.concatenate([[True], lab_s[1:] != lab_s[:-1]])
+        ulab = lab_s[first]
+        keep_of = nodes[idx][first]
+        keep_id = keep_of[np.searchsorted(ulab, labels)]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "keep_id": pa.array(keep_id, pa.int64()),
+        }))
+
+    # -- distributed fallback: semi-join + hash join + per-label argmax ----
+    from .dissolve import default_join_partitions
+    from .lookup import membership_filter
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions(max(4, n // 50_000))
+    q_small = membership_filter(
+        quality_ds, lab_mat, id_col, small_key="node",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: pa.table({
+            "doc_id": b[id_col].cast(pa.int64()),
+            "score": b[score_col].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    j = lab_mat.map_batches(
+        lambda b: pa.table({"doc_id": b["node"].cast(pa.int64()),
+                            "label": b["label"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).join(q_small, join_type="inner", num_partitions=num_partitions,
+           on=("doc_id",))
+
+    def pick(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["score"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = g["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.lexsort((d, -s, lab))
+        lab_s = lab[idx]
+        first = np.concatenate([[True], lab_s[1:] != lab_s[:-1]])
+        ulab = lab_s[first]
+        keep_of = d[idx][first]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "keep_id": pa.array(keep_of[np.searchsorted(ulab, lab)],
+                                pa.int64()),
+        })
+
+    return j.groupby("label").map_groups(pick, batch_format="pyarrow")

@@ -2584,6 +2584,54 @@ def q_minhash_keep(sf_dir: str):
     return labels.map_batches(norm, batch_format="pyarrow")
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup keep rule (ops/dedup.py
+    keep_best_per_cluster): verified LSH clusters -> every member mapped to
+    its cluster's highest-n_tokens member (ties -> lowest doc_id) — the
+    representative-selection step a real training-data dedup pipeline runs
+    after clustering (keep the longest/cleanest copy, not the min-id one).
+    Oracle replays the whole chain: minhash CTEs -> transitive-closure
+    components -> per-component argmax by (n_tokens DESC, doc_id ASC)."""
+    pairs = q_minhash_pairs(sf_dir)
+    labels = dis.connected_components(pairs)
+    quality = documents(sf_dir).map_batches(
+        text_ops.TokenStats, batch_format="pandas", concurrency=(1, 8),
+        batch_size=4096,
+    ).select_columns(["doc_id", "n_tokens"])
+    return dedup_ops.keep_best_per_cluster(labels, quality)
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE" + _minhash_cte_body() + _MINHASH_VERIFIED_PAIRS_CTES
+    + """,
+e AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION SELECT id_b, id_a FROM vpairs
+),
+reach AS (
+  SELECT a AS node, b AS r FROM e
+  UNION SELECT a, a FROM e
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node),
+q AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents),
+best AS (
+  SELECT comp.comp_id, comp.doc_id,
+         row_number() OVER (PARTITION BY comp.comp_id
+                            ORDER BY q.n_tokens DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT CAST(comp.doc_id AS BIGINT) AS doc_id,
+       CAST(b.doc_id AS BIGINT) AS keep_id
+FROM comp JOIN best b ON b.comp_id = comp.comp_id AND b.rn = 1
+"""
+)
+
+
 def q_simhash(sf_dir: str):
     return documents(sf_dir).map_batches(
         dedup_ops.SimHashStage, batch_format="pandas", concurrency=(1, 8), batch_size=2048
@@ -5635,6 +5683,7 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
     "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),

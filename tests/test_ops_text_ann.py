@@ -794,3 +794,39 @@ def test_kmeans_quantized_assignment_tie_rule():
     # tie in the INTEGER world: sims (2, 4) -> no tie here; force one
     cent_tie = np.array([[1, 0], [0, 1]], dtype=np.float64)
     assert cluster_ops.assign_clusters(q, cent_tie)[0] == 0
+
+
+def test_keep_best_per_cluster_paths_agree(ray_session, monkeypatch):
+    """Quality-aware keep rule: argmax by (score DESC, id ASC) per
+    component; broadcast and distributed-join paths return identical
+    rows; singletons are never emitted."""
+    import ray.data as rd
+
+    # two clusters + a singleton: {1,2,3} scores (5, 9, 9) -> keep 2
+    # (tie between 2 and 3 at 9 -> lowest id); {10, 11} scores (1, 4)
+    # -> keep 11; 99 is clustered with nobody (absent from pairs)
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 11], pa.int64()),
+    }))
+    from ssb_sgis_ray.ops import dissolve as dis
+
+    labels = dis.connected_components(pairs)
+    quality = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 99], pa.int64()),
+        "n_tokens": pa.array([5, 9, 9, 1, 4, 100], pa.int64()),
+    }))
+    want = {1: 2, 2: 2, 3: 2, 10: 11, 11: 11}
+
+    got = dedup_ops.keep_best_per_cluster(labels, quality).to_pandas()
+    assert dict(zip(got["doc_id"], got["keep_id"])) == want
+
+    # distributed fallback (limits forced to zero) must agree exactly
+    monkeypatch.setattr(dedup_ops, "BROADCAST_DOCS_LIMIT", 0)
+    from ssb_sgis_ray.ops import lookup as lookup_ops
+
+    monkeypatch.setattr(lookup_ops, "BROADCAST_LOOKUP_LIMIT", 0)
+    got2 = dedup_ops.keep_best_per_cluster(
+        dis.connected_components(pairs), quality
+    ).to_pandas()
+    assert dict(zip(got2["doc_id"], got2["keep_id"])) == want
