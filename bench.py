@@ -91,8 +91,9 @@ def run_bench() -> dict:
         "ngram_jaccard", "simhash_near_dup",
         # round-4 late additions: raster parity + distributed clustering
         "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
-        # quality-aware keep rule (clusters x token stats argmax)
-        "dedup_keep_best",
+        # quality-aware keep rule (clusters x token stats argmax) and
+        # context-window sequence packing (distributed prefix sum)
+        "dedup_keep_best", "sequence_pack",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -277,3 +277,79 @@ def top_tokens(docs_ds, k: int = 20, num_groups: int = 256):
     df = candidates.to_pandas()
     df = df.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
+
+
+def sequence_pack(docs_ds, budget: int, id_col: str = "doc_id",
+                  text_col: str = "text", range_size: int = 4096):
+    """Concat-and-split sequence packing: lay every doc's tokens out on one
+    global tape (doc_id order), cut the tape every ``budget`` tokens, and
+    report per doc its global token offset and the first/last pack it
+    lands in — the standard pretraining packing step (documents are
+    concatenated and split at context-window boundaries; a long doc spans
+    packs, short docs share one).
+
+    Output: (doc_id, n_tokens, tok_offset, pack_first, pack_last) with
+    pack = floor(offset / budget); zero-token docs get
+    pack_last = pack_first.
+
+    Scale plan — a distributed exclusive prefix sum, no sort shuffle:
+      1. one map pass counts tokens per doc and keys each doc by
+         ``rng = doc_id // range_size``;
+      2. groupby(rng).sum gives per-range totals (#ranges rows — bounded
+         and controllable via range_size), scanned exclusively on the
+         driver and broadcast;
+      3. groupby(rng).map_groups co-locates each range, computes the
+         in-range doc_id-ordered cumsum, and adds the broadcast range
+         offset. Two small shuffles keyed the same way; per-doc work is
+         one compiled findall (inherent).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    tok = re.compile(TOKEN_RE)
+
+    def count_stage(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        n = np.fromiter(
+            (len(tok.findall(t or "")) for t in texts), np.int64, len(texts)
+        )
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "rng": pa.array(ids // range_size, pa.int64()),
+        })
+
+    counts = docs_ds.map_batches(
+        count_stage, batch_format="pyarrow", batch_size=4096
+    ).materialize()  # consumed twice (range totals + co-partitioned scan)
+
+    totals = counts.groupby("rng").aggregate(Sum("n_tokens", alias_name="tot"))
+    tt = totals.to_pandas()  # one row per range — bounded by design
+    tt = tt.sort_values("rng").reset_index(drop=True)
+    rngs = tt["rng"].to_numpy().astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(tt["tot"].to_numpy())[:-1]]).astype(
+        np.int64
+    )
+    oref = ray.put((rngs, offs))
+
+    def scan_group(g: pa.Table) -> pa.Table:
+        r, o = ray.get(oref)
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        base = o[np.searchsorted(r, g["rng"][0].as_py())]
+        start = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        pack_first = start // budget
+        pack_last = np.where(n > 0, (start + n - 1) // budget, pack_first)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "tok_offset": pa.array(start, pa.int64()),
+            "pack_first": pa.array(pack_first, pa.int64()),
+            "pack_last": pa.array(pack_last, pa.int64()),
+        })
+
+    return counts.groupby("rng").map_groups(scan_group, batch_format="pyarrow")

@@ -2584,6 +2584,37 @@ def q_minhash_keep(sf_dir: str):
     return labels.map_batches(norm, batch_format="pyarrow")
 
 
+def q_sequence_pack(sf_dir: str):
+    """Concat-and-split sequence packing (ops/text.py sequence_pack):
+    every doc's global token offset and first/last context-window pack at
+    budget=512 — a distributed exclusive prefix sum (range-keyed partial
+    sums -> bounded driver scan -> co-partitioned in-range cumsum), no
+    sort shuffle. The oracle is one window cumsum ORDER BY doc_id."""
+    return text_ops.sequence_pack(documents(sf_dir), budget=512)
+
+
+SQL_SEQUENCE_PACK = """
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM q
+)
+SELECT doc_id, n_tokens,
+       CAST(off AS BIGINT) AS tok_offset,
+       CAST(off // 512 AS BIGINT) AS pack_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 512
+                 ELSE off // 512 END AS BIGINT) AS pack_last
+FROM s
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware near-dup keep rule (ops/dedup.py
     keep_best_per_cluster): verified LSH clusters -> every member mapped to
@@ -5684,6 +5715,7 @@ REGISTRY: dict[str, tuple] = {
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
     "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),

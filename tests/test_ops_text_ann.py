@@ -830,3 +830,40 @@ def test_keep_best_per_cluster_paths_agree(ray_session, monkeypatch):
         dis.connected_components(pairs), quality
     ).to_pandas()
     assert dict(zip(got2["doc_id"], got2["keep_id"])) == want
+
+
+def test_sequence_pack_matches_local_scan(ray_session):
+    """Distributed prefix-sum packing must equal the single-process scan
+    for any partitioning and range_size, including zero-token docs and
+    docs longer than the budget (which span packs)."""
+    import ray.data as rd
+
+    texts = {
+        0: "one two three",            # 3 tokens
+        1: "",                          # 0 tokens
+        2: "a " * 700,                  # 700 tokens -> spans two 512-packs
+        3: "b c d e",                   # 4
+        7: "word " * 520,               # 520 (doc_id gap on purpose)
+        8: "x",                         # 1
+    }
+    budget = 512
+    ids = sorted(texts)
+    n = {i: len(texts[i].split()) for i in ids}
+    off, want = 0, {}
+    for i in ids:
+        pf = off // budget
+        pl = (off + n[i] - 1) // budget if n[i] else pf
+        want[i] = (n[i], off, pf, pl)
+        off += n[i]
+
+    df = pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in ids]})
+    for nparts, rs in ((1, 4096), (3, 4), (6, 2)):
+        ds = rd.from_pandas(df).repartition(nparts)
+        out = text_ops.sequence_pack(
+            ds, budget=budget, range_size=rs
+        ).to_pandas().sort_values("doc_id")
+        got = {
+            r.doc_id: (r.n_tokens, r.tok_offset, r.pack_first, r.pack_last)
+            for r in out.itertuples()
+        }
+        assert got == want, (nparts, rs)
