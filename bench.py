@@ -93,7 +93,7 @@ def run_bench() -> dict:
         "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
         # quality-aware keep rule (clusters x token stats argmax) and
         # context-window sequence packing (distributed prefix sum)
-        "dedup_keep_best", "sequence_pack",
+        "dedup_keep_best", "sequence_pack", "decontaminate",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -1824,3 +1824,65 @@ def keep_best_per_cluster(labels_ds, quality_ds, id_col: str = "doc_id",
         })
 
     return j.groupby("label").map_groups(pick, batch_format="pyarrow")
+
+
+def decontaminate(docs_ds, eval_ds, k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  eval_limit: int = 1_000_000):
+    """Benchmark-contamination check: per corpus doc, how many of its
+    DISTINCT k-gram shingles appear anywhere in the eval/benchmark set,
+    and a 0/1 contaminated flag — the decontamination gate every
+    training-data pipeline runs before a corpus ships (docs overlapping
+    the eval set leak test answers into training).
+
+    Scale plan: benchmarks are small by nature, so the eval shingle
+    UNIVERSE is built once (unique-sorted uint64 array), ``ray.put``
+    once, and the full corpus STREAMS through one vectorized
+    searchsorted membership pass per batch — no shuffle, no join, the
+    broadcast-small-side pattern. ``eval_limit`` guards the envelope: an
+    eval set beyond it raises (a benchmark that size is a usage error,
+    not a scale path).
+
+    Output: (doc_id, n_hits, contaminated) — integers only.
+    """
+    import ray
+
+    ev_rows = eval_ds.take_all()  # bounded: benchmark-sized by contract
+    if len(ev_rows) > eval_limit:
+        raise ValueError(
+            f"eval set has {len(ev_rows)} rows > eval_limit={eval_limit}"
+        )
+    universe = np.unique(np.concatenate(
+        [_shingle_hashes(r[text_col], k) for r in ev_rows]
+        or [np.empty(0, np.uint64)]
+    ))
+    uref = ray.put(universe)
+
+    class Decontam:
+        def __init__(self, uref):
+            self.u = ray.get(uref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            texts = batch[text_col].to_pylist()
+            hits = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sh = _shingle_hashes(t or "", k)
+                if len(self.u) == 0 or len(sh) == 0:
+                    hits[i] = 0
+                    continue
+                pos = np.searchsorted(self.u, sh)
+                pos_c = np.minimum(pos, len(self.u) - 1)
+                hits[i] = int((self.u[pos_c] == sh).sum())
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(
+                    (hits > 0).astype(np.int64), pa.int64()
+                ),
+            })
+
+    return docs_ds.map_batches(
+        Decontam, batch_format="pyarrow", batch_size=2048,
+        fn_constructor_args=(uref,), concurrency=(1, 8),
+    )

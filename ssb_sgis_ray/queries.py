@@ -2584,6 +2584,39 @@ def q_minhash_keep(sf_dir: str):
     return labels.map_batches(norm, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination (ops/dedup.py decontaminate): docs whose
+    5-gram shingles overlap the benchmark slice (doc_id % 31 == 0) get
+    flagged. Eval shingle universe broadcast once, corpus streams through
+    one searchsorted membership pass — no shuffle. Oracle reuses the
+    exact HUGEINT shingle CTE on both sides of a semi-join."""
+    def bench_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % 31 == 0))
+
+    ev = documents(sf_dir).map_batches(bench_slice, batch_format="pyarrow")
+    return dedup_ops.decontaminate(documents(sf_dir), ev)
+
+
+SQL_DECONTAMINATE = (
+    "WITH "
+    + _shingle_cte_sql()
+    + """,
+ev AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 31 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM shingles s JOIN ev ON ev.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+)
+
+
 def q_sequence_pack(sf_dir: str):
     """Concat-and-split sequence packing (ops/text.py sequence_pack):
     every doc's global token offset and first/last context-window pack at
@@ -5716,6 +5749,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
     "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),

@@ -867,3 +867,36 @@ def test_sequence_pack_matches_local_scan(ray_session):
             for r in out.itertuples()
         }
         assert got == want, (nparts, rs)
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """A doc sharing a 5-gram window with the eval set is flagged; a
+    disjoint-vocabulary doc is not; eval members flag themselves; n_hits
+    counts DISTINCT shared shingles exactly (verified against numpy)."""
+    import ray.data as rd
+
+    ev_text = "the secret benchmark answer is forty two"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "prefix words then the secret benchmark answer leaks here",
+            "zzz qqq www eee rrr ttt yyy uuu",   # disjoint alphabet
+            ev_text,                              # the eval doc itself
+        ],
+    })
+    ev = pd.DataFrame({"doc_id": [100], "text": [ev_text]})
+    out = (
+        dedup_ops.decontaminate(rd.from_pandas(docs), rd.from_pandas(ev))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [1, 0, 1]
+    u = dedup_ops._shingle_hashes(ev_text, 5)
+    for i, t in enumerate(docs["text"]):
+        want = len(np.intersect1d(dedup_ops._shingle_hashes(t, 5), u))
+        assert out.loc[i, "n_hits"] == want
+    # empty eval set: nothing flagged, nothing crashes
+    out2 = dedup_ops.decontaminate(
+        rd.from_pandas(docs),
+        rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []})),
+    ).to_pandas()
+    assert (out2["contaminated"] == 0).all()
