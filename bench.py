@@ -94,6 +94,7 @@ def run_bench() -> dict:
         # quality-aware keep rule (clusters x token stats argmax) and
         # context-window sequence packing (distributed prefix sum)
         "dedup_keep_best", "sequence_pack", "decontaminate",
+        "repetition_stats",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -353,3 +353,55 @@ def sequence_pack(docs_ds, budget: int, id_col: str = "doc_id",
         })
 
     return counts.groupby("rng").map_groups(scan_group, batch_format="pyarrow")
+
+
+class RepetitionStats:
+    """Actor stage: Gopher-style intra-document repetition signals —
+    the repeated-content quality rules a pretraining pipeline filters on
+    (a doc dominated by one token or one bigram is boilerplate/spam).
+
+    Output per doc (integers only, so the SQL oracle is exact):
+      n_tokens         lowercase [a-z0-9]+ token count
+      n_distinct       distinct tokens
+      top_token_count  occurrences of the most frequent token
+      top_bigram_count occurrences of the most frequent adjacent bigram
+    Filters compare cross-multiplied integers downstream (e.g. flag iff
+    top_bigram_count * 5 > n_tokens), never float fractions.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.tok = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, dtype=np.int64)
+        n_dis = np.zeros(n, dtype=np.int64)
+        top1 = np.zeros(n, dtype=np.int64)
+        top2 = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = self.tok.findall((t or "").lower())
+            n_tok[i] = len(toks)
+            if not toks:
+                continue
+            arr = np.array(toks, dtype=object)
+            _, cnt = np.unique(arr, return_counts=True)
+            n_dis[i] = len(cnt)
+            top1[i] = int(cnt.max())
+            if len(toks) >= 2:
+                big = np.array(
+                    [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)],
+                    dtype=object,
+                )
+                _, c2 = np.unique(big, return_counts=True)
+                top2[i] = int(c2.max())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "top_token_count": pa.array(top1, pa.int64()),
+            "top_bigram_count": pa.array(top2, pa.int64()),
+        })

@@ -2584,6 +2584,56 @@ def q_minhash_keep(sf_dir: str):
     return labels.map_batches(norm, batch_format="pyarrow")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-document repetition signals (ops/text.py
+    RepetitionStats): per doc the most-frequent-token and
+    most-frequent-adjacent-bigram occurrence counts — the repeated-content
+    quality rules a pretraining pipeline filters on. Integer counts only;
+    the oracle rebuilds tokens and bigrams with list indexing in DuckDB."""
+    return documents(sf_dir).map_batches(
+        text_ops.RepetitionStats, batch_format="pyarrow",
+        concurrency=(1, 8), batch_size=2048,
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH t1 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t1
+),
+t3 AS (
+  SELECT doc_id, toks[i] AS tok,
+         CASE WHEN i < len(toks)
+              THEN toks[i] || ' ' || toks[i + 1] END AS big
+  FROM t2
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t3 GROUP BY doc_id, tok),
+bc AS (SELECT doc_id, big, count(*) AS c FROM t3
+       WHERE big IS NOT NULL GROUP BY doc_id, big),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_token_count
+  FROM tc GROUP BY doc_id
+),
+bagg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(a.top_token_count, 0) AS BIGINT) AS top_token_count,
+       CAST(coalesce(b.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN bagg b USING (doc_id)
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Eval-set decontamination (ops/dedup.py decontaminate): docs whose
     5-gram shingles overlap the benchmark slice (doc_id % 31 == 0) get
@@ -5750,6 +5800,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "elevation_gradient": (q_elevation_gradient, SQL_ELEVATION_GRADIENT),
     "sentinel_mosaic": (q_sentinel_mosaic, SQL_SENTINEL_MOSAIC),
     "kmeans_assign": (q_kmeans_assign, SQL_KMEANS_ASSIGN),

@@ -900,3 +900,23 @@ def test_decontaminate_planted_overlap(ray_session):
         rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []})),
     ).to_pandas()
     assert (out2["contaminated"] == 0).all()
+
+
+def test_repetition_stats_hand_cases():
+    """Token/bigram repetition counters on hand-checkable docs: a
+    boilerplate doc dominated by one bigram, an all-distinct doc, the
+    empty doc, and a single-token doc (no bigram)."""
+    st = text_ops.RepetitionStats()
+    out = st(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "buy now buy now buy now and save",   # "buy now" x3
+            "alpha beta gamma delta",
+            "",
+            "solo",
+        ]),
+    })).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [8, 4, 3, 3]   # buy x3, "buy now" x3
+    assert out.loc[2].tolist() == [4, 4, 1, 1]
+    assert out.loc[3].tolist() == [0, 0, 0, 0]
+    assert out.loc[4].tolist() == [1, 1, 1, 0]
