@@ -4380,6 +4380,58 @@ SELECT user_id, event_id FROM r WHERE rn <= 3
 SQL_STRATIFIED_SAMPLE = _stratified_sample_sql()
 
 
+_MIXTURE_SOURCES = [
+    # (name, table, id column, num/den keep rate)
+    ("documents", "documents", "doc_id", 1, 2),
+    ("orders", "orders", "o_orderkey", 1, 4),
+    ("events", "events", "event_id", 1, 8),
+]
+
+
+def q_mixture_sample(sf_dir: str):
+    """Pretraining-style dataset mixing: three corpora kept at 1/2, 1/4
+    and 1/8 via salted mix64 coin flips, unioned into one tagged stream
+    (ops/sample.py mixture_sample). Pure per-batch filters + union — no
+    shuffle — and the keep decision is a function of the row id alone,
+    so the mixture is identical at any cluster size / block layout."""
+    from .ops import sample as sample_ops
+
+    rd = _rd()
+    srcs = []
+    for name, tbl, idc, num, den in _MIXTURE_SOURCES:
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[idc])
+        srcs.append((name, ds, idc, num, den))
+    return sample_ops.mixture_sample(srcs)
+
+
+def _mixture_sample_sql() -> str:
+    """Exact replica of the salted coin flip: per source i, keep iff
+    mix64((id + (i+1)*GOLDEN64) mod 2^64) % den < num — the same
+    HUGEINT mix chain as the stratified/HLL oracles."""
+    m64 = _M64_SQL
+    golden = 0x9E3779B97F4A7C15
+    legs = []
+    for i, (name, tbl, idc, num, den) in enumerate(_MIXTURE_SOURCES):
+        salt = ((i + 1) * golden) % (1 << 64)
+        v = (f"((((CAST({idc} AS HUGEINT) % {m64}) + {m64}) % {m64}"
+             f" + CAST('{salt}' AS HUGEINT)) % {m64})")
+        legs.append(f"""
+SELECT '{name}' AS source, CAST({idc} AS BIGINT) AS rec_id
+FROM (
+  WITH
+  h0 AS (SELECT {idc}, {_sql_xs33(v)} AS h FROM {tbl}),
+  h1 AS (SELECT {idc}, {_sql_mul64('h', 0xFF51AFD7ED558CCD)} AS h FROM h0),
+  h2 AS (SELECT {idc}, {_sql_xs33('h')} AS h FROM h1),
+  h3 AS (SELECT {idc}, {_sql_mul64('h', 0xC4CEB9FE1A85EC53)} AS h FROM h2),
+  h4 AS (SELECT {idc}, {_sql_xs33('h')} AS h FROM h3)
+  SELECT {idc}, h FROM h4
+) WHERE h % {den} < {num}""")
+    return "\nUNION ALL\n".join(legs)
+
+
+SQL_MIXTURE_SAMPLE = _mixture_sample_sql()
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -5797,6 +5849,7 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

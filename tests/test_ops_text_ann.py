@@ -635,6 +635,45 @@ def test_stratified_sample_deterministic_and_exact(ray_session):
         assert sum(1 for a, _ in got if a == k) == min(3, int((keys == k).sum()))
 
 
+def test_mixture_sample_deterministic_and_decorrelated(ray_session):
+    """Multi-source mixing: equals the numpy brute force per source, is
+    invariant under repartitioning, and the per-source salts decorrelate
+    the coin flips — two sources sharing the SAME id universe keep
+    different subsets (a row doesn't live or die in both)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import sample as sample_ops
+    from ssb_sgis_ray.ops.sample import GOLDEN64
+    from ssb_sgis_ray.ops.sketch import _hash64
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"i": ids})
+
+    def run(parts):
+        srcs = [
+            ("a", rd.from_arrow(tbl).repartition(parts), "i", 1, 2),
+            ("b", rd.from_arrow(tbl).repartition(parts), "i", 1, 2),
+        ]
+        out = sample_ops.mixture_sample(srcs).to_pandas()
+        return sorted(map(tuple, out[["source", "rec_id"]].to_numpy().tolist()))
+
+    got = run(1)
+    assert got == run(7)
+
+    want = []
+    for j, name in enumerate(["a", "b"]):
+        salt = np.uint64(((j + 1) * GOLDEN64) % (1 << 64))
+        h = _hash64(ids.view(np.uint64) + salt)
+        want += [(name, int(x)) for x in ids[h % np.uint64(2) < np.uint64(1)]]
+    assert got == sorted(want)
+
+    kept_a = {r for s, r in got if s == "a"}
+    kept_b = {r for s, r in got if s == "b"}
+    assert kept_a != kept_b  # salted flips are decorrelated
+    # each leg's rate is a fair coin over 1000 ids
+    assert 400 < len(kept_a) < 600 and 400 < len(kept_b) < 600
+
+
 def test_mix64_sql_chain_parity_random_including_negatives():
     """The HUGEINT mix64 chain (shared by the HLL and stratified-sample
     oracles) equals sketch._hash64 bit-for-bit on random int64 values,
