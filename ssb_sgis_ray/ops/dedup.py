@@ -1886,3 +1886,161 @@ def decontaminate(docs_ds, eval_ds, k: int = 5, id_col: str = "doc_id",
         Decontam, batch_format="pyarrow", batch_size=2048,
         fn_constructor_args=(uref,), concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated k-token spans (exact substring-dedup statistics)
+# ---------------------------------------------------------------------------
+
+
+SPAN_BASE = np.uint64(257)
+DUP_SPAN_BROADCAST_LIMIT = 2_000_000
+
+
+def _span_hashes_flat(texts, ids, k):
+    """(doc_per_span, span_hash) for every k-token span in the batch.
+
+    Tokens are [a-z0-9]+ of lower(text), hashed once per batch with the
+    vectorized FNV pass; span hash is the positional polynomial
+    sum(tok_hash[i+j] * 257^(k-1-j)) in wrapping uint64 — mod 2^64 is a
+    ring hom, so the wrapped per-term products match an exact integer
+    sum taken mod 2^64 (what the SQL oracle computes in HUGEINT).
+    Windows that would cross a document boundary are masked out.
+    Also returns the per-doc token counts."""
+    import re
+
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        _TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+    all_tokens: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(str(t or "").lower())
+        all_tokens.extend(toks)
+        counts[i] = len(toks)
+    T = len(all_tokens)
+    if T < k:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64), counts)
+    th = hash64_str_batch(all_tokens)
+    doc_flat = np.repeat(np.asarray(ids, dtype=np.int64), counts)
+    win = np.lib.stride_tricks.sliding_window_view(th, k)
+    mult = SPAN_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sh = (win * mult[None, :]).sum(axis=1, dtype=np.uint64)
+    valid = doc_flat[: T - k + 1] == doc_flat[k - 1:]
+    return doc_flat[: T - k + 1][valid], sh[valid], counts
+
+
+def duplicated_spans(docs_ds, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     dup_broadcast_limit: int = DUP_SPAN_BROADCAST_LIMIT):
+    """Exact duplicated-span statistics: a k-token span is DUPLICATED if
+    its exact token sequence occurs >= 2 times anywhere in the corpus
+    (across or within documents) — span-granular exact substring dedup
+    (the "deduplicating training data" preprocessing step), reported per
+    document as (doc_id, n_spans, n_dup_spans), integers only.
+
+    Scale plan: pass A streams the corpus emitting per-batch PARTIAL
+    (span_hash, count) tables (unique-within-batch, the pre-aggregate
+    discipline), one narrow int64-keyed groupby sums them, and only
+    hashes with count >= 2 survive. That duplicated-span set is usually
+    a small fraction of the corpus; while it fits
+    ``dup_broadcast_limit`` it is broadcast sorted and pass B re-streams
+    the corpus counting membership per document with one searchsorted —
+    no second shuffle. Beyond the limit, pass B emits span rows and
+    routes them through ``membership_filter``'s distributed join plus a
+    per-doc count groupby — same result, all-distributed.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, sh, _ = _span_hashes_flat(b[text_col].to_pylist(), ids, k)
+        u, c = np.unique(sh.view(np.int64), return_counts=True)
+        return pa.table({"sh": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    dup = (
+        docs_ds.map_batches(partial_counts, batch_format="pyarrow",
+                            batch_size=2048)
+        .groupby("sh")
+        .aggregate(Sum(on="c", alias_name="cnt"))
+        .filter(lambda r: r["cnt"] >= 2)
+        .materialize()
+    )
+    n_dup = dup.count()
+
+    def per_doc(b: pa.Table, member) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, sh, counts = _span_hashes_flat(b[text_col].to_pylist(), ids, k)
+        n_spans = np.maximum(counts - (k - 1), 0)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        if len(sh) and len(member):
+            s = sh.view(np.int64)
+            pos = np.minimum(np.searchsorted(member, s), len(member) - 1)
+            isdup = member[pos] == s
+            # map span doc ids -> batch row index, vectorized (ids are
+            # unique per batch; d only contains values present in ids)
+            order = np.argsort(ids, kind="stable")
+            idx = order[np.searchsorted(ids[order], d)]
+            np.add.at(hits, idx, isdup.astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_dup_spans": pa.array(hits, pa.int64()),
+        })
+
+    if n_dup <= dup_broadcast_limit:
+        member = np.sort(dup.to_pandas()["sh"].to_numpy().astype(np.int64))
+        ref = ray.put(member)
+
+        class PerDoc:
+            def __init__(self):
+                self.member = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                return per_doc(b, self.member)
+
+        return docs_ds.map_batches(PerDoc, batch_format="pyarrow",
+                                   batch_size=2048, concurrency=(1, 8))
+
+    # distributed fallback: span rows -> semi-join vs dup -> per-doc count
+    from .lookup import lookup_join, membership_filter
+
+    def span_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, sh, _ = _span_hashes_flat(b[text_col].to_pylist(), ids, k)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "sh": pa.array(sh.view(np.int64), pa.int64())})
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, counts = _span_hashes_flat(b[text_col].to_pylist(), ids, k)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(np.maximum(counts - (k - 1), 0), pa.int64()),
+            "zero": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        })
+
+    rows = docs_ds.map_batches(span_rows, batch_format="pyarrow",
+                               batch_size=2048)
+    hit_counts = (
+        membership_filter(rows, dup, "sh", small_key="sh",
+                          limit=dup_broadcast_limit)
+        .map_batches(lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64())}),
+            batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum(on="one", alias_name="n_dup_spans"))
+    )
+    base = docs_ds.map_batches(base_rows, batch_format="pyarrow",
+                               batch_size=2048)
+    out = lookup_join(base, hit_counts, "doc_id", small_key="doc_id",
+                      value_col="n_dup_spans", out_col="n_dup_spans",
+                      default_from="zero")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_spans", "n_dup_spans"]),
+        batch_format="pyarrow",
+    )

@@ -4432,6 +4432,76 @@ FROM (
 SQL_MIXTURE_SAMPLE = _mixture_sample_sql()
 
 
+def q_span_dedup(sf_dir: str):
+    """Exact duplicated-span statistics (span-granular substring dedup):
+    per doc, how many of its 8-token spans occur >= 2 times anywhere in
+    the corpus (ops/dedup.py duplicated_spans). Two corpus streams + one
+    narrow (span_hash, count) shuffle; the duplicated-span set broadcasts
+    while bounded, distributed semi-join beyond."""
+    from .ops import dedup as dedup_ops
+
+    return dedup_ops.duplicated_spans(documents(sf_dir), k=8)
+
+
+# Exact SQL replica of duplicated_spans (ops/dedup.py): FNV-1a per DISTINCT
+# token via the recursive CTE (HUGEINT wrapping multiply), span hash as the
+# positional polynomial sum(tok_hash[pos+j] * 257^(7-j)) mod 2^64 — every
+# term < 2^64 * 257^7 < 2^121 and the 8-term sum < 2^124 < HUGEINT max, so
+# the exact integer sum mod 2^64 equals numpy's wrapping arithmetic (mod is
+# a ring hom). A span is duplicated iff its hash occurs >= 2 times corpus-
+# wide (within- or cross-document).
+SQL_SPAN_DEDUP = """
+WITH RECURSIVE
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+         toks, len(toks) AS n_tok
+  FROM tl
+),
+ptok AS (SELECT doc_id, pos, n_tok, toks[pos] AS tok FROM pos),
+vocab AS (SELECT DISTINCT tok FROM ptok),
+fnv(tok, i, h) AS (
+  SELECT tok, 1, CAST('14695981039346656037' AS HUGEINT) FROM vocab
+  UNION ALL
+  SELECT tok, i + 1,
+         ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, i, 1))))
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE i <= length(tok)
+),
+th AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
+ph AS (
+  SELECT p.doc_id, p.pos, p.n_tok, th.h
+  FROM ptok p JOIN th USING (tok)
+),
+sp0 AS (
+  -- hash FIRST, filter AFTER: a WHERE in this query would remove the
+  -- tail rows before lead() reads them, nulling the last 7 span hashes
+  SELECT doc_id, pos, n_tok,
+         (__SPAN_POLY__) % CAST('18446744073709551616' AS HUGEINT) AS span_h
+  FROM ph
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (SELECT doc_id, pos, span_h FROM sp0 WHERE pos <= n_tok - 7),
+dup AS (SELECT span_h FROM sp GROUP BY span_h HAVING count(*) >= 2),
+per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN span_h IN (SELECT span_h FROM dup)
+                  THEN 1 ELSE 0 END) AS n_dup
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_spans
+FROM documents d LEFT JOIN per USING (doc_id)
+""".replace("__SPAN_POLY__", " + ".join(
+    f"lead(h, {j}) OVER w * CAST('{257 ** (7 - j)}' AS HUGEINT)" if j else
+    f"h * CAST('{257 ** 7}' AS HUGEINT)" for j in range(8)
+))
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -5850,6 +5920,7 @@ REGISTRY: dict[str, tuple] = {
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

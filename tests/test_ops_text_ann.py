@@ -674,6 +674,54 @@ def test_mixture_sample_deterministic_and_decorrelated(ray_session):
     assert 400 < len(kept_a) < 600 and 400 < len(kept_b) < 600
 
 
+def test_duplicated_spans_differential_both_plans(ray_session):
+    """Span-granular exact substring dedup: equals the tuple-level brute
+    force, identical in the broadcast and distributed-fallback regimes,
+    invariant under repartitioning; docs shorter than k get (0, 0)."""
+    import re
+
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import dedup as dedup_ops
+
+    texts = [
+        "a b c d e f g h i j",      # shares the 8-span abcdefgh with doc 1
+        "a b c d e f g h x y",
+        "p q r s t u v w",          # unique single span
+        "p q r s t u v w",          # exact dup of doc 2
+        "m n",                      # too short: 0 spans
+        "z z z z z z z z z z z",    # self-repeating: all spans identical
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    spans = {}
+    per = {}
+    tok = re.compile(r"[a-z0-9]+")
+    for d, t in enumerate(texts):
+        ts = tok.findall(t.lower())
+        ss = [tuple(ts[i:i + 8]) for i in range(max(0, len(ts) - 7))]
+        per[d] = ss
+        for s in ss:
+            spans[s] = spans.get(s, 0) + 1
+    want = sorted(
+        (d, len(ss), sum(1 for s in ss if spans[s] >= 2))
+        for d, ss in per.items()
+    )
+
+    def run(parts, limit):
+        out = dedup_ops.duplicated_spans(
+            rd.from_arrow(tbl).repartition(parts), k=8,
+            dup_broadcast_limit=limit,
+        ).to_pandas()
+        return sorted(map(tuple, out[["doc_id", "n_spans", "n_dup_spans"]]
+                          .to_numpy().tolist()))
+
+    assert run(1, 2_000_000) == want
+    assert run(5, 2_000_000) == want
+    assert run(5, 0) == want  # forced distributed semi-join fallback
+
+
 def test_mix64_sql_chain_parity_random_including_negatives():
     """The HUGEINT mix64 chain (shared by the HLL and stratified-sample
     oracles) equals sketch._hash64 bit-for-bit on random int64 values,
