@@ -95,6 +95,8 @@ def run_bench() -> dict:
         # context-window sequence packing (distributed prefix sum)
         "dedup_keep_best", "sequence_pack", "decontaminate",
         "repetition_stats",
+        # deterministic dataset mixing + span-granular substring dedup
+        "mixture_sample", "span_dedup",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

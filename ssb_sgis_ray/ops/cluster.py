@@ -188,3 +188,86 @@ def kmeans(
     init = min_id_init(ds, k, col=col, id_col=id_col)
     cent = kmeans_iterate(ds, init, iters=iters, col=col, spherical=spherical)
     return cent, kmeans_assign(ds, cent, col=col, id_col=id_col)
+
+
+def gram_pass(ds, col: str = "embedding", bits: int = 10):
+    """ONE streaming aggregate pass over the embedding column returning
+    the exact integer sufficient statistics of distributed PCA:
+    ``(G, s, n)`` where ``q = floor(e * 2**bits)`` (int64 — float32 ->
+    float64 is exact and *2^bits is a power-of-two shift, so the
+    quantization is bit-identical on any engine), ``G = Q^T Q`` (d, d),
+    ``s = column sums`` (d,), ``n`` = row count.
+
+    Same shape as the KMeans round: per-block matmul partials, tree
+    merge, O(d^2) state — no shuffle, identical plan at any cluster
+    size. Products are < 2^(2*bits) and block sums < 2^53, so the
+    float64 BLAS matmul per block is exact before the int64 cast.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    scale = float(2 ** bits)
+
+    def g_init(_):
+        return np.zeros((0, 0), dtype=np.int64)
+
+    def g_acc(acc, block):
+        m = _block_matrix(block, col)
+        if len(m) == 0:
+            return acc
+        q = np.floor(m * scale)
+        d = q.shape[1]
+        if acc.size == 0:
+            acc = np.zeros((d + 1, d + 1), dtype=np.int64)
+        acc[:d, :d] += (q.T @ q).astype(np.int64)
+        acc[d, :d] += q.sum(axis=0).astype(np.int64)
+        acc[d, d] += len(q)
+        return acc
+
+    def g_merge(a, b):
+        if a.size == 0:
+            return b
+        if b.size == 0:
+            return a
+        return a + b
+
+    state = ds.aggregate(AggregateFn(
+        init=g_init, merge=g_merge, name="gram", accumulate_block=g_acc
+    ))["gram"]
+    d = state.shape[0] - 1
+    return state[:d, :d], state[d, :d], int(state[d, d])
+
+
+def gram_matrix(ds, col: str = "embedding", bits: int = 10) -> pa.Table:
+    """Upper-triangle (i, j, g) rows of the quantized Gram matrix —
+    integer-exact, so a plain SQL self-join over unnested embeddings
+    reproduces it bit-for-bit."""
+    G, _, _ = gram_pass(ds, col, bits)
+    d = G.shape[0]
+    iu, ju = np.triu_indices(d)
+    return pa.table({
+        "i": pa.array(iu.astype(np.int64), pa.int64()),
+        "j": pa.array(ju.astype(np.int64), pa.int64()),
+        "g": pa.array(G[iu, ju], pa.int64()),
+    })
+
+
+def pca_components(ds, col: str = "embedding", bits: int = 10,
+                   n_components: int = 8):
+    """Distributed PCA: covariance from the one-pass Gram statistics
+    (cov = (G - s s^T / n) / (n - 1) over the quantized vectors), driver
+    ``eigh`` on the d x d matrix, top components by eigenvalue. Returns
+    (components (k, d) float64, explained_variance (k,)). The expensive
+    part is the streaming pass; the driver holds only O(d^2)."""
+    G, s, n = gram_pass(ds, col, bits)
+    if n < 2:
+        raise ValueError("pca_components needs >= 2 rows")
+    cov = (G.astype(np.float64) - np.outer(s, s) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    # deterministic sign: largest-|coef| coordinate is positive
+    for r in comps:
+        jmax = int(np.abs(r).argmax())
+        if r[jmax] < 0:
+            r *= -1.0
+    return comps, w[order]

@@ -4432,6 +4432,31 @@ FROM (
 SQL_MIXTURE_SAMPLE = _mixture_sample_sql()
 
 
+def q_gram_matrix(sf_dir: str):
+    """Distributed PCA sufficient statistics: upper triangle of the
+    quantized Gram matrix G = Q^T Q over the embedding column, computed
+    in ONE streaming AggregateFn pass (ops/cluster.py gram_pass) — the
+    same no-shuffle shape as the KMeans round. floor(e * 2^10) is exact
+    (float32->float64 exact, power-of-two scale), so G is integer-exact
+    and a plain SQL self-join reproduces it bit-for-bit."""
+    from .ops import cluster as cluster_ops
+
+    return cluster_ops.gram_matrix(embeddings_ds(sf_dir), bits=10)
+
+
+SQL_GRAM_MATRIX = """
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(0, len(embedding) - 1)) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def q_span_dedup(sf_dir: str):
     """Exact duplicated-span statistics (span-granular substring dedup):
     per doc, how many of its 8-token spans occur >= 2 times anywhere in
@@ -5921,6 +5946,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -785,6 +785,43 @@ def test_simhash_sql_parity_random_ascii():
     check()
 
 
+def test_gram_pass_and_pca_match_numpy(ray_session):
+    """The one-pass Gram statistics equal the brute-force Q^T Q / column
+    sums / count bitwise (integer domain), are partition-invariant, and
+    pca_components reproduces numpy's full eigendecomposition of the
+    sample covariance of the quantized vectors (sign-fixed)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import cluster as cluster_ops
+
+    rng = np.random.RandomState(7)
+    n, d = 300, 12
+    m = rng.uniform(-0.5, 0.5, size=(n, d)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    q = np.floor(m.astype(np.float64) * 1024.0)
+
+    for parts in (1, 9):
+        G, s, cnt = cluster_ops.gram_pass(
+            rd.from_arrow(tbl).repartition(parts), bits=10)
+        assert cnt == n
+        assert (G == (q.T @ q).astype(np.int64)).all()
+        assert (s == q.sum(axis=0).astype(np.int64)).all()
+
+    comps, ev = cluster_ops.pca_components(
+        rd.from_arrow(tbl), bits=10, n_components=4)
+    cov = np.cov(q, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    want = v[:, order].T
+    for r in want:
+        jm = int(np.abs(r).argmax())
+        if r[jm] < 0:
+            r *= -1.0
+    assert np.allclose(ev, w[order])
+    assert np.allclose(comps, want)
+
+
 def test_kmeans_distributed_matches_local_reference(ray_session):
     """The Lloyd AggregateFn pass must equal a plain local loop BITWISE on
     integer-valued vectors: partial float64 sums of integers < 2^53 are
