@@ -536,3 +536,75 @@ def make_ssb_grid(points_ds, gridsize: int, x_col: str = "px", y_col: str = "py"
         )
 
     return rd.range(nx * ny).map_batches(build, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# Tile pyramid: multi-zoom tile counts in one pass
+# ---------------------------------------------------------------------------
+
+
+def tile_pyramid(tiles_ds, levels: int = 4, x_col: str = "tile_x",
+                 y_col: str = "tile_y", driver_limit: int = 4_000_000):
+    """Zoom-pyramid aggregation over tile rows: for every level
+    ``l in [0, levels)`` the level-l cell of a tile is
+    ``(x >> l, y >> l)`` and the output is (level, tile_x, tile_y, n) —
+    the tile-pyramid build a serving stack runs after tile assignment.
+
+    ALL levels aggregate in ONE pass: each batch emits unique
+    (packed_key, count) partials for every level (the map-side combine
+    discipline), packed as level<<48 | x<<24 | y into a single int64
+    shuffle key. Below ``driver_limit`` partial rows the final sum is
+    one driver np pass (the groupby exchange is pure fixed machinery at
+    that size — same dual plan as duplicated_spans); beyond it, one
+    narrow int64-keyed distributed groupby. Tile ids must be in
+    [0, 2^24) (nonnegative domain grid ids; asserted per batch).
+    """
+    from ray.data.aggregate import Sum
+
+    mask24 = (1 << 24) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and (x.min() < 0 or y.min() < 0 or
+                       x.max() > mask24 or y.max() > mask24):
+            raise ValueError("tile ids must be in [0, 2^24)")
+        keys = []
+        for lv in range(levels):
+            keys.append((np.int64(lv) << np.int64(48))
+                        | ((x >> lv) << np.int64(24)) | (y >> lv))
+        u, c = np.unique(np.concatenate(keys) if keys
+                         else np.empty(0, np.int64), return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    def unpack(key: np.ndarray, n: np.ndarray) -> pa.Table:
+        order = np.argsort(key, kind="stable")
+        key, n = key[order], n[order]
+        return pa.table({
+            "level": pa.array(key >> np.int64(48), pa.int64()),
+            "tile_x": pa.array((key >> np.int64(24)) & mask24, pa.int64()),
+            "tile_y": pa.array(key & mask24, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    partials = tiles_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+
+    if partials.count() <= driver_limit:
+        df = partials.to_pandas()
+        k = df["key"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return unpack(u, tot)
+
+    agg = partials.groupby("key").aggregate(Sum(on="c", alias_name="n"))
+    return agg.map_batches(
+        lambda b: unpack(
+            b["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ),
+        batch_format="pyarrow",
+    )

@@ -313,6 +313,30 @@ FROM ({PART_SQL}) b,
 """
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Zoom-pyramid counts (levels 0-3) over the part covering tiles —
+    all levels in one map-side-combined pass + a single int64-keyed
+    aggregation (ops/spatial.py tile_pyramid)."""
+    cov = parts(sf_dir).map_batches(
+        lambda b: spatial.cover_tiles_flatmap(b, TILE, "p_partkey"),
+        batch_format="pyarrow",
+    )
+    return spatial.tile_pyramid(cov, levels=4)
+
+
+SQL_TILE_PYRAMID = f"""
+WITH RECURSIVE
+cov AS ({SQL_TILE_COVER}),
+pows(level, p) AS (
+  SELECT 0, 1 UNION ALL SELECT level + 1, p * 2 FROM pows WHERE level < 3
+)
+SELECT p.level, cov.tile_x // p.p AS tile_x, cov.tile_y // p.p AS tile_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM cov CROSS JOIN pows p
+GROUP BY p.level, cov.tile_x // p.p, cov.tile_y // p.p
+"""
+
+
 def q_overlay_intersection(sf_dir: str):
     # emit="area": projection pushdown — the consumer only needs areas, so
     # the actor skips WKB encode entirely (geometry output is covered by
@@ -5947,6 +5971,7 @@ REGISTRY: dict[str, tuple] = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),
+    "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

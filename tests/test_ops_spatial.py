@@ -839,3 +839,42 @@ def test_difference_cell_broadcast_and_cell_pair_plans_agree(ray_session, monkey
         4: 260 * 260 - 150 * 150 - 35 * 35,
     }
     assert broadcast == cell_pair == want
+
+
+def test_tile_pyramid_both_plans_match_brute_force(ray_session):
+    """All zoom levels from one pass equal the per-level brute force,
+    identically in the driver-sum and distributed-groupby plans and
+    under repartitioning; out-of-domain tile ids raise."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 40, size=800).astype(np.int64)
+    y = rng.randint(0, 40, size=800).astype(np.int64)
+    tbl = pa.table({"tile_x": pa.array(x), "tile_y": pa.array(y)})
+
+    want = []
+    for lv in range(4):
+        from collections import Counter
+
+        c = Counter(zip(x >> lv, y >> lv))
+        want += [(lv, int(a), int(b), n) for (a, b), n in c.items()]
+    want.sort()
+
+    def run(parts, limit):
+        out = spatial.tile_pyramid(
+            rd.from_arrow(tbl).repartition(parts), levels=4,
+            driver_limit=limit,
+        )
+        df = out.to_pandas()
+        return sorted(map(tuple, df[["level", "tile_x", "tile_y", "n"]]
+                          .to_numpy().tolist()))
+
+    assert run(1, 4_000_000) == want
+    assert run(7, 4_000_000) == want
+    assert run(7, 0) == want  # forced distributed groupby plan
+
+    bad = pa.table({"tile_x": pa.array([-1], pa.int64()),
+                    "tile_y": pa.array([0], pa.int64())})
+    with pytest.raises(Exception):
+        spatial.tile_pyramid(rd.from_arrow(bad), levels=2,
+                             driver_limit=0).to_pandas()
