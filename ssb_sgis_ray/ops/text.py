@@ -405,3 +405,40 @@ class RepetitionStats:
             "top_token_count": pa.array(top1, pa.int64()),
             "top_bigram_count": pa.array(top2, pa.int64()),
         })
+
+
+def corpus_stats(docs_ds, group_cols=("source", "lang"),
+                 text_col: str = "text"):
+    """Per-(source, lang) corpus composition: doc count, total chars,
+    total [a-z0-9]+ tokens — the table a pipeline reads before choosing
+    mixture weights (``ops/sample.mixture_sample``) or per-source
+    quality thresholds.
+
+    Map-side combine: each batch reduces to at most |distinct groups in
+    batch| rows (pandas groupby over two short string keys), then one
+    tiny keyed groupby sums the partials — the group universe is
+    sources x languages, i.e. dozens, so the exchange is negligible at
+    any corpus size. Integer sums only.
+    """
+    from ray.data.aggregate import Sum
+
+    gcols = list(group_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].astype(str).str.lower()
+        b = b.assign(
+            n_docs=np.ones(len(b), dtype=np.int64),
+            n_chars=t.str.len().astype(np.int64),
+            # pandas .str.count is a C-level regex pass (no Python/row)
+            n_tokens=t.str.count(r"[a-z0-9]+").astype(np.int64),
+        )
+        return (b.groupby(gcols, as_index=False)
+                 [["n_docs", "n_chars", "n_tokens"]].sum())
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(gcols)
+        .aggregate(Sum(on="n_docs", alias_name="n_docs"),
+                   Sum(on="n_chars", alias_name="n_chars"),
+                   Sum(on="n_tokens", alias_name="n_tokens"))
+    )

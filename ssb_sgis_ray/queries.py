@@ -4456,6 +4456,29 @@ FROM (
 SQL_MIXTURE_SAMPLE = _mixture_sample_sql()
 
 
+def q_corpus_stats(sf_dir: str):
+    """Per-(source, lang) corpus composition (ops/text.py corpus_stats):
+    map-side combine to <= |groups| rows per batch, one tiny keyed
+    groupby — the mixture-planning input table."""
+    from .ops import text as text_ops
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+    return text_ops.corpus_stats(ds)
+
+
+SQL_CORPUS_STATS = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(lower(text))) AS BIGINT) AS n_chars,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+         AS n_tokens
+FROM documents
+GROUP BY source, lang
+"""
+
+
 def q_gram_matrix(sf_dir: str):
     """Distributed PCA sufficient statistics: upper triangle of the
     quantized Gram matrix G = Q^T Q over the embedding column, computed
@@ -5972,6 +5995,7 @@ REGISTRY: dict[str, tuple] = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
