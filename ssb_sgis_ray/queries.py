@@ -4456,6 +4456,59 @@ FROM (
 SQL_MIXTURE_SAMPLE = _mixture_sample_sql()
 
 
+def q_budget_select(sf_dir: str):
+    """Token-budget data selection (ops/select.py budget_select): per
+    source, keep the highest-quality docs (quality = n_tokens -
+    2*n_digits, weight = n_tokens, order quality DESC / doc_id ASC)
+    until an 800-token budget is spent — exclusive-prefix rule, exact,
+    no corpus sort/shuffle (bounded quality histogram + weighted id
+    refinement + decision broadcast)."""
+    import re
+
+    from .ops import select as select_ops
+    from .ops.text import DIGIT_RE, TOKEN_RE
+
+    tokre, digre = re.compile(TOKEN_RE), re.compile(DIGIT_RE)
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype(str)
+        ntok = t.str.count(TOKEN_RE).astype(np.int64)
+        ndig = t.str.count(DIGIT_RE).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype(np.int64),
+            "source": b["source"],
+            "q": (ntok - 2 * ndig).astype(np.int64),
+            "w": ntok,
+        })
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(feats, batch_format="pandas")
+    return select_ops.budget_select(
+        ds, budget=800, key_col="source", quality_col="q",
+        weight_col="w", id_col="doc_id",
+    )
+
+
+SQL_BUDGET_SELECT = """
+WITH m AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS w,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+           - 2 * len(regexp_extract_all(text, '[0-9]')) AS q
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, w,
+         sum(w) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+                      ROWS UNBOUNDED PRECEDING) - w AS before
+  FROM m
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id
+FROM p WHERE before < 800
+"""
+
+
 def q_corpus_stats(sf_dir: str):
     """Per-(source, lang) corpus composition (ops/text.py corpus_stats):
     map-side combine to <= |groups| rows per batch, one tiny keyed
@@ -5996,6 +6049,7 @@ REGISTRY: dict[str, tuple] = {
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),
     "tile_pyramid": (q_tile_pyramid, SQL_TILE_PYRAMID),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "budget_select": (q_budget_select, SQL_BUDGET_SELECT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -1044,3 +1044,47 @@ def test_repetition_stats_hand_cases():
     assert out.loc[2].tolist() == [4, 4, 1, 1]
     assert out.loc[3].tolist() == [0, 0, 0, 0]
     assert out.loc[4].tolist() == [1, 1, 1, 0]
+
+
+def test_budget_select_matches_brute_force(ray_session):
+    """Exclusive-prefix budget selection equals the sorted brute force
+    on random integer data — including zero-weight docs, a budget that
+    lands mid-bucket, exhausted keys, and keys whose total fits whole —
+    and is invariant under repartitioning."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import select as select_ops
+
+    rng = np.random.RandomState(13)
+    n = 600
+    keys = np.array(["s%d" % k for k in rng.randint(0, 5, size=n)])
+    q = rng.randint(-3, 4, size=n).astype(np.int64)
+    w = rng.randint(0, 9, size=n).astype(np.int64)  # zero weights included
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys), "q": pa.array(q),
+                    "w": pa.array(w), "i": pa.array(ids)})
+
+    budget = 120
+    want = set()
+    for kk in np.unique(keys):
+        m = keys == kk
+        order = np.lexsort((ids[m], -q[m]))
+        ww = w[m][order]
+        before = np.r_[0, np.cumsum(ww)[:-1]]
+        sel_ids = ids[m][order][before < budget]
+        want |= {(kk, int(x)) for x in sel_ids}
+
+    for parts in (1, 11):
+        out = select_ops.budget_select(
+            rd.from_arrow(tbl).repartition(parts), budget=budget,
+            key_col="k", quality_col="q", weight_col="w", id_col="i",
+        ).to_pandas()
+        got = set(map(tuple, out[["k", "i"]].to_numpy().tolist()))
+        assert got == want
+
+    # budget larger than any key's total: everything selected
+    out = select_ops.budget_select(
+        rd.from_arrow(tbl), budget=10**9, key_col="k",
+        quality_col="q", weight_col="w", id_col="i",
+    ).to_pandas()
+    assert len(out) == n
