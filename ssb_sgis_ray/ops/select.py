@@ -67,20 +67,31 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
              .sum())
         return g
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pandas", batch_size=8192)
-        .groupby([key_col, quality_col])
-        .aggregate(Sum(on=weight_col, alias_name="w"))
-        .materialize()
-    )
-    if hist.count() > histogram_limit:
-        raise ValueError(
-            "quality histogram exceeds the driver envelope "
-            f"({hist.count()} > {histogram_limit}); coarsen the quality "
-            "score (bucket it) — the plan needs a bounded "
-            "(key, quality) universe"
+    partials = ds.map_batches(
+        hist_partial, batch_format="pandas", batch_size=8192
+    ).materialize()
+    if partials.count() <= 4 * histogram_limit:
+        # driver sum: partials are unique per batch, so their total is
+        # bounded by (key x quality universe) x batches — the groupby
+        # exchange is pure fixed machinery at that size (same rule as
+        # duplicated_spans / tile_pyramid)
+        hdf = (partials.to_pandas()
+               .groupby([key_col, quality_col], as_index=False)[weight_col]
+               .sum().rename(columns={weight_col: "w"}))
+    else:
+        hist = (
+            partials.groupby([key_col, quality_col])
+            .aggregate(Sum(on=weight_col, alias_name="w"))
+            .materialize()
         )
-    hdf = hist.to_pandas()
+        if hist.count() > histogram_limit:
+            raise ValueError(
+                "quality histogram exceeds the driver envelope "
+                f"({hist.count()} > {histogram_limit}); coarsen the "
+                "quality score (bucket it) — the plan needs a bounded "
+                "(key, quality) universe"
+            )
+        hdf = hist.to_pandas()
     keys = np.sort(hdf[key_col].unique())
     key_ix = pd.Index(keys)
 
