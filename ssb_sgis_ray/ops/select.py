@@ -119,36 +119,72 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
     bnd_key = kcodes[bnd]
     bnd_q = qv[bnd]
 
+    qmin, qmax = int(qv.min()), int(qv.max())
+    span = qmax - qmin + 1
+
     # ---- pass 2 (rounds): weighted id refinement for boundary buckets
     cut_id = np.full(len(bnd), np.iinfo(np.int64).max, dtype=np.int64)
     if len(bnd):
         from ray.data.aggregate import AggregateFn
 
-        lo = np.full(len(bnd), np.iinfo(np.int64).max, dtype=np.float64)
-        hi = np.full(len(bnd), np.iinfo(np.int64).min, dtype=np.float64)
+        # Project + filter the corpus to boundary-bucket rows ONCE (three
+        # int64 columns, bounded by the boundary buckets — at most one
+        # quality bucket per key). Every refinement round then aggregates
+        # over this materialized projection instead of re-executing the
+        # full upstream pipeline per round.
+        bnd_pk = bnd_key * span + (bnd_q - qmin)
+        bord = np.argsort(bnd_pk, kind="stable")
+        bnd_pk_sorted = bnd_pk[bord]
+        inv_bord = np.empty(len(bnd), dtype=np.int64)
+        inv_bord[bord] = np.arange(len(bnd))
+        bref = ray.put((keys, bnd_pk_sorted, qmin, span))
+
+        class BoundaryProject:
+            def __init__(self):
+                self.keys, self.bpk, self.qmin, self.span = ray.get(bref)
+                self.kix = pd.Index(self.keys)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                kc = self.kix.get_indexer(b[key_col]).astype(np.int64)
+                q = b[quality_col].to_numpy().astype(np.int64)
+                pk = kc * self.span + (q - self.qmin)
+                pos = np.searchsorted(self.bpk, pk)
+                pos_c = np.minimum(pos, len(self.bpk) - 1)
+                m = (kc >= 0) & (self.bpk[pos_c] == pk)
+                return pd.DataFrame({
+                    "_bix": pos_c[m],
+                    "_id": b[id_col].to_numpy().astype(np.int64)[m],
+                    "_w": b[weight_col].to_numpy().astype(np.int64)[m],
+                })
+
+        boundary = ds.map_batches(
+            BoundaryProject, batch_format="pandas", batch_size=8192,
+            concurrency=(1, 8),
+        ).materialize()
+
+        nb = len(bnd)
 
         def mm_init(_):
-            return np.stack([lo.copy(), hi.copy()])
+            a = np.empty((2, nb), dtype=np.int64)
+            a[0] = np.iinfo(np.int64).max
+            a[1] = np.iinfo(np.int64).min
+            return a
 
         def mm_acc(a, block):
-            kc = key_ix.get_indexer(_col(block, key_col))
-            q = _col(block, quality_col).astype(np.int64)
-            i = _col(block, id_col).astype(np.int64)
-            for bix in range(len(bnd)):
-                m = (kc == bnd_key[bix]) & (q == bnd_q[bix])
-                if m.any():
-                    a[0, bix] = min(a[0, bix], i[m].min())
-                    a[1, bix] = max(a[1, bix], i[m].max())
+            bix = _col(block, "_bix")
+            i = _col(block, "_id")
+            np.minimum.at(a[0], bix, i)
+            np.maximum.at(a[1], bix, i)
             return a
 
         def mm_merge(a, b):
             return np.stack([np.minimum(a[0], b[0]), np.maximum(a[1], b[1])])
 
-        mm = ds.aggregate(AggregateFn(
+        mm = boundary.aggregate(AggregateFn(
             init=mm_init, merge=mm_merge, name="mm", accumulate_block=mm_acc
         ))["mm"]
-        lo_v = mm[0].astype(np.int64)
-        hi_v = mm[1].astype(np.int64) + 1  # half-open
+        lo_v = mm[0][inv_bord].copy()   # back to bnd order
+        hi_v = mm[1][inv_bord] + 1      # half-open
         res = residual.copy()
 
         while True:
@@ -156,33 +192,30 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
             if (width <= 1).all():
                 break
             bw = np.maximum((width + BINS - 1) // BINS, 1)
+            lo_s, hi_s, bw_s = lo_v[bord], hi_v[bord], bw[bord]
 
             def h_init(_):
-                return np.zeros((len(bnd), BINS), dtype=np.int64)
+                return np.zeros(nb * BINS, dtype=np.int64)
 
-            def h_acc(a, block, lo_v=lo_v, hi_v=hi_v, bw=bw):
-                kc = key_ix.get_indexer(_col(block, key_col))
-                q = _col(block, quality_col).astype(np.int64)
-                i = _col(block, id_col).astype(np.int64)
-                w = _col(block, weight_col).astype(np.int64)
-                for bix in range(len(bnd)):
-                    m = ((kc == bnd_key[bix]) & (q == bnd_q[bix])
-                         & (i >= lo_v[bix]) & (i < hi_v[bix]))
-                    if m.any():
-                        slot = (i[m] - lo_v[bix]) // bw[bix]
-                        a[bix] += np.bincount(
-                            slot, weights=w[m].astype(np.float64),
-                            minlength=BINS,
-                        ).astype(np.int64)
+            def h_acc(a, block, lo_s=lo_s, hi_s=hi_s, bw_s=bw_s):
+                bix = _col(block, "_bix")
+                i = _col(block, "_id")
+                w = _col(block, "_w")
+                m = (i >= lo_s[bix]) & (i < hi_s[bix])
+                if m.any():
+                    bix, i, w = bix[m], i[m], w[m]
+                    slot = bix * BINS + (i - lo_s[bix]) // bw_s[bix]
+                    a += np.bincount(slot, weights=w, minlength=nb * BINS
+                                     ).astype(np.int64)
                 return a
 
             def h_merge(a, b):
                 return a + b
 
-            h = ds.aggregate(AggregateFn(
+            h = boundary.aggregate(AggregateFn(
                 init=h_init, merge=h_merge, name="h",
                 accumulate_block=h_acc,
-            ))["h"]
+            ))["h"].reshape(nb, BINS)[inv_bord]
             csum = np.cumsum(h, axis=1)
             for bix in range(len(bnd)):
                 if hi_v[bix] - lo_v[bix] <= 1:
@@ -199,8 +232,6 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
         cut_id = lo_v
 
     # ---- pass 3: decision broadcast + stream filter ----------------
-    qmin, qmax = int(qv.min()), int(qv.max())
-    span = qmax - qmin + 1
     packed = kcodes * span + (qv - qmin)
     order = np.argsort(packed, kind="stable")
     dec_keys = packed[order]
