@@ -97,6 +97,8 @@ def run_bench() -> dict:
         "repetition_stats",
         # deterministic dataset mixing + span-granular substring dedup
         "mixture_sample", "span_dedup",
+        # token-budget selection + bigram-LM quality scoring
+        "budget_select", "bigram_surprisal",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

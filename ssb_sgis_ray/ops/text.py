@@ -442,3 +442,203 @@ def corpus_stats(docs_ds, group_cols=("source", "lang"),
                    Sum(on="n_chars", alias_name="n_chars"),
                    Sum(on="n_tokens", alias_name="n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (CCNet-style quality scoring, integer-exact)
+# ---------------------------------------------------------------------------
+
+BIGRAM_BROADCAST_LIMIT = 2_000_000
+_POW2 = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+
+def _floor_log2(c: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(c)) for int64 counts >= 1 — no float log (a float
+    log2 rounds up at counts just below a power of two; DuckDB's side is
+    length(bin(c)) - 1, also exact)."""
+    return (np.searchsorted(_POW2, c, side="right") - 1).astype(np.int64)
+
+
+def _bigram_hashes(texts, ids):
+    """(doc_per_span, h1, bh, token_counts) for every bigram in a batch.
+
+    Tokens are [a-z0-9]+ of lower(text) FNV-hashed once per batch; the
+    bigram hash is h1 * 257 + h2 in wrapping uint64 — mod 2^64 is a ring
+    hom, so the SQL oracle's exact HUGEINT sum taken mod 2^64 matches
+    bit-for-bit (same argument as dedup._span_hashes_flat). Windows that
+    would cross a document boundary are masked out."""
+    from .dedup import hash64_str_batch
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    all_tokens: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tok_re.findall(str(t or "").lower())
+        all_tokens.extend(toks)
+        counts[i] = len(toks)
+    T = len(all_tokens)
+    if T < 2:
+        e = np.empty(0, np.uint64)
+        return np.empty(0, np.int64), e, e, counts
+    th = hash64_str_batch(all_tokens)
+    doc_flat = np.repeat(np.asarray(ids, dtype=np.int64), counts)
+    with np.errstate(over="ignore"):
+        bh = th[:-1] * np.uint64(257) + th[1:]
+    valid = doc_flat[:-1] == doc_flat[1:]
+    return doc_flat[:-1][valid], th[:-1][valid], bh[valid], counts
+
+
+def bigram_surprisal(docs_ds, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     broadcast_limit: int = BIGRAM_BROADCAST_LIMIT):
+    """Per-document bigram-LM surprisal — the CCNet-style "how surprising
+    is this document under a corpus LM" quality signal, with the LM the
+    corpus's own bigram counts and log2 quantized to integers so the
+    score is bit-exact on both engine and SQL sides.
+
+    For each bigram occurrence (a, b):
+    ``surprisal += floor(log2 c(a, *)) - floor(log2 c(a, b))`` — an
+    integer >= 0 (the conditional count can't exceed its context count).
+    Output: (doc_id, n_bigrams, surprisal) for docs with >= 1 bigram.
+
+    Scale plan: pass A streams the corpus emitting per-batch PARTIAL
+    (kind, key, c) counts for bigram keys and first-token context keys
+    (unique within batch — the map-side combine discipline); the merge is
+    dual-plan (driver sum below the envelope, int64-keyed groupby
+    beyond). While the merged table fits ``broadcast_limit`` it ships
+    once sorted via ray.put and pass B re-streams the corpus with two
+    searchsorted lookups per span — no shuffle at all. Beyond the limit,
+    pass B emits (doc, k1, k2) span rows and two ``lookup_join``s (which
+    themselves degrade to distributed hash joins) attach the flog
+    values, then one per-doc groupby sums — all-distributed, no driver
+    state. Reference parallel: quality/LM scoring feeding the
+    percentile buckets of CCNet-style corpus filtering.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, h1, bh, _ = _bigram_hashes(b[text_col].to_pylist(), ids)
+        u1, c1 = np.unique(h1.view(np.int64), return_counts=True)
+        u2, c2 = np.unique(bh.view(np.int64), return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(u1), np.int64),
+                                   np.ones(len(u2), np.int64)], pa.int64()),
+            "key": pa.array(np.r_[u1, u2], pa.int64()),
+            "c": pa.array(np.r_[c1, c2], pa.int64()),
+        })
+
+    partials = docs_ds.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=2048
+    ).materialize()
+    n_partial = partials.count()
+
+    merged = None
+    counts_ds = None
+    if n_partial <= 4 * broadcast_limit:
+        # partials are unique-per-batch: total rows bounded by (distinct
+        # keys x batches) — the driver sum dodges the fixed groupby
+        # exchange (same dual-plan rule as duplicated_spans)
+        merged = (partials.to_pandas()
+                  .groupby(["kind", "key"], as_index=False)["c"].sum())
+        if len(merged) > broadcast_limit:
+            counts_ds = _rdata().from_pandas(merged)
+            merged = None
+    else:
+        counts_ds = (partials.groupby(["kind", "key"])
+                     .aggregate(Sum(on="c", alias_name="c"))
+                     .materialize())
+
+    if merged is not None:
+        # ---- broadcast scoring pass (pandas groupby output is sorted) --
+        m0 = merged[merged["kind"] == 0]
+        m1 = merged[merged["kind"] == 1]
+        ref = ray.put((
+            m0["key"].to_numpy(np.int64), _floor_log2(m0["c"].to_numpy(np.int64)),
+            m1["key"].to_numpy(np.int64), _floor_log2(m1["c"].to_numpy(np.int64)),
+        ))
+
+        def score(b: pa.Table) -> pa.Table:
+            uk, uf, bk, bf = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d, h1, bh, _ = _bigram_hashes(b[text_col].to_pylist(), ids)
+            out_ids = np.empty(0, np.int64)
+            n_bi = sur = out_ids
+            if len(d):
+                # every span key is present by construction (pass A saw it)
+                contrib = (uf[np.searchsorted(uk, h1.view(np.int64))]
+                           - bf[np.searchsorted(bk, bh.view(np.int64))])
+                order = np.argsort(ids, kind="stable")
+                idx = order[np.searchsorted(ids[order], d)]
+                n_all = np.bincount(idx, minlength=len(ids)).astype(np.int64)
+                # per-span contribs <= 63, so the float64 bincount sum is
+                # exact far beyond any real document length
+                s_all = np.bincount(
+                    idx, weights=contrib.astype(np.float64),
+                    minlength=len(ids),
+                ).astype(np.int64)
+                m = n_all > 0
+                out_ids, n_bi, sur = ids[m], n_all[m], s_all[m]
+            return pa.table({
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+                "surprisal": pa.array(sur, pa.int64()),
+            })
+
+        return docs_ds.map_batches(score, batch_format="pyarrow",
+                                   batch_size=2048)
+
+    # ---- all-distributed fallback: span rows + two lookup joins --------
+    from .lookup import lookup_join
+
+    def with_flog(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "flog", pa.array(_floor_log2(
+                b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ), pa.int64()))
+
+    flogged = counts_ds.map_batches(with_flog, batch_format="pyarrow")
+    import pyarrow.compute as pc
+    uni = flogged.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 0)).select(["key", "flog"]),
+        batch_format="pyarrow").materialize()
+    bi = flogged.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 1)).select(["key", "flog"]),
+        batch_format="pyarrow").materialize()
+
+    def emit_spans(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, h1, bh, _ = _bigram_hashes(b[text_col].to_pylist(), ids)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "k1": pa.array(h1.view(np.int64), pa.int64()),
+            "k2": pa.array(bh.view(np.int64), pa.int64()),
+        })
+
+    spans = docs_ds.map_batches(emit_spans, batch_format="pyarrow",
+                                batch_size=2048)
+    spans = lookup_join(spans, uni, "k1", small_key="key",
+                        value_col="flog", out_col="uf")
+    spans = lookup_join(spans, bi, "k2", small_key="key",
+                        value_col="flog", out_col="bf")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        uf = b["uf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bf = b["bf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            "s": pa.array(uf - bf, pa.int64()),
+        })
+
+    return (spans.map_batches(contrib, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum(on="one", alias_name="n_bigrams"),
+                       Sum(on="s", alias_name="surprisal")))
+
+
+def _rdata():
+    import ray.data as rd
+
+    return rd

@@ -4627,6 +4627,71 @@ FROM documents d LEFT JOIN per USING (doc_id)
 ))
 
 
+def q_bigram_surprisal(sf_dir: str):
+    """CCNet-style integer bigram-LM surprisal per document
+    (ops/text.py bigram_surprisal): corpus bigram + context counts via
+    map-side combine and the dual-plan merge, floor-log2 quantized
+    scores (exact on both sides: searchsorted powers of two vs DuckDB
+    length(bin(c)) - 1), broadcast scoring pass below the envelope /
+    span-row lookup joins beyond. The quality signal that feeds
+    perplexity-bucketed corpus filtering."""
+    from .ops import text as text_ops
+
+    return text_ops.bigram_surprisal(documents(sf_dir))
+
+
+# Exact SQL replica of bigram_surprisal: FNV-1a per DISTINCT token via the
+# recursive CTE (as in SQL_SPAN_DEDUP), bigram hash h1*257 + h2 mod 2^64
+# (HUGEINT product < 2^72, exact; mod is a ring hom so it equals numpy's
+# wrapping uint64), counts grouped BY HASH on both sides (collision-proof
+# parity), floor(log2 c) = length(bin(c)) - 1 (integer-exact, no float log).
+SQL_BIGRAM_SURPRISAL = """
+WITH RECURSIVE
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+         toks, len(toks) AS n_tok
+  FROM tl
+),
+ptok AS (SELECT doc_id, pos, n_tok, toks[pos] AS tok FROM pos),
+vocab AS (SELECT DISTINCT tok FROM ptok),
+fnv(tok, i, h) AS (
+  SELECT tok, 1, CAST('14695981039346656037' AS HUGEINT) FROM vocab
+  UNION ALL
+  SELECT tok, i + 1,
+         ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, i, 1))))
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE i <= length(tok)
+),
+th AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
+ph AS (
+  SELECT p.doc_id, p.pos, p.n_tok, th.h
+  FROM ptok p JOIN th USING (tok)
+),
+bg0 AS (
+  -- hash FIRST, filter AFTER: a WHERE here would remove the tail row
+  -- before lead() reads it, nulling the last bigram hash
+  SELECT doc_id, pos, n_tok, h AS h1,
+         (h * 257 + lead(h, 1) OVER w)
+           % CAST('18446744073709551616' AS HUGEINT) AS bh
+  FROM ph
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (SELECT doc_id, h1, bh FROM bg0 WHERE pos <= n_tok - 1),
+cs AS (SELECT h1, count(*) AS c FROM bg GROUP BY h1),
+cb AS (SELECT bh, count(*) AS c FROM bg GROUP BY bh)
+SELECT bg.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((length(bin(cs.c)) - 1) - (length(bin(cb.c)) - 1))
+            AS BIGINT) AS surprisal
+FROM bg JOIN cs USING (h1) JOIN cb USING (bh)
+GROUP BY bg.doc_id
+"""
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -6044,6 +6109,7 @@ REGISTRY: dict[str, tuple] = {
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

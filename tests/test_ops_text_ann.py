@@ -1088,3 +1088,52 @@ def test_budget_select_matches_brute_force(ray_session):
         quality_col="q", weight_col="w", id_col="i",
     ).to_pandas()
     assert len(out) == n
+
+
+def test_bigram_surprisal_matches_brute_force_and_plans_agree(ray_session):
+    """Integer bigram surprisal equals the numpy brute force (string-keyed
+    counts, exact bit_length log2); the broadcast plan and the forced
+    all-distributed join plan return identical tables; docs with < 2
+    tokens are absent; repartitioning doesn't change the result."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import text as text_ops
+
+    rng = np.random.RandomState(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 12)))
+             for _ in range(80)]
+    texts[3] = ""            # no tokens
+    texts[4] = "solo"        # one token -> no bigram
+    ids = np.arange(80, dtype=np.int64)
+
+    # brute force on token strings
+    from collections import Counter
+    cs, cb = Counter(), Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bgs = list(zip(toks[:-1], toks[1:]))
+        per_doc[i] = bgs
+        for a, b in bgs:
+            cs[a] += 1
+            cb[(a, b)] += 1
+    want = {}
+    for i, bgs in per_doc.items():
+        if not bgs:
+            continue
+        s = sum((cs[a].bit_length() - 1) - (cb[(a, b)].bit_length() - 1)
+                for a, b in bgs)
+        want[i] = (len(bgs), s)
+
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "text": pa.array(texts)})
+    for parts, limit in ((1, None), (7, None), (7, 0)):
+        kw = {} if limit is None else {"broadcast_limit": limit}
+        out = text_ops.bigram_surprisal(
+            rd.from_arrow(tbl).repartition(parts), **kw
+        ).to_pandas().set_index("doc_id").sort_index()
+        got = {int(i): (int(r["n_bigrams"]), int(r["surprisal"]))
+               for i, r in out.iterrows()}
+        assert got == want, f"parts={parts} limit={limit}"
+    assert 3 not in want and 4 not in want
