@@ -271,3 +271,100 @@ def pca_components(ds, col: str = "embedding", bits: int = 10,
         if r[jmax] < 0:
             r *= -1.0
     return comps, w[order]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: per-cluster semantic near-duplicate removal (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    ds,
+    centroids: np.ndarray,
+    threshold: tuple[int, int] = (9, 10),
+    quantize: int = 512,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 512,
+):
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings, drop every
+    vector that has a SMALLER-id near-duplicate in its own cluster, keep
+    the rest. "Near-duplicate" is cosine >= p/q evaluated WITHOUT floats:
+    vectors are floor(e * quantize) int64 (power-of-two scaling is exact
+    in float64), and cos(x, y) >= p/q over them is the cross-multiplied
+    integer predicate ``x.y > 0 AND q^2 (x.y)^2 >= p^2 |x|^2 |y|^2`` —
+    products stay < 2^55 for 64-dim, |e| <= 1, quantize = 512, so int64
+    is exact and the SQL oracle can't disagree in the last ulp.
+
+    Plan: quantized assignment against the broadcast centroids (stateless
+    map, no shuffle) -> ONE groupby(cluster) shuffle of (id, qvec) ->
+    per-cluster blocked int64 matmul with smaller-id masking. The
+    within-cluster quadratic is the published algorithm's own premise
+    (k scales with corpus size so clusters stay bounded); ``block`` rows
+    of the similarity matrix are held at a time, so worker memory is
+    O(block x cluster), not O(cluster^2).
+
+    Returns keep rows (id_col, cluster), both int64.
+    """
+    import ray
+
+    p, qd = int(threshold[0]), int(threshold[1])
+    if not np.equal(np.mod(centroids, 1), 0).all():
+        raise ValueError(
+            "semdedup_keep requires integer-valued centroids (the "
+            "bit-identical quantized argmax contract, as kmeans_assign)"
+        )
+    d = centroids.shape[1]
+    cref = ray.put(np.ascontiguousarray(centroids, dtype=np.int64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "qv": pa.array([], pa.list_(pa.int64())),
+            })
+        m = embedding_matrix(batch, col)
+        qm = np.floor(m * quantize).astype(np.int64)
+        cent = ray.get(cref)
+        a = assign_clusters(qm, cent).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster": pa.array(a, pa.int64()),
+            "qv": pa.FixedSizeListArray.from_arrays(
+                pa.array(qm.ravel(), pa.int64()), d
+            ).cast(pa.list_(pa.int64())),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=1024)
+
+    def cluster_dedup(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(
+            g["qv"].combine_chunks().flatten(), dtype=np.int64
+        )
+        qm = flat.reshape(len(ids), d)
+        order = np.argsort(ids, kind="stable")
+        ids, qm = ids[order], np.ascontiguousarray(qm[order])
+        norms = (qm * qm).sum(axis=1)
+        dup = np.zeros(len(ids), dtype=bool)
+        col_ix = np.arange(len(ids))
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            S = qm[s:e] @ qm.T                      # int64, exact
+            P = (S > 0) & (qd * qd * S * S
+                           >= p * p * norms[s:e, None] * norms[None, :])
+            P &= col_ix[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = P.any(axis=1)
+        keep = ~dup
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "cluster": pa.array(
+                np.full(int(keep.sum()),
+                        g["cluster"][0].as_py(), dtype=np.int64),
+                pa.int64()),
+        })
+
+    return tagged.groupby("cluster").map_groups(
+        cluster_dedup, batch_format="pyarrow"
+    )

@@ -2993,6 +2993,71 @@ WHERE rn = 1
 """
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup keep-list (ops/cluster.py semdedup_keep): quantized
+    assignment to the same fixed integer centroids as kmeans_assign, one
+    cluster-keyed shuffle, per-cluster blocked int64 matmul dropping
+    every vector with a smaller-id cosine>=0.4 neighbor — the
+    cross-multiplied integer predicate keeps both sides float-free.
+    (0.4 because the synth embeddings' densest within-cluster pair sits
+    at cos 0.48 — a production 0.9x threshold would never exercise the
+    drop path on this table.)"""
+    from .ops import cluster as cluster_ops
+
+    cent = (
+        ((np.arange(8)[:, None] + 1) * (np.arange(64)[None, :] + 3)) % 7 - 3
+    ).astype(np.int64)
+    return cluster_ops.semdedup_keep(
+        embeddings_ds(sf_dir), cent, threshold=(2, 5), quantize=512
+    )
+
+
+# Exact SQL replica of semdedup_keep: same closed-form centroids and
+# quantization as SQL_KMEANS_ASSIGN; inner products are integers <= 2^24 so
+# the DOUBLE list_inner_product holds them exactly and the CAST to BIGINT is
+# lossless; the cosine test is the cross-multiplied integer predicate
+# (q^2 S^2 >= p^2 |x|^2 |y|^2 with S > 0), never a float division.
+SQL_SEMDEDUP = """
+WITH cent AS (
+  SELECT c, list(CAST(((c+1)*(d+3)) % 7 - 3 AS DOUBLE) ORDER BY d) AS cv
+  FROM (SELECT unnest(generate_series(0, 7)) AS c),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY c
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 512)) AS qv
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id, q.qv, c.c, list_inner_product(q.qv, c.cv) AS sim
+  FROM q CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, qv, c AS cluster FROM (
+    SELECT vec_id, qv, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+n AS (
+  SELECT vec_id, cluster, qv,
+         CAST(list_inner_product(qv, qv) AS BIGINT) AS nv
+  FROM a
+)
+SELECT x.vec_id AS vec_id, CAST(x.cluster AS BIGINT) AS cluster
+FROM n x
+WHERE NOT EXISTS (
+  SELECT 1 FROM n y
+  WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+    AND CAST(list_inner_product(x.qv, y.qv) AS BIGINT) > 0
+    AND 25 * CAST(list_inner_product(x.qv, y.qv) AS BIGINT)
+           * CAST(list_inner_product(x.qv, y.qv) AS BIGINT)
+        >= 4 * x.nv * y.nv
+)
+"""
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, vec_id, ann_rank FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -6110,6 +6175,7 @@ REGISTRY: dict[str, tuple] = {
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

@@ -1137,3 +1137,64 @@ def test_bigram_surprisal_matches_brute_force_and_plans_agree(ray_session):
                for i, r in out.iterrows()}
         assert got == want, f"parts={parts} limit={limit}"
     assert 3 not in want and 4 not in want
+
+
+def test_semdedup_matches_brute_force(ray_session):
+    """SemDeDup keep-list equals the numpy brute force under any
+    partitioning, including a planted pair sitting EXACTLY on the 0.4
+    threshold (x=(2,1,0), y=(1,0,2): S=2, |x|^2=|y|^2=5 -> 25*S^2 ==
+    4*nx*ny) — the >= boundary must drop the larger id on both sides."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import cluster as cluster_ops
+
+    rng = np.random.RandomState(11)
+    d = 3
+    qm = rng.randint(-4, 5, size=(60, d)).astype(np.int64)
+    qm[qm.sum(axis=1) == 0, 0] += 1      # avoid zero vectors
+    qm[10] = (2, 1, 0)                   # exact-threshold pair
+    qm[40] = (1, 0, 2)
+    ids = np.arange(60, dtype=np.int64)
+    cent = np.array([[1, 0, 0], [0, 0, 1]], dtype=np.int64)
+
+    # brute force on the integer predicate
+    a = (qm @ cent.T).argmax(axis=1)
+    want = set()
+    for c in range(len(cent)):
+        sel = np.flatnonzero(a == c)
+        x, i = qm[sel], ids[sel]
+        n = (x * x).sum(axis=1)
+        S = x @ x.T
+        P = (S > 0) & (25 * S * S >= 4 * np.outer(n, n))
+        P &= np.arange(len(i))[None, :] < np.arange(len(i))[:, None]
+        want |= {(int(v), int(c)) for v in i[~P.any(axis=1)]}
+
+    emb = (qm.astype(np.float64) / 512.0)  # dyadic: floor(e*512) == qm
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel().astype(np.float32)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    for parts in (1, 9):
+        out = cluster_ops.semdedup_keep(
+            rd.from_arrow(tbl).repartition(parts), cent,
+            threshold=(2, 5), quantize=512, block=7,
+        ).to_pandas()
+        got = set(zip(out["vec_id"].astype(int), out["cluster"].astype(int)))
+        assert got == want, f"parts={parts}"
+    # boundary semantics in isolation (one cluster, three vectors):
+    # the exact-threshold pair keeps the smaller id and drops the larger;
+    # the S=0 vector survives (squaring must not resurrect sign)
+    mini = np.array([[2, 1, 0], [1, 0, 2], [-1, 2, -2]], dtype=np.int64)
+    tbl2 = pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array((mini / 512.0).ravel().astype(np.float32)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    out2 = cluster_ops.semdedup_keep(
+        rd.from_arrow(tbl2), np.array([[1, 0, 0]], dtype=np.int64),
+        threshold=(2, 5), quantize=512,
+    ).to_pandas()
+    assert sorted(out2["vec_id"].astype(int)) == [0, 2]
