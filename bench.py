@@ -98,7 +98,7 @@ def run_bench() -> dict:
         # deterministic dataset mixing + span-granular substring dedup
         "mixture_sample", "span_dedup",
         # token-budget selection + bigram-LM quality scoring
-        "budget_select", "bigram_surprisal", "semdedup",
+        "budget_select", "bigram_surprisal", "semdedup", "quality_buckets",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

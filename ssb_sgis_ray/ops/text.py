@@ -642,3 +642,53 @@ def _rdata():
     import ray.data as rd
 
     return rd
+
+
+def quality_buckets(docs_ds, n_buckets: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """CCNet-style quality bucketing: score every document with the
+    corpus bigram-LM surprisal, then split the corpus into ``n_buckets``
+    value-thresholded buckets (head / middle / tail) at the exact
+    ceil(i*n/n_buckets)-th smallest surprisal values.
+
+    Thresholds come from ``ops/quantile.exact_kth_smallest`` (iterative
+    histogram refinement — one tree-merged aggregate pass per round,
+    O(bins) driver state, no shuffle), so the cut points are EXACT order
+    statistics, not approximations, and bucket membership is a pure
+    function of the surprisal value: ``bucket = #{thresholds <= s}`` —
+    the same rule the SQL oracle replays with window row_numbers. Docs
+    with < 2 tokens have no surprisal and are absent, as in
+    ``bigram_surprisal``.
+
+    Returns (doc_id, surprisal, bucket), all int64.
+    """
+    from .quantile import exact_kth_smallest
+
+    surp = (bigram_surprisal(docs_ds, id_col=id_col, text_col=text_col)
+            .select_columns([id_col, "surprisal"])
+            .materialize())
+    n = surp.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "surprisal": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+        }))
+    ranks = [(i * n + n_buckets - 1) // n_buckets
+             for i in range(1, n_buckets)]
+    ts = np.asarray(
+        exact_kth_smallest(surp, "surprisal", ranks=ranks), dtype=np.int64
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        s = b["surprisal"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (s[:, None] >= ts[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "surprisal": pa.array(s, pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    return surp.map_batches(bucketize, batch_format="pyarrow")

@@ -4757,6 +4757,40 @@ GROUP BY bg.doc_id
 """
 
 
+def q_quality_buckets(sf_dir: str):
+    """CCNet-style quality bucketing (ops/text.py quality_buckets):
+    bigram-LM surprisal per doc, exact tercile thresholds via histogram
+    refinement (no sort shuffle), value-thresholded bucket assignment."""
+    from .ops import text as text_ops
+
+    return text_ops.quality_buckets(documents(sf_dir))
+
+
+# per = the full SQL_BIGRAM_SURPRISAL replica; thresholds are the exact
+# ceil(i*n/3)-th smallest surprisal values (row_number over (surprisal,
+# doc_id) — the tiebreak can't change the value at a given rank), and the
+# bucket is the pure value rule #{thresholds <= s}, as in the engine.
+SQL_QUALITY_BUCKETS = """
+WITH per AS (__BIGRAM__),
+ranked AS (
+  SELECT doc_id, surprisal,
+         row_number() OVER (ORDER BY surprisal, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM per
+),
+th AS (
+  SELECT max(CASE WHEN rn = (n + 2) // 3 THEN surprisal END) AS t1,
+         max(CASE WHEN rn = (2 * n + 2) // 3 THEN surprisal END) AS t2
+  FROM ranked
+)
+SELECT r.doc_id AS doc_id, r.surprisal AS surprisal,
+       CAST(CASE WHEN r.surprisal >= th.t2 THEN 2
+                 WHEN r.surprisal >= th.t1 THEN 1 ELSE 0 END
+            AS BIGINT) AS bucket
+FROM ranked r, th
+""".replace("__BIGRAM__", SQL_BIGRAM_SURPRISAL)
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -6176,6 +6210,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

@@ -1198,3 +1198,44 @@ def test_semdedup_matches_brute_force(ray_session):
         threshold=(2, 5), quantize=512,
     ).to_pandas()
     assert sorted(out2["vec_id"].astype(int)) == [0, 2]
+
+
+def test_quality_buckets_matches_sorted_brute_force(ray_session):
+    """Bucket thresholds equal the exact ceil(i*n/3)-th smallest
+    surprisal values from a numpy sort; membership is the pure value
+    rule #{thresholds <= s}; result invariant under repartitioning; a
+    single-doc corpus lands in the top bucket."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import text as text_ops
+
+    rng = np.random.RandomState(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 30)))
+             for _ in range(90)]
+    ids = np.arange(90, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    base = text_ops.bigram_surprisal(
+        rd.from_arrow(tbl)).to_pandas().set_index("doc_id")
+    s = base["surprisal"].to_numpy()
+    n = len(s)
+    sv = np.sort(s)
+    t1, t2 = sv[(n + 2) // 3 - 1], sv[(2 * n + 2) // 3 - 1]
+    want = {int(i): (int(base.loc[i, "surprisal"]),
+                     int(base.loc[i, "surprisal"] >= t1)
+                     + int(base.loc[i, "surprisal"] >= t2))
+            for i in base.index}
+
+    for parts in (1, 8):
+        out = text_ops.quality_buckets(
+            rd.from_arrow(tbl).repartition(parts)
+        ).to_pandas().set_index("doc_id")
+        got = {int(i): (int(r["surprisal"]), int(r["bucket"]))
+               for i, r in out.iterrows()}
+        assert got == want, f"parts={parts}"
+
+    solo = pa.table({"doc_id": pa.array([7], pa.int64()),
+                     "text": pa.array(["aa bb aa"])})
+    out = text_ops.quality_buckets(rd.from_arrow(solo)).to_pandas()
+    assert out["bucket"].tolist() == [2]
