@@ -692,3 +692,114 @@ def quality_buckets(docs_ds, n_buckets: int = 3, id_col: str = "doc_id",
         })
 
     return surp.map_batches(bucketize, batch_format="pyarrow")
+
+
+DF_BROADCAST_LIMIT = 2_000_000
+
+
+def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   broadcast_limit: int = DF_BROADCAST_LIMIT):
+    """Top-k TF-IDF keywords per document, integer-exact.
+
+    idf is quantized to ``floor(log2 N) - floor(log2 df)`` (bit-exact on
+    both sides — searchsorted powers of two here, length(bin(c))-1 in
+    DuckDB), score = tf * idf, ties broken (score desc, token asc). N is
+    the number of documents with >= 1 token.
+
+    Plan: pass A streams the corpus emitting per-batch PARTIAL
+    (token, df) rows — documents never span batches, so the per-batch
+    per-token distinct-doc count IS a df partial; a marker row carries
+    the batch's document count. The merge is dual-plan (driver sum below
+    the envelope, string-keyed groupby beyond — token strings, not
+    hashes, so parity with the SQL oracle is collision-proof). The
+    (token -> idf) table ships once sorted and pass B re-streams the
+    corpus scoring each document with one get_indexer + lexsort per
+    batch. Vocabulary beyond the broadcast limit would need a
+    (doc, token, tf) row join on the token key — raise with that
+    instruction rather than silently degrade (natural-language vocab
+    under Heaps' law stays << 2M for any realistic shard).
+    """
+    tok_pat = r"[a-z0-9]+"
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        tok = _re.compile(tok_pat)
+        rows: dict[str, int] = {}
+        n_docs = 0
+        for t in b[text_col].astype(str):
+            toks = set(tok.findall(t.lower()))
+            if not toks:
+                continue
+            n_docs += 1
+            for w in toks:
+                rows[w] = rows.get(w, 0) + 1
+        rows[""] = n_docs  # marker: "" can't match [a-z0-9]+
+        return pd.DataFrame({"token": list(rows), "df": list(rows.values())})
+
+    partials = docs_ds.map_batches(
+        df_partial, batch_format="pandas", batch_size=2048
+    ).materialize()
+    if partials.count() > 4 * broadcast_limit:
+        raise ValueError(
+            "token vocabulary exceeds the broadcast envelope; score via "
+            "(doc, token, tf) rows joined on token instead (see docstring)"
+        )
+    merged = (partials.to_pandas()
+              .groupby("token", as_index=False)["df"].sum()
+              .sort_values("token", kind="stable"))
+    n_total = int(merged.loc[merged["token"] == "", "df"].sum())
+    merged = merged[merged["token"] != ""]
+    if n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tfidf": pa.array([], pa.int64()),
+        }))
+    import ray
+
+    flog_n = int(n_total).bit_length() - 1
+    idf = flog_n - _floor_log2(merged["df"].to_numpy(np.int64))
+    ref = ray.put((merged["token"].to_numpy(object), idf))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        vocab, idf_v = ray.get(ref)
+        vix = pd.Index(vocab)
+        tok = _re.compile(tok_pat)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        d_ix, t_all = [], []
+        for r, t in enumerate(b[text_col].astype(str)):
+            toks = tok.findall(t.lower())
+            d_ix.extend([r] * len(toks))
+            t_all.extend(toks)
+        if not t_all:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype="str"),
+                                 "tfidf": pd.Series(dtype="int64")})
+        g = (pd.DataFrame({"d": np.asarray(d_ix, np.int64),
+                           "token": t_all})
+             .groupby(["d", "token"], as_index=False).size())
+        tf = g["size"].to_numpy(np.int64)
+        sc = tf * idf_v[vix.get_indexer(g["token"])]
+        dv = g["d"].to_numpy(np.int64)
+        order = np.lexsort((g["token"].to_numpy(object), -sc, dv))
+        dv_s = dv[order]
+        starts = np.searchsorted(dv_s, dv_s, side="left")
+        rank = np.arange(len(dv_s)) - starts
+        keep = order[rank < k]
+        return pd.DataFrame({
+            id_col: ids[dv[keep]],
+            "rank": (rank[rank < k] + 1).astype(np.int64),
+            "token": g["token"].to_numpy(object)[keep],
+            "tfidf": sc[keep],
+        })
+
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=2048)

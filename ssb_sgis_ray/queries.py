@@ -4791,6 +4791,41 @@ FROM ranked r, th
 """.replace("__BIGRAM__", SQL_BIGRAM_SURPRISAL)
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (ops/text.py tfidf_keywords):
+    integer idf floor(log2 N) - floor(log2 df), score = tf * idf, ties
+    (score desc, token asc); df partials map-side combined and broadcast
+    as a sorted (token, idf) table — string-keyed, collision-proof."""
+    from .ops import text as text_ops
+
+    return text_ops.tfidf_keywords(documents(sf_dir), k=3)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+  LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok) t
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((length(bin(nn.n)) - 1) - (length(bin(d.df)) - 1)) AS score
+  FROM tf JOIN dfreq d USING (token), nn
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, token, CAST(score AS BIGINT) AS tfidf
+FROM (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+"""
+
+
 def q_snap_nearest(sf_dir: str):
     """snap_all: customers OUTSIDE every diamond snapped to the nearest
     point on the nearest diamond boundary (uv-frame clamp closed form;
@@ -6211,6 +6246,7 @@ REGISTRY: dict[str, tuple] = {
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

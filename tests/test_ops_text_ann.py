@@ -1239,3 +1239,51 @@ def test_quality_buckets_matches_sorted_brute_force(ray_session):
                      "text": pa.array(["aa bb aa"])})
     out = text_ops.quality_buckets(rd.from_arrow(solo)).to_pandas()
     assert out["bucket"].tolist() == [2]
+
+
+def test_tfidf_keywords_matches_brute_force(ray_session):
+    """Top-k TF-IDF equals the string-keyed brute force — including
+    score ties broken token-asc, docs with fewer than k distinct tokens
+    (emit what exists), token-less docs absent — and is invariant under
+    repartitioning."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import text as text_ops
+
+    rng = np.random.RandomState(3)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 15)))
+             for _ in range(70)]
+    texts[0] = ""          # absent from output
+    texts[1] = "ant"       # single keyword
+    texts[2] = "bee cat"   # tf tie -> idf then token order decides
+    ids = np.arange(70, dtype=np.int64)
+
+    from collections import Counter
+    docs_tok = [t.split() for t in texts]
+    df = Counter()
+    for toks in docs_tok:
+        for w in set(toks):
+            df[w] += 1
+    n = sum(1 for toks in docs_tok if toks)
+    want = set()
+    for i, toks in enumerate(docs_tok):
+        if not toks:
+            continue
+        tf = Counter(toks)
+        scored = sorted(
+            ((w, c * ((n.bit_length() - 1) - (df[w].bit_length() - 1)))
+             for w, c in tf.items()),
+            key=lambda x: (-x[1], x[0]))
+        for r, (w, s) in enumerate(scored[:3], 1):
+            want.add((i, r, w, s))
+
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    for parts in (1, 8):
+        out = text_ops.tfidf_keywords(
+            rd.from_arrow(tbl).repartition(parts), k=3).to_pandas()
+        got = set(zip(out["doc_id"].astype(int), out["rank"].astype(int),
+                      out["token"], out["tfidf"].astype(int)))
+        assert got == want, f"parts={parts}"
+    assert not any(d == 0 for d, *_ in want)
+    assert sum(1 for d, *_ in want if d == 1) == 1
