@@ -78,6 +78,13 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
         hdf = (partials.to_pandas()
                .groupby([key_col, quality_col], as_index=False)[weight_col]
                .sum().rename(columns={weight_col: "w"}))
+        if len(hdf) > histogram_limit:
+            raise ValueError(
+                "quality histogram exceeds the driver envelope "
+                f"({len(hdf)} > {histogram_limit}); coarsen the quality "
+                "score (bucket it) — the plan needs a bounded "
+                "(key, quality) universe"
+            )
     else:
         hist = (
             partials.groupby([key_col, quality_col])
@@ -110,8 +117,13 @@ def budget_select(ds, budget: int, key_col: str, quality_col: str,
     del base
 
     qv = hdf[quality_col].to_numpy().astype(np.int64)
-    # decision per (key, quality): 2 all, 0 none, 1 boundary
-    all_in = (before + wv) <= budget
+    # decision per (key, quality): 2 all, 0 none, 1 boundary.
+    # all_in must be STRICT: at before + wv == budget a zero-weight doc
+    # sorted after the bucket's weight has exclusive prefix == budget and
+    # is NOT selected — equality cases route through the boundary
+    # refinement, whose side='left' searchsorted lands the cut on the
+    # last positive-weight id (zero-weight tails correctly excluded)
+    all_in = (before + wv) < budget
     none_in = before >= budget
     code = np.where(all_in, 2, np.where(none_in, 0, 1)).astype(np.int64)
     bnd = np.flatnonzero(code == 1)  # at most one per key

@@ -581,7 +581,7 @@ def bigram_surprisal(docs_ds, id_col: str = "doc_id",
                 m = n_all > 0
                 out_ids, n_bi, sur = ids[m], n_all[m], s_all[m]
             return pa.table({
-                "doc_id": pa.array(out_ids, pa.int64()),
+                id_col: pa.array(out_ids, pa.int64()),
                 "n_bigrams": pa.array(n_bi, pa.int64()),
                 "surprisal": pa.array(sur, pa.int64()),
             })
@@ -611,7 +611,7 @@ def bigram_surprisal(docs_ds, id_col: str = "doc_id",
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d, h1, bh, _ = _bigram_hashes(b[text_col].to_pylist(), ids)
         return pa.table({
-            "doc_id": pa.array(d, pa.int64()),
+            id_col: pa.array(d, pa.int64()),
             "k1": pa.array(h1.view(np.int64), pa.int64()),
             "k2": pa.array(bh.view(np.int64), pa.int64()),
         })
@@ -627,13 +627,13 @@ def bigram_surprisal(docs_ds, id_col: str = "doc_id",
         uf = b["uf"].to_numpy(zero_copy_only=False).astype(np.int64)
         bf = b["bf"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "doc_id": b["doc_id"],
+            id_col: b[id_col],
             "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
             "s": pa.array(uf - bf, pa.int64()),
         })
 
     return (spans.map_batches(contrib, batch_format="pyarrow")
-            .groupby("doc_id")
+            .groupby(id_col)
             .aggregate(Sum(on="one", alias_name="n_bigrams"),
                        Sum(on="s", alias_name="surprisal")))
 
@@ -728,7 +728,7 @@ def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
         tok = _re.compile(tok_pat)
         rows: dict[str, int] = {}
         n_docs = 0
-        for t in b[text_col].astype(str):
+        for t in b[text_col].fillna("").astype(str):
             toks = set(tok.findall(t.lower()))
             if not toks:
                 continue
@@ -749,6 +749,12 @@ def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
     merged = (partials.to_pandas()
               .groupby("token", as_index=False)["df"].sum()
               .sort_values("token", kind="stable"))
+    if len(merged) > broadcast_limit:
+        raise ValueError(
+            "merged token vocabulary exceeds the broadcast envelope "
+            f"({len(merged)} > {broadcast_limit}); score via "
+            "(doc, token, tf) rows joined on token instead (see docstring)"
+        )
     n_total = int(merged.loc[merged["token"] == "", "df"].sum())
     merged = merged[merged["token"] != ""]
     if n_total == 0:
@@ -774,7 +780,7 @@ def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
         tok = _re.compile(tok_pat)
         ids = b[id_col].to_numpy().astype(np.int64)
         d_ix, t_all = [], []
-        for r, t in enumerate(b[text_col].astype(str)):
+        for r, t in enumerate(b[text_col].fillna("").astype(str)):
             toks = tok.findall(t.lower())
             d_ix.extend([r] * len(toks))
             t_all.extend(toks)

@@ -1089,6 +1089,22 @@ def test_budget_select_matches_brute_force(ray_session):
     ).to_pandas()
     assert len(out) == n
 
+    # exact exhaustion with a zero-weight tail: the strict exclusive-
+    # prefix rule (sum of strictly-better < budget) must DROP the
+    # zero-weight doc whose prefix equals the budget exactly, and keep
+    # a zero-weight doc sorted before the bucket's weight
+    tbl2 = pa.table({
+        "k": pa.array(["s", "s", "s", "s"]),
+        "q": pa.array([5, 5, 5, 4], type=pa.int64()),
+        "w": pa.array([0, 800, 0, 3], type=pa.int64()),
+        "i": pa.array([1, 2, 3, 4], type=pa.int64()),
+    })
+    out = select_ops.budget_select(
+        rd.from_arrow(tbl2), budget=800, key_col="k",
+        quality_col="q", weight_col="w", id_col="i",
+    ).to_pandas()
+    assert sorted(out["i"].astype(int)) == [1, 2]
+
 
 def test_bigram_surprisal_matches_brute_force_and_plans_agree(ray_session):
     """Integer bigram surprisal equals the numpy brute force (string-keyed
