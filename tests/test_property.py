@@ -290,3 +290,37 @@ def test_difference_areas_matches_boolean_engine(seed, nl, nr):
             c_h.extend(hh_)
         want = booleans.boolean_area(s_r, c_r, "difference", s_h, c_h)
         assert abs(got[i] - want) < 1e-6 * max(1.0, want), (i, got[i], want)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**62 - 1),
+                min_size=1, max_size=200))
+@example([1, 2, 3, 4, 2**52 - 1, 2**52, 2**52 + 1, 2**62 - 1])
+def test_floor_log2_matches_bit_length(vals):
+    """The no-float floor(log2) (searchsorted powers of two) equals
+    int.bit_length() - 1 everywhere — including just-below-power-of-two
+    counts where a float log2 rounds up."""
+    from ssb_sgis_ray.ops.text import _floor_log2
+
+    got = _floor_log2(np.asarray(vals, dtype=np.int64))
+    want = np.array([v.bit_length() - 1 for v in vals], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=20))
+def test_bigram_hashes_concat_invariant(texts):
+    """_bigram_hashes over one batch equals the per-document computation:
+    document boundaries never leak bigrams, and per-span (h1, bh) pairs
+    are a pure function of the token sequence."""
+    from ssb_sgis_ray.ops.text import _bigram_hashes
+
+    ids = np.arange(len(texts), dtype=np.int64)
+    d_all, h1_all, bh_all, counts = _bigram_hashes(texts, ids)
+    assert counts.tolist() == [
+        len([w for w in t.lower().split() if w]) for t in texts
+    ]
+    for i, t in enumerate(texts):
+        d1, h1, bh, _ = _bigram_hashes([t], np.array([i], dtype=np.int64))
+        m = d_all == i
+        np.testing.assert_array_equal(h1_all[m], h1)
+        np.testing.assert_array_equal(bh_all[m], bh)
