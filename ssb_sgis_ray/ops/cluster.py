@@ -368,3 +368,78 @@ def semdedup_keep(
     return tagged.groupby("cluster").map_groups(
         cluster_dedup, batch_format="pyarrow"
     )
+
+
+def embedding_outliers(
+    ds,
+    centroids: np.ndarray,
+    q_rank_num: int = 9,
+    q_rank_den: int = 10,
+    quantize: int = 512,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Embedding-space outlier detection for corpus pruning: flag every
+    vector whose squared L2 distance to its assigned centroid EXCEEDS
+    the exact ceil(num/den * n)-th smallest distance (default: beyond
+    the exact P90). The "drop the far tail before training" curation
+    step, exact end to end.
+
+    Distances are integers: vectors quantize to floor(e * 2^b) int64 and
+    centroids are integer-valued, so dist2 = |q|^2 - 2 q.c + |c|^2 is
+    exact on both engine and SQL sides (each term < 2^25 at d = 64).
+    The threshold is an exact order statistic from
+    ``ops/quantile.exact_kth_smallest`` (histogram refinement, no sort
+    shuffle). Plan: one stateless map pass (assign + dist2), the
+    refinement passes over its narrow materialized projection, one
+    vectorized filter — no shuffle anywhere.
+
+    Returns outlier rows (id_col, cluster, dist2), all int64.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .quantile import exact_kth_smallest
+
+    if not np.equal(np.mod(centroids, 1), 0).all():
+        raise ValueError(
+            "embedding_outliers requires integer-valued centroids "
+            "(the bit-identical quantized argmax/distance contract)"
+        )
+    cent = np.ascontiguousarray(centroids, dtype=np.int64)
+    cnorm = (cent * cent).sum(axis=1)
+    cref = ray.put((cent, cnorm))
+
+    def dist_stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            })
+        c, cn = ray.get(cref)
+        m = embedding_matrix(batch, col)
+        qm = np.floor(m * quantize).astype(np.int64)
+        S = qm @ c.T
+        a = S.argmax(axis=1)
+        qn = (qm * qm).sum(axis=1)
+        d2 = qn - 2 * S[np.arange(len(qm)), a] + cn[a]
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "dist2": pa.array(d2, pa.int64()),
+        })
+
+    dists = ds.map_batches(
+        dist_stage, batch_format="pyarrow", batch_size=1024
+    ).materialize()
+    n = dists.count()
+    if n == 0:
+        return dists
+    k = (q_rank_num * n + q_rank_den - 1) // q_rank_den
+    t = int(exact_kth_smallest(dists, "dist2", ranks=[k])[0])
+
+    return dists.map_batches(
+        lambda b: b.filter(pc.greater(b["dist2"], t)),
+        batch_format="pyarrow",
+    )

@@ -3058,6 +3058,68 @@ WHERE NOT EXISTS (
 """
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier pruning (ops/cluster.py
+    embedding_outliers): quantized assignment to the fixed integer
+    centroids, exact integer dist2 = |q|^2 - 2 q.c + |c|^2, outliers =
+    dist2 strictly beyond the exact P90 order statistic (histogram
+    refinement, no sort shuffle)."""
+    from .ops import cluster as cluster_ops
+
+    cent = (
+        ((np.arange(8)[:, None] + 1) * (np.arange(64)[None, :] + 3)) % 7 - 3
+    ).astype(np.int64)
+    return cluster_ops.embedding_outliers(embeddings_ds(sf_dir), cent)
+
+
+# Exact SQL replica of embedding_outliers: same centroids/assignment as
+# SQL_KMEANS_ASSIGN; dist2 by the three-term expansion (each inner product
+# an exact integer <= 2^25 in DOUBLE, CAST lossless); threshold = the
+# ceil(9n/10)-th smallest dist2 via window row_number (tiebreak by vec_id
+# can't change the value at a given rank); outliers strictly beyond it.
+SQL_EMBEDDING_OUTLIERS = """
+WITH cent AS (
+  SELECT c, list(CAST(((c+1)*(d+3)) % 7 - 3 AS DOUBLE) ORDER BY d) AS cv
+  FROM (SELECT unnest(generate_series(0, 7)) AS c),
+       (SELECT unnest(generate_series(0, 63)) AS d)
+  GROUP BY c
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 512)) AS qv
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id, c.c,
+         CAST(list_inner_product(q.qv, c.cv) AS BIGINT) AS s,
+         CAST(list_inner_product(q.qv, q.qv) AS BIGINT) AS qn,
+         CAST(list_inner_product(c.cv, c.cv) AS BIGINT) AS cn
+  FROM q CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, c AS cluster, qn - 2 * s + cn AS dist2 FROM (
+    SELECT vec_id, c, s, qn, cn,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cluster, dist2,
+         row_number() OVER (ORDER BY dist2, vec_id) AS rn,
+         count(*) OVER () AS n
+  FROM a
+),
+th AS (
+  SELECT max(CASE WHEN rn = (9 * n + 9) // 10 THEN dist2 END) AS t
+  FROM ranked
+)
+SELECT r.vec_id AS vec_id, CAST(r.cluster AS BIGINT) AS cluster,
+       CAST(r.dist2 AS BIGINT) AS dist2
+FROM ranked r, th
+WHERE r.dist2 > th.t
+"""
+
+
 SQL_ANN_TOPK = """
 SELECT query_id, vec_id, ann_rank FROM (
   SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
@@ -6247,6 +6309,7 @@ REGISTRY: dict[str, tuple] = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

@@ -1303,3 +1303,44 @@ def test_tfidf_keywords_matches_brute_force(ray_session):
         assert got == want, f"parts={parts}"
     assert not any(d == 0 for d, *_ in want)
     assert sum(1 for d, *_ in want if d == 1) == 1
+
+
+def test_embedding_outliers_matches_brute_force(ray_session):
+    """Outlier set equals the numpy brute force: argmax-inner-product
+    assignment (ties lowest cluster), integer dist2, exact
+    ceil(9n/10)-th smallest threshold, STRICT > (values equal to the
+    threshold are kept); invariant under repartitioning."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import cluster as cluster_ops
+
+    rng = np.random.RandomState(17)
+    d = 4
+    qm = rng.randint(-6, 7, size=(120, d)).astype(np.int64)
+    ids = np.arange(120, dtype=np.int64)
+    cent = np.array([[2, 0, -1, 1], [0, 3, 1, -2]], dtype=np.int64)
+
+    S = qm @ cent.T
+    a = S.argmax(axis=1)
+    d2 = ((qm - cent[a]) ** 2).sum(axis=1)
+    n = len(d2)
+    t = np.sort(d2)[(9 * n + 9) // 10 - 1]
+    want = {(int(i), int(c), int(x))
+            for i, c, x in zip(ids[d2 > t], a[d2 > t], d2[d2 > t])}
+    assert want and len(want) < n
+    assert (d2 == t).any()  # threshold value present -> strictness matters
+
+    emb = qm.astype(np.float64) / 512.0
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel().astype(np.float32)), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    for parts in (1, 10):
+        out = cluster_ops.embedding_outliers(
+            rd.from_arrow(tbl).repartition(parts), cent
+        ).to_pandas()
+        got = {(int(r["vec_id"]), int(r["cluster"]), int(r["dist2"]))
+               for _, r in out.iterrows()}
+        assert got == want, f"parts={parts}"
