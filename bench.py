@@ -99,7 +99,7 @@ def run_bench() -> dict:
         "mixture_sample", "span_dedup",
         # token-budget selection + bigram-LM quality scoring
         "budget_select", "bigram_surprisal", "semdedup", "quality_buckets",
-        "tfidf_keywords", "embedding_outliers",
+        "tfidf_keywords", "embedding_outliers", "top_bigrams",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -809,3 +809,67 @@ def tfidf_keywords(docs_ds, k: int = 3, id_col: str = "doc_id",
 
     return docs_ds.map_batches(score, batch_format="pandas",
                                batch_size=2048)
+
+
+class PairCountPartial:
+    """Actor stage: per-batch adjacent-token-pair counts, super-grouped
+    by a deterministic FNV hash of the pair string (same discipline as
+    TokenCountPartial — Python's salted hash() would split a pair across
+    groups and corrupt the exact merge)."""
+
+    def __init__(self, num_groups: int = 256):
+        import re as _re
+
+        self.tok = _re.compile(r"[a-z0-9]+")
+        self.num_groups = num_groups
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pairs: list[str] = []
+        for t in batch["text"].fillna("").astype(str):
+            toks = self.tok.findall(t.lower())
+            pairs.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        if not pairs:
+            return pd.DataFrame(
+                {"sg": pd.Series(dtype="int64"),
+                 "pair": pd.Series(dtype="str"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        vc = pd.Series(pairs).value_counts()
+        keys = vc.index.to_numpy(dtype=object)
+        from .dedup import hash64_str_batch
+
+        h = hash64_str_batch(list(keys))
+        return pd.DataFrame({
+            "sg": (h % np.uint64(self.num_groups)).astype(np.int64),
+            "pair": keys,
+            "cnt": vc.to_numpy(np.int64),
+        })
+
+
+def top_bigrams(docs_ds, k: int = 20, num_groups: int = 256):
+    """Exact global top-k most frequent ADJACENT token pairs with
+    deterministic ties (cnt desc, pair asc) — the merge-candidate
+    statistic at the heart of BPE vocabulary training (each BPE round
+    merges the current corpus's most frequent adjacent pair).
+
+    Same plan as ``top_tokens``: map-side pair-count partials -> ONE
+    shuffle on the int64 hash super-group -> exact in-group merge (a
+    pair's full count lives in exactly one group) -> per-group top-k
+    candidates -> bounded finalize over <= num_groups * k rows."""
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pair", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "pair"], ascending=[False, True])
+        return agg.head(k)[["pair", "cnt"]]
+
+    candidates = (
+        docs_ds.map_batches(
+            PairCountPartial, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 8), fn_constructor_args=(num_groups,),
+        )
+        .groupby("sg")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    df = candidates.to_pandas()
+    df = df.sort_values(["cnt", "pair"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)

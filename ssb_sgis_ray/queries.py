@@ -4819,6 +4819,31 @@ GROUP BY bg.doc_id
 """
 
 
+def q_top_bigrams(sf_dir: str):
+    """Exact top-20 adjacent token pairs (ops/text.py top_bigrams) —
+    the BPE merge-candidate statistic; top_tokens' exact-merge plan
+    over pair strings."""
+    from .ops import text as text_ops
+
+    return text_ops.top_bigrams(documents(sf_dir), k=20)
+
+
+SQL_TOP_BIGRAMS = """
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM tl WHERE len(toks) >= 2
+),
+bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair FROM pos),
+c AS (SELECT pair, count(*) AS cnt FROM bg GROUP BY pair)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt
+FROM c ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
 def q_quality_buckets(sf_dir: str):
     """CCNet-style quality bucketing (ops/text.py quality_buckets):
     bigram-LM surprisal per doc, exact tercile thresholds via histogram
@@ -6310,6 +6335,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "top_bigrams": (q_top_bigrams, SQL_TOP_BIGRAMS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "gram_matrix": (q_gram_matrix, SQL_GRAM_MATRIX),

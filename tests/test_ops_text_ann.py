@@ -1344,3 +1344,33 @@ def test_embedding_outliers_matches_brute_force(ray_session):
         got = {(int(r["vec_id"]), int(r["cluster"]), int(r["dist2"]))
                for _, r in out.iterrows()}
         assert got == want, f"parts={parts}"
+
+
+def test_top_bigrams_matches_brute_force(ray_session):
+    """Exact top-k adjacent pairs equal the Counter brute force with
+    (cnt desc, pair asc) ties, under any partitioning; doc boundaries
+    contribute no cross-document pairs."""
+    import ray.data as rd
+
+    from collections import Counter
+
+    from ssb_sgis_ray.ops import text as text_ops
+
+    rng = np.random.RandomState(23)
+    vocab = ["aa", "bb", "cc"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 10)))
+             for _ in range(60)]
+    texts[0] = "aa"      # no pair
+    texts[1] = ""        # no tokens
+    cnt = Counter()
+    for t in texts:
+        toks = t.split()
+        cnt.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:5]
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    for parts in (1, 9):
+        out = text_ops.top_bigrams(rd.from_arrow(tbl).repartition(parts), k=5)
+        got = list(zip(out["pair"], out["cnt"].astype(int)))
+        assert got == want, f"parts={parts}"
