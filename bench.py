@@ -100,6 +100,8 @@ def run_bench() -> dict:
         # token-budget selection + bigram-LM quality scoring
         "budget_select", "bigram_surprisal", "semdedup", "quality_buckets",
         "tfidf_keywords", "embedding_outliers", "top_bigrams",
+        # image-caption pair curation (LAION-style CLIP-score filter)
+        "clip_score",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -104,3 +104,100 @@ def embed_captions(docs_ds, weights: np.ndarray, text_col: str = "text",
         batch_size=batch_size,
         concurrency=default_pool(concurrency),
     )
+
+
+class ClipScoreStage:
+    """Actor stage: (image bytes, caption) pair -> alignment score + keep
+    flag — the LAION-style CLIP-score curation filter (keep pairs whose
+    image/text alignment clears a threshold) with a deterministic
+    stand-in scorer so the oracle is exact:
+
+    * image embedding: 9 integer color moments of the DECODED pixels —
+      per channel c, (plain sum, (gx+1)-weighted sum, (gy+1)-weighted
+      sum) — real decode per actor, numpy moments per image;
+    * caption embedding: 9 hashed-token-bucket counts (byte-wise FNV-1a,
+      the corpus-wide hash every dedup/LM oracle already replicates);
+    * clip_score = <img, cap> (exact int64: moments < 2^27, bucket
+      counts < 2^11, 9 terms);
+    * norm_score = clip_score // (n_px * n_tok) — scale-free per-token
+      per-pixel alignment, so one threshold works at every image size /
+      caption length; kept = n_tok > 0 AND norm_score >= threshold.
+
+    PNG rows only: the lossy stand-in codec is not bit-exact (PSNR >= 40,
+    not equality), so jpeg moments are not oracle-able — the same
+    convention image_channel_stats / image_augment already use.
+    Swapping in a real CLIP checkpoint only changes the two embedding
+    functions; the pair plumbing (decode-per-actor, vectorized caption
+    hashing, integer dot, threshold filter) is the real pipeline.
+    """
+
+    DIM = 9
+
+    def __init__(self, threshold: int = 0):
+        import re
+
+        self.tok = re.compile(r"[a-z0-9]+")
+        self.threshold = int(threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..codecs import png
+        from .dedup import hash64_str_batch
+
+        batch = batch.filter(pc.equal(batch["fmt"], "png"))
+        blobs = batch["bytes"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        n = len(blobs)
+        feats = np.zeros((n, self.DIM), np.int64)
+        n_px = np.zeros(n, np.int64)
+        for i, blob in enumerate(blobs):
+            img = png.decode_png(blob).astype(np.int64)  # (h, w, 3)
+            h, w = img.shape[:2]
+            n_px[i] = h * w
+            wx = np.arange(1, w + 1, dtype=np.int64)
+            wy = np.arange(1, h + 1, dtype=np.int64)
+            for c in range(3):
+                ch = img[:, :, c]
+                feats[i, 3 * c] = ch.sum()
+                feats[i, 3 * c + 1] = (ch.sum(axis=0) * wx).sum()
+                feats[i, 3 * c + 2] = (ch.sum(axis=1) * wy).sum()
+        # caption bucket counts: one batched byte-FNV over all tokens,
+        # scatter-add into (doc, bucket)
+        counts = np.zeros(n, np.int64)
+        toks: list[str] = []
+        for i, t in enumerate(caps):
+            tt = self.tok.findall((t or "").lower())
+            toks.extend(tt)
+            counts[i] = len(tt)
+        cap_vec = np.zeros((n, self.DIM), np.int64)
+        if toks:
+            buckets = (hash64_str_batch(toks) % np.uint64(self.DIM)).astype(np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            np.add.at(cap_vec, (doc_idx, buckets), 1)
+        score = (feats * cap_vec).sum(axis=1)
+        denom = n_px * np.maximum(counts, 1)
+        norm = np.where(counts > 0, score // denom, 0)
+        kept = (counts > 0) & (norm >= self.threshold)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "clip_score": pa.array(score, pa.int64()),
+                "norm_score": pa.array(norm, pa.int64()),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+
+def clip_score_filter(images_ds, threshold: int = 0, batch_size: int = 512,
+                      concurrency=None):
+    """images Dataset (image_id, bytes, fmt, caption, ...) -> per-pair
+    alignment scores + keep flags over the png rows. Streaming: one
+    actor-pool pass, no shuffle, no materialization."""
+    return images_ds.map_batches(
+        ClipScoreStage,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )

@@ -6325,11 +6325,91 @@ FROM sup JOIN g USING (s_nationkey)
 """
 
 
+def q_clip_score(sf_dir: str):
+    """LAION-style CLIP-score image-caption alignment filter
+    (ops/infer.py ClipScoreStage): decode image per actor -> 9 integer
+    color moments; caption -> 9 hashed-token-bucket counts; integer dot
+    -> threshold keep flag. PNG rows (lossy codec is not bit-exact, the
+    image_channel_stats convention). One streaming actor-pool pass, no
+    shuffle."""
+    from .ops import infer
+    from .sources import images as img_src
+
+    return infer.clip_score_filter(img_src.images_dataset(sf_dir),
+                                   threshold=2200)
+
+
+# Exact SQL replica: image moments from the closed-form pixel pattern
+# (the image_augment convention), caption bucket counts via the byte-wise
+# FNV-1a recursive CTE over DISTINCT tokens (the simhash/span_dedup
+# convention), integer dot + floor division. Products stay < 2^42, so the
+# only HUGEINT care is casting DuckDB's sum().
+SQL_CLIP_SCORE = f"""
+WITH RECURSIVE
+k AS (SELECT doc_id, {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck,
+             lower(text) AS txt FROM documents),
+p AS (SELECT doc_id, image_id, ck, 32 + (ck * 7) % 33 AS w,
+             32 + (ck * 11) % 33 AS h, txt
+      FROM k WHERE ck % 2 = 0),
+xs AS (SELECT image_id, ck, w, h, unnest(generate_series(0, w - 1)) AS gx FROM p),
+px AS (SELECT image_id, ck, w, h, gx, unnest(generate_series(0, h - 1)) AS gy FROM xs),
+dims AS (SELECT c.c, m.m, 3 * c.c + m.m AS dim
+         FROM (VALUES (0), (1), (2)) c(c), (VALUES (0), (1), (2)) m(m)),
+feat AS (
+  SELECT image_id, d.dim,
+         CAST(sum(
+           (CASE d.m WHEN 0 THEN 1 WHEN 1 THEN gx + 1 ELSE gy + 1 END) *
+           (CASE d.c WHEN 0 THEN (3 * gx + 5 * gy + 13 * ck) % 256
+                     WHEN 1 THEN (7 * gx + 2 * gy + 29 * ck) % 256
+                     ELSE (4 * (gx + gy) + 53 * ck) % 256 END)
+         ) AS BIGINT) AS f
+  FROM px CROSS JOIN dims d
+  GROUP BY image_id, d.dim
+),
+toks AS (
+  SELECT doc_id, t.tok
+  FROM p, unnest(regexp_extract_all(txt, '[a-z0-9]+')) AS t(tok)
+),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+dt AS (SELECT DISTINCT tok FROM tc),
+fnv(tok, i, h) AS (
+  SELECT tok, 1, CAST('14695981039346656037' AS HUGEINT) FROM dt
+  UNION ALL
+  SELECT tok, i + 1,
+         ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, i, 1))))
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE i <= length(tok)
+),
+th AS (SELECT tok, CAST(h % 9 AS BIGINT) AS dim
+       FROM fnv WHERE i = length(tok) + 1),
+cap AS (
+  SELECT tc.doc_id, th.dim, CAST(sum(tc.cnt) AS BIGINT) AS c
+  FROM tc JOIN th USING (tok) GROUP BY tc.doc_id, th.dim
+),
+nt AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc GROUP BY doc_id),
+sc AS (
+  SELECT p.image_id, p.doc_id, p.w * p.h AS n_px,
+         CAST(coalesce(sum(f.f * cap.c), 0) AS BIGINT) AS clip_score
+  FROM p
+  LEFT JOIN cap ON cap.doc_id = p.doc_id
+  LEFT JOIN feat f ON f.image_id = p.image_id AND f.dim = cap.dim
+  GROUP BY p.image_id, p.doc_id, p.w, p.h
+)
+SELECT sc.image_id, sc.clip_score,
+       CASE WHEN nt.n_tok IS NULL OR nt.n_tok = 0 THEN 0
+            ELSE sc.clip_score // (sc.n_px * nt.n_tok) END AS norm_score,
+       (nt.n_tok IS NOT NULL AND nt.n_tok > 0
+        AND sc.clip_score // (sc.n_px * nt.n_tok) >= 2200) AS kept
+FROM sc LEFT JOIN nt ON nt.doc_id = sc.doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
+    "clip_score": (q_clip_score, SQL_CLIP_SCORE),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

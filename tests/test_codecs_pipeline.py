@@ -174,3 +174,66 @@ def test_augment_stage_weighted_sums_closed_form():
     crop = b[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
     assert out["crop_sum_b"][0].as_py() == int(crop.sum())
     assert out["rot_w"][0].as_py() == h and out["rot_h"][0].as_py() == w
+
+
+def test_clip_score_matches_brute_force(ray_session):
+    """ClipScoreStage == brute force (render_pixels moments x hashed
+    caption buckets) on every png row; jpeg rows dropped; empty caption
+    -> score 0, kept False; threshold boundary is >= (a row AT the
+    threshold is kept)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import infer
+    from ssb_sgis_ray.ops.dedup import hash64_str_batch
+
+    ids = np.arange(40, dtype=np.int64)
+    texts = [f"tok{i % 7} alpha beta{i % 3}" for i in ids]
+    texts[4] = ""          # empty caption on an even (png) content key
+    docs = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    imgs = img_src.BuildImages()(docs)
+
+    # brute force over png rows
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    want = {}
+    for i in range(len(imgs)):
+        if imgs["fmt"][i].as_py() != "png":
+            continue
+        ck = int(imgs["ckey"][i].as_py())
+        w, h = int(imgs["w"][i].as_py()), int(imgs["h"][i].as_py())
+        px = img_src.render_pixels(ck, w, h).astype(np.int64)
+        f = np.zeros(9, np.int64)
+        for c in range(3):
+            ch = px[:, :, c]
+            f[3 * c] = ch.sum()
+            f[3 * c + 1] = (ch.sum(axis=0) * np.arange(1, w + 1)).sum()
+            f[3 * c + 2] = (ch.sum(axis=1) * np.arange(1, h + 1)).sum()
+        toks = tok_re.findall(imgs["caption"][i].as_py().lower())
+        cap = np.zeros(9, np.int64)
+        if toks:
+            np.add.at(cap, (hash64_str_batch(toks) % np.uint64(9)).astype(int), 1)
+        score = int((f * cap).sum())
+        norm = score // (w * h * len(toks)) if toks else 0
+        want[imgs["image_id"][i].as_py()] = (score, norm, bool(toks))
+
+    # pick a threshold that IS an attained norm_score -> pins >= boundary
+    attained = sorted(v[1] for v in want.values() if v[2])
+    thr = attained[len(attained) // 2]
+
+    out = infer.clip_score_filter(
+        rd.from_arrow(imgs).repartition(5), threshold=thr
+    ).to_pandas()
+    assert len(out) == len(want)
+    hit_boundary = False
+    for _, r in out.iterrows():
+        score, norm, has_tok = want[r["image_id"]]
+        assert (int(r["clip_score"]), int(r["norm_score"])) == (score, norm)
+        assert bool(r["kept"]) == (has_tok and norm >= thr)
+        if norm == thr:
+            hit_boundary = True
+            assert bool(r["kept"])
+    assert hit_boundary
+    empty_row = out[out["image_id"] == "img000000000004"]
+    assert len(empty_row) == 1 and not bool(empty_row["kept"].iloc[0])
+    assert int(empty_row["clip_score"].iloc[0]) == 0
