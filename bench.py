@@ -102,6 +102,8 @@ def run_bench() -> dict:
         "tfidf_keywords", "embedding_outliers", "top_bigrams",
         # image-caption pair curation (LAION-style CLIP-score filter)
         "clip_score",
+        # raster focal-sum / hotspot detection as scatter-gather aggregation
+        "focal_hotspots",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -608,3 +608,115 @@ def tile_pyramid(tiles_ds, levels: int = 4, x_col: str = "tile_x",
         ),
         batch_format="pyarrow",
     )
+
+
+def focal_hotspots(points_ds, cell_size: int, x_col: str = "px",
+                   y_col: str = "py", hot_threshold: int = 0,
+                   driver_limit: int = 4_000_000):
+    """3x3 focal (moving-window) count statistic over grid cells with a
+    Getis-Ord-flavored hotspot flag — the classic raster focal-sum /
+    hotspot-detection op (reference raster.py zonal/aggregate family),
+    expressed as scatter-gather aggregation instead of array windows so
+    it runs over an unbounded streaming point table.
+
+    Plan: per-batch (packed cell key, count) partials (map-side
+    combine) -> cell counts (driver np pass below ``driver_limit``
+    partial rows, one int64 groupby beyond — the tile_pyramid dual
+    plan) -> each cell SCATTERS its count to its 9 neighbors tagged
+    with a self marker -> one more key-sum -> cells with their own
+    points emit (cnt, focal, is_hot). No join: the self marker rides
+    the same aggregation that builds the focal sum. Cells with zero
+    points contribute nothing and are absent from the output (exactly
+    the sparse-raster semantics); no wraparound — out-of-domain
+    neighbors are dropped.
+
+    Scale shape: two narrow int64-keyed exchanges at most, partials
+    bounded by (distinct cells x batches), neighbor expansion is a
+    fixed x9 on the ALREADY-AGGREGATED cell table (|cells|, not
+    |points|).
+    """
+    from ray.data.aggregate import Sum
+
+    mask24 = (1 << 24) - 1
+    cs = np.int64(cell_size)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64) // cs
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64) // cs
+        if len(x) and (x.min() < 0 or y.min() < 0 or
+                       x.max() > mask24 or y.max() > mask24):
+            raise ValueError("cell ids must be in [0, 2^24)")
+        u, c = np.unique((x << np.int64(24)) | y, return_counts=True)
+        return pa.table({"key": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def scatter(key: np.ndarray, cnt: np.ndarray) -> pa.Table:
+        cx, cy = key >> np.int64(24), key & np.int64(mask24)
+        ks, contrib, selfc = [], [], []
+        for dx, dy in offsets:
+            nx, ny = cx + dx, cy + dy
+            ok = (nx >= 0) & (ny >= 0)
+            ks.append((nx[ok] << np.int64(24)) | ny[ok])
+            contrib.append(cnt[ok])
+            selfc.append(cnt[ok] if (dx == 0 and dy == 0)
+                         else np.zeros(ok.sum(), np.int64))
+        return pa.table({
+            "key": pa.array(np.concatenate(ks), pa.int64()),
+            "contrib": pa.array(np.concatenate(contrib), pa.int64()),
+            "selfc": pa.array(np.concatenate(selfc), pa.int64()),
+        })
+
+    def emit(key: np.ndarray, focal: np.ndarray, cnt: np.ndarray) -> pa.Table:
+        keep = cnt > 0
+        key, focal, cnt = key[keep], focal[keep], cnt[keep]
+        order = np.argsort(key, kind="stable")
+        key, focal, cnt = key[order], focal[order], cnt[order]
+        return pa.table({
+            "cell_x": pa.array(key >> np.int64(24), pa.int64()),
+            "cell_y": pa.array(key & np.int64(mask24), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "focal": pa.array(focal, pa.int64()),
+            "is_hot": pa.array(focal >= np.int64(hot_threshold), pa.bool_()),
+        })
+
+    partials = points_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).materialize()
+
+    if partials.count() <= driver_limit:
+        df = partials.to_pandas()
+        k = df["key"].to_numpy().astype(np.int64)
+        c = df["c"].to_numpy().astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        cnt = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        sc = scatter(u, cnt)
+        sk = sc["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u2, inv2 = np.unique(np.concatenate([u, sk]), return_inverse=True)
+        focal = np.bincount(
+            inv2[len(u):], weights=sc["contrib"].to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            minlength=len(u2)).astype(np.int64)
+        selfcnt = np.zeros(len(u2), np.int64)
+        selfcnt[inv2[:len(u)]] = cnt
+        return emit(u2, focal, selfcnt)
+
+    cells = partials.groupby("key").aggregate(Sum(on="c", alias_name="cnt"))
+    scattered = cells.map_batches(
+        lambda b: scatter(
+            b["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow",
+    )
+    agg = scattered.groupby("key").aggregate(
+        Sum(on="contrib", alias_name="focal"),
+        Sum(on="selfc", alias_name="cnt"),
+    )
+    return agg.map_batches(
+        lambda b: emit(
+            b["key"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["focal"].to_numpy(zero_copy_only=False).astype(np.int64),
+            b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        batch_format="pyarrow",
+    )

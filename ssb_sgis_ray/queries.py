@@ -6325,6 +6325,43 @@ FROM sup JOIN g USING (s_nationkey)
 """
 
 
+def q_focal_hotspots(sf_dir: str):
+    """3x3 focal count + hotspot flag over 2500-unit grid cells of the
+    customer points (ops/spatial.py focal_hotspots) — the raster
+    focal-sum / Getis-Ord hotspot-detection op expressed as
+    scatter-gather aggregation (cells scatter counts to their 9
+    neighbors; a self marker rides the same key-sum)."""
+    import ray.data as rd
+
+    from .ops import spatial as spatial_ops
+
+    def pts(b: pa.Table) -> pa.Table:
+        px, py = synth.customer_points(
+            b["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"px": pa.array(px, pa.int64()),
+                         "py": pa.array(py, pa.int64())})
+
+    points = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(pts, batch_format="pyarrow")
+    return spatial_ops.focal_hotspots(points, cell_size=2500,
+                                      hot_threshold=50)
+
+
+SQL_FOCAL_HOTSPOTS = f"""
+WITH pts AS (SELECT ({synth.CUSTOMER_PX_SQL}) // 2500 AS cx,
+                    ({synth.CUSTOMER_PY_SQL}) // 2500 AS cy FROM customer),
+c AS (SELECT cx, cy, count(*) AS cnt FROM pts GROUP BY cx, cy),
+f AS (SELECT a.cx, a.cy, CAST(a.cnt AS BIGINT) AS cnt,
+             CAST(sum(b.cnt) AS BIGINT) AS focal
+      FROM c a JOIN c b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      GROUP BY a.cx, a.cy, a.cnt)
+SELECT cx AS cell_x, cy AS cell_y, cnt, focal, focal >= 50 AS is_hot FROM f
+"""
+
+
 def q_clip_score(sf_dir: str):
     """LAION-style CLIP-score image-caption alignment filter
     (ops/infer.py ClipScoreStage): decode image per actor -> 9 integer
@@ -6410,6 +6447,7 @@ REGISTRY: dict[str, tuple] = {
     # next, one representative per operator family inside the cap,
     # already-proven variants and pytest-covered entries last.
     "clip_score": (q_clip_score, SQL_CLIP_SCORE),
+    "focal_hotspots": (q_focal_hotspots, SQL_FOCAL_HOTSPOTS),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

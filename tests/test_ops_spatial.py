@@ -878,3 +878,49 @@ def test_tile_pyramid_both_plans_match_brute_force(ray_session):
     with pytest.raises(Exception):
         spatial.tile_pyramid(rd.from_arrow(bad), levels=2,
                              driver_limit=0).to_pandas()
+
+
+def test_focal_hotspots_both_plans_match_brute_force(ray_session):
+    """3x3 focal counts equal the brute-force window sum over the dense
+    grid, identically in the driver-sum and distributed plans and under
+    repartitioning; domain-edge cells (cx=0/cy=0) get truncated windows,
+    zero-count cells are absent, and a cell AT the hot threshold is hot."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    # points clustered so some cells are empty and one corner is hot
+    px = np.concatenate([rng.randint(0, 50, 300),
+                         rng.randint(0, 200, 200)]).astype(np.int64)
+    py = np.concatenate([rng.randint(0, 50, 300),
+                         rng.randint(0, 200, 200)]).astype(np.int64)
+    S = 20
+    from collections import Counter
+
+    cnt = Counter(zip(px // S, py // S))
+    want = {}
+    for (cx, cy), n in cnt.items():
+        focal = sum(cnt.get((cx + dx, cy + dy), 0)
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        want[(cx, cy)] = (n, focal)
+    thr = sorted(f for _, f in want.values())[len(want) // 2]  # attained
+
+    tbl = pa.table({"px": pa.array(px), "py": pa.array(py)})
+
+    def run(parts, limit):
+        out = spatial.focal_hotspots(
+            rd.from_arrow(tbl).repartition(parts), cell_size=S,
+            hot_threshold=thr, driver_limit=limit).to_pandas()
+        return {(int(r["cell_x"]), int(r["cell_y"])):
+                (int(r["cnt"]), int(r["focal"]), bool(r["is_hot"]))
+                for _, r in out.iterrows()}
+
+    for parts, limit in [(1, 4_000_000), (6, 4_000_000), (6, 0)]:
+        got = run(parts, limit)
+        assert set(got) == set(want), (parts, limit)
+        hit_boundary = False
+        for cell, (n, focal) in want.items():
+            assert got[cell][:2] == (n, focal), (parts, limit, cell)
+            assert got[cell][2] == (focal >= thr)
+            if focal == thr:
+                hit_boundary = True
+        assert hit_boundary
