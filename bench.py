@@ -104,6 +104,8 @@ def run_bench() -> dict:
         "clip_score",
         # raster focal-sum / hotspot detection as scatter-gather aggregation
         "focal_hotspots",
+        # DSIR importance resampling (target-vs-raw hashed-bigram models)
+        "dsir_select",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

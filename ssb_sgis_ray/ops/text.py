@@ -873,3 +873,107 @@ def top_bigrams(docs_ds, k: int = 20, num_groups: int = 256):
     df = candidates.to_pandas()
     df = df.sort_values(["cnt", "pair"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
+
+
+def dsir_select(docs_ds, target_lang: str = "en", num_buckets: int = 1024,
+                threshold: int = 0, id_col: str = "doc_id",
+                text_col: str = "text", lang_col: str = "lang"):
+    """DSIR-style importance weighting for domain-targeted data selection
+    (Data Selection via Importance Resampling, Xie et al. 2023): fit two
+    hashed-bigram bag models — the TARGET distribution (docs whose
+    ``lang_col`` == ``target_lang``) and the RAW distribution (the whole
+    corpus) — then weight every document by its log importance ratio and
+    keep docs at or above ``threshold``.
+
+    Integerized scoring (bit-exact on both engine and SQL sides): with
+    bucket b = bigram_hash % num_buckets and flog = floor(log2),
+
+        logw(d) = sum over bigram occurrences of d of
+                  (flog(ct[b]+1) - flog(T+1)) - (flog(cr[b]+1) - flog(R+1))
+
+    — the +1 is add-one smoothing, the totals T/R make the two models
+    comparable (the probability normalizers of the published method in
+    the quantized-log world). Output: (doc_id, n_bigrams, logw, kept)
+    for docs with >= 1 bigram.
+
+    Scale plan: the model is a FIXED-size dense array (num_buckets
+    buckets; DSIR's published setting is 10^4 — broadcastable at any
+    corpus size), so the whole op is two streaming passes and ZERO
+    shuffles: pass A emits <= num_buckets partial rows per batch
+    (map-side bincount combine), the merge is a bounded driver sum,
+    the per-bucket score table ships once via ray.put, and pass B
+    scores each batch with one direct array lookup + segment sum.
+    """
+    import ray
+
+    from .dedup import hash64_str_batch
+
+    tok_re_src = r"[a-z0-9]+"
+    nb = np.uint64(num_buckets)
+
+    def span_buckets(texts, langs):
+        """(doc_local_idx, bucket, is_target_doc flags per row)."""
+        tok_re = re.compile(tok_re_src)
+        all_tokens: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = tok_re.findall(str(t or "").lower())
+            all_tokens.extend(toks)
+            counts[i] = len(toks)
+        tgt = np.fromiter((l == target_lang for l in langs), dtype=bool,
+                          count=len(texts))
+        if len(all_tokens) < 2:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    tgt, counts)
+        th = hash64_str_batch(all_tokens)
+        doc_flat = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        with np.errstate(over="ignore"):
+            bh = th[:-1] * np.uint64(257) + th[1:]
+        valid = doc_flat[:-1] == doc_flat[1:]
+        return (doc_flat[:-1][valid], (bh[valid] % nb).astype(np.int64),
+                tgt, counts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d, buck, tgt, _ = span_buckets(b[text_col].to_pylist(),
+                                       b[lang_col].to_pylist())
+        cr = np.bincount(buck, minlength=num_buckets)
+        ct = np.bincount(buck[tgt[d]], minlength=num_buckets)
+        nz = cr > 0
+        return pa.table({
+            "b": pa.array(np.nonzero(nz)[0].astype(np.int64), pa.int64()),
+            "ct": pa.array(ct[nz].astype(np.int64), pa.int64()),
+            "cr": pa.array(cr[nz].astype(np.int64), pa.int64()),
+        })
+
+    # model fit: bounded driver sum (<= num_buckets x batches rows)
+    df = docs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=2048
+    ).to_pandas()
+    ct = np.zeros(num_buckets, np.int64)
+    cr = np.zeros(num_buckets, np.int64)
+    np.add.at(ct, df["b"].to_numpy(np.int64), df["ct"].to_numpy(np.int64))
+    np.add.at(cr, df["b"].to_numpy(np.int64), df["cr"].to_numpy(np.int64))
+    T, R = int(ct.sum()), int(cr.sum())
+    val = ((_floor_log2(ct + 1) - _floor_log2(np.int64(T + 1)))
+           - (_floor_log2(cr + 1) - _floor_log2(np.int64(R + 1))))
+    ref = ray.put(val.astype(np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d, buck, _, _ = span_buckets(b[text_col].to_pylist(),
+                                     b[lang_col].to_pylist())
+        logw = np.zeros(len(ids), np.int64)
+        nbi = np.zeros(len(ids), np.int64)
+        np.add.at(logw, d, v[buck])
+        np.add.at(nbi, d, 1)
+        keep = nbi > 0
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "n_bigrams": pa.array(nbi[keep], pa.int64()),
+            "logw": pa.array(logw[keep], pa.int64()),
+            "kept": pa.array(logw[keep] >= np.int64(threshold), pa.bool_()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow",
+                               batch_size=2048)

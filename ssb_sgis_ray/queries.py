@@ -6325,6 +6325,80 @@ FROM sup JOIN g USING (s_nationkey)
 """
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (ops/text.py dsir_select): hashed-
+    bigram target (lang='en') vs raw corpus models, integer floor-log2
+    importance ratio per doc, keep at logw >= -24 (the sf0.001 median).
+    Two streaming passes, fixed dense model broadcast, zero shuffles."""
+    import ray.data as rd
+
+    from .ops import text as text_ops
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return text_ops.dsir_select(docs, target_lang="en", threshold=-24)
+
+
+# Exact SQL replica: the bigram_surprisal CTE machinery (byte-FNV per
+# DISTINCT token, wrapped-polynomial bigram hash, hash-first/filter-after
+# window) with buckets bh % 1024 (1024 | 2^64, so the mod commutes with
+# the uint64 wrap), add-one-smoothed floor-log2 ratio per bucket.
+SQL_DSIR_SELECT = """
+WITH RECURSIVE
+tl AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, unnest(generate_series(1, len(toks))) AS pos,
+         toks, len(toks) AS n_tok
+  FROM tl
+),
+ptok AS (SELECT doc_id, lang, pos, n_tok, toks[pos] AS tok FROM pos),
+vocab AS (SELECT DISTINCT tok FROM ptok),
+fnv(tok, i, h) AS (
+  SELECT tok, 1, CAST('14695981039346656037' AS HUGEINT) FROM vocab
+  UNION ALL
+  SELECT tok, i + 1,
+         ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), ord(substr(tok, i, 1))))
+          * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM fnv WHERE i <= length(tok)
+),
+th AS (SELECT tok, h FROM fnv WHERE i = length(tok) + 1),
+ph AS (
+  SELECT p.doc_id, p.lang, p.pos, p.n_tok, th.h
+  FROM ptok p JOIN th USING (tok)
+),
+bg0 AS (
+  -- hash FIRST, filter AFTER: a WHERE here would remove the tail row
+  -- before lead() reads it, nulling the last bigram hash
+  SELECT doc_id, lang, pos, n_tok,
+         (h * 257 + lead(h, 1) OVER w) % 1024 AS b
+  FROM ph
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (SELECT doc_id, lang, CAST(b AS BIGINT) AS b
+       FROM bg0 WHERE pos <= n_tok - 1),
+cr AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+ctt AS (SELECT b, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT CAST((SELECT count(*) FROM bg WHERE lang = 'en') AS BIGINT) AS t,
+               CAST((SELECT count(*) FROM bg) AS BIGINT) AS r),
+val AS (
+  SELECT cr.b,
+         ((length(bin(coalesce(ctt.c, 0) + 1)) - 1)
+          - (length(bin(tot.t + 1)) - 1))
+         - ((length(bin(cr.c + 1)) - 1)
+            - (length(bin(tot.r + 1)) - 1)) AS v
+  FROM cr LEFT JOIN ctt USING (b) CROSS JOIN tot
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(val.v) AS BIGINT) AS logw,
+       CAST(sum(val.v) AS BIGINT) >= -24 AS kept
+FROM bg JOIN val USING (b)
+GROUP BY bg.doc_id
+"""
+
+
 def q_focal_hotspots(sf_dir: str):
     """3x3 focal count + hotspot flag over 2500-unit grid cells of the
     customer points (ops/spatial.py focal_hotspots) — the raster
@@ -6448,6 +6522,7 @@ REGISTRY: dict[str, tuple] = {
     # already-proven variants and pytest-covered entries last.
     "clip_score": (q_clip_score, SQL_CLIP_SCORE),
     "focal_hotspots": (q_focal_hotspots, SQL_FOCAL_HOTSPOTS),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

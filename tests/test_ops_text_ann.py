@@ -1374,3 +1374,76 @@ def test_top_bigrams_matches_brute_force(ray_session):
         out = text_ops.top_bigrams(rd.from_arrow(tbl).repartition(parts), k=5)
         got = list(zip(out["pair"], out["cnt"].astype(int)))
         assert got == want, f"parts={parts}"
+
+
+def test_dsir_select_matches_brute_force(ray_session):
+    """dsir_select == the brute-force hashed-bigram importance ratio
+    under any partitioning; docs with < 2 tokens are absent; a doc AT
+    the threshold is kept; target-language docs outrank the rest on
+    average (the published method's point)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import text as text_ops
+    from ssb_sgis_ray.ops.dedup import hash64_str_batch
+
+    rng = np.random.RandomState(7)
+    en_vocab = ["the", "quick", "fox", "jumps", "over"]
+    de_vocab = ["der", "schnelle", "fuchs", "springt", "ueber"]
+    rows = []
+    for i in range(80):
+        lang = "en" if i % 2 == 0 else "de"
+        vocab = en_vocab if lang == "en" else de_vocab
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab, size=n)), lang))
+    rows[3] = (3, "solo", "de")   # 1 token -> no bigram -> absent
+    NB = 64
+
+    # brute force
+    def buckets(text):
+        toks = text.split()
+        if len(toks) < 2:
+            return np.empty(0, np.int64)
+        h = hash64_str_batch(toks)
+        bh = (h[:-1] * np.uint64(257) + h[1:]) % np.uint64(NB)
+        return bh.astype(np.int64)
+
+    ct = np.zeros(NB, np.int64)
+    cr = np.zeros(NB, np.int64)
+    for _, text, lang in rows:
+        b = buckets(text)
+        np.add.at(cr, b, 1)
+        if lang == "en":
+            np.add.at(ct, b, 1)
+
+    def flog(x):
+        return np.int64(np.searchsorted(2 ** np.arange(63, dtype=np.int64),
+                                        x, side="right") - 1)
+
+    want = {}
+    for did, text, lang in rows:
+        b = buckets(text)
+        if not len(b):
+            continue
+        v = [(flog(ct[x] + 1) - flog(ct.sum() + 1))
+             - (flog(cr[x] + 1) - flog(cr.sum() + 1)) for x in b]
+        want[did] = (len(b), int(sum(v)), lang)
+    thr = sorted(w for _, w, _ in want.values())[len(want) // 2]  # attained
+
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "lang": pa.array([r[2] for r in rows])})
+    for parts in (1, 7):
+        out = text_ops.dsir_select(
+            rd.from_arrow(tbl).repartition(parts), target_lang="en",
+            num_buckets=NB, threshold=thr).to_pandas()
+        assert len(out) == len(want), parts
+        hit = False
+        for _, r in out.iterrows():
+            nb, lw, _ = want[int(r["doc_id"])]
+            assert (int(r["n_bigrams"]), int(r["logw"])) == (nb, lw)
+            assert bool(r["kept"]) == (lw >= thr)
+            hit = hit or lw == thr
+        assert hit
+    en_mean = np.mean([w / n for n, w, l in want.values() if l == "en"])
+    de_mean = np.mean([w / n for n, w, l in want.values() if l == "de"])
+    assert en_mean > de_mean
