@@ -106,6 +106,8 @@ def run_bench() -> dict:
         "focal_hotspots",
         # DSIR importance resampling (target-vs-raw hashed-bigram models)
         "dsir_select",
+        # product-quantization ANN (ADC scan, the IVF-PQ memory path)
+        "ann_pq",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -329,3 +329,112 @@ def ann_lsh(vectors_ds, queries: dict, k: int, planes: np.ndarray,
     return partials.groupby("query_id").map_groups(
         lambda g: _finalize_topk(g, k), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) scan
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(dim: int = 64, m: int = 8, ksub: int = 16) -> np.ndarray:
+    """Deterministic integer PQ codebooks, (m, ksub, dim//m) int64 in
+    [-512, 512] — the "loaded checkpoint" convention (caption_embed's
+    weights, kmeans_assign's centroids): a real deployment trains these
+    with k-means per subspace; swapping trained codebooks in changes no
+    plumbing. Values spread over the same range as the floor(e*512)
+    vector quantization so the quantized distances are meaningful."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    s, j, d = np.ogrid[0:m, 0:ksub, 0:dsub]
+    return ((s * 67 + j * 29 + d * 13) % 1025 - 512).astype(np.int64)
+
+
+class PqAdcTopK:
+    """Actor stage: PQ-encode each batch and ADC-scan it against the
+    broadcast queries — the memory path 100 TB ANN actually ships
+    (IVF-PQ): vectors live as m uint4/uint8 codes instead of dim floats,
+    and query-to-vector distance is m table lookups instead of a dim-wide
+    dot.
+
+    Everything is integer-exact: vectors quantize to floor(e * 512)
+    int64 (the semdedup/kmeans convention), codebooks are integer,
+    encode is per-subspace exact argmin (ties -> lowest centroid id,
+    numpy's first-occurrence argmin == SQL's ORDER BY dist, j), and the
+    ADC lookup tables are exact integer squared distances — so the
+    approximate distance is bit-identical on engine and oracle.
+    Per batch: one (n, dsub, ksub) broadcast subtract per subspace +
+    one LUT gather; partial top-k per query; bounded global finalize.
+    """
+
+    def __init__(self, state_ref, k: int, id_col: str = "vec_id",
+                 col: str = "embedding"):
+        cb, qids, qm = ray.get(state_ref)  # (m,ksub,dsub) int64, (nq,), (nq,dim)
+        self.cb = cb
+        self.m, self.ksub, self.dsub = cb.shape
+        self.qids = qids.astype(np.int64)
+        # ADC tables once per actor: (nq, m, ksub) exact int64
+        qs = qm.reshape(len(qm), self.m, self.dsub)
+        self.lut = ((qs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.int64())})
+        v = np.floor(embedding_matrix(batch, self.col) * 512.0).astype(np.int64)
+        v = v.reshape(len(ids), self.m, self.dsub)
+        codes = np.empty((len(ids), self.m), np.int64)
+        for s in range(self.m):
+            d2 = ((v[:, s, :, None] - self.cb[s].T[None, :, :]) ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)  # first occurrence = min id
+        # adist[n, q] = sum_s lut[q, s, codes[n, s]]
+        sub = np.arange(self.m)
+        adist = np.empty((len(ids), len(self.qids)), np.int64)
+        for qi in range(len(self.qids)):
+            adist[:, qi] = self.lut[qi][sub, codes].sum(axis=1)
+        k_eff = min(self.k, len(ids))
+        out_q, out_v, out_d = [], [], []
+        for qi in range(adist.shape[1]):
+            dd = adist[:, qi]
+            order = np.lexsort((ids, dd))[:k_eff]  # smallest dist, id tiebreak
+            out_q.append(np.full(k_eff, self.qids[qi]))
+            out_v.append(ids[order])
+            out_d.append(dd[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "adist": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+
+def ann_pq(vectors_ds, queries: dict, k: int, codebooks: np.ndarray,
+           id_col: str = "vec_id", col: str = "embedding",
+           concurrency=None, batch_size: int = 8192):
+    """PQ/ADC top-k: queries = {'id': (nq,) int64, 'matrix': (nq, dim)
+    int64 pre-quantized}. Output (query_id, vec_id, adist, pq_rank) — k
+    rows per query, ranked by quantized distance, vec_id tiebreak."""
+    ref = ray.put((codebooks.astype(np.int64),
+                   np.asarray(queries["id"], np.int64),
+                   np.asarray(queries["matrix"], np.int64)))
+    partials = vectors_ds.map_batches(
+        PqAdcTopK,
+        fn_constructor_kwargs={"state_ref": ref, "k": k, "id_col": id_col,
+                               "col": col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adist", "vec_id"],
+                          ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["pq_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(fin, batch_format="pandas")

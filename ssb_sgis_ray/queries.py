@@ -6325,6 +6325,67 @@ FROM sup JOIN g USING (s_nationkey)
 """
 
 
+def q_ann_pq(sf_dir: str):
+    """PQ/ADC quantized ANN (ops/ann.py ann_pq) — product-quantization
+    encode + asymmetric-distance scan, the IVF-PQ memory path of
+    production 100 TB ANN. Deterministic integer codebooks (the
+    loaded-checkpoint convention) and floor(e*512) vector quantization
+    make the approximate distances bit-exact against SQL."""
+    import ray.data as rd
+
+    from .ops import ann as ann_ops
+
+    d = np.arange(64, dtype=np.int64)
+    qm = np.stack([(d * 37 + qid * 101) % 1025 - 512 for qid in (0, 1)])
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return ann_ops.ann_pq(
+        vecs, {"id": np.array([0, 1]), "matrix": qm}, k=10,
+        codebooks=ann_ops.pq_codebooks(64, 8, 16),
+    ).select_columns(["query_id", "vec_id", "adist", "pq_rank"])
+
+
+SQL_ANN_PQ = """
+WITH
+ed AS (SELECT vec_id, unnest(generate_series(0, 63)) AS d, embedding
+       FROM embeddings),
+qv AS (SELECT vec_id, d // 8 AS s, d % 8 AS dd,
+              CAST(floor(embedding[d + 1] * 512) AS BIGINT) AS v
+       FROM ed),
+cb AS (SELECT s.s, j.j, dd.dd,
+              CAST((s.s * 67 + j.j * 29 + dd.dd * 13) % 1025 - 512 AS BIGINT) AS cv
+       FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+            (SELECT unnest(generate_series(0, 15)) AS j) j,
+            (SELECT unnest(generate_series(0, 7)) AS dd) dd),
+dist AS (SELECT v.vec_id, v.s, c.j,
+                CAST(sum((v.v - c.cv) * (v.v - c.cv)) AS BIGINT) AS d2
+         FROM qv v JOIN cb c ON c.s = v.s AND c.dd = v.dd
+         GROUP BY v.vec_id, v.s, c.j),
+code AS (SELECT vec_id, s, j FROM (
+           SELECT vec_id, s, j,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, j) AS rn
+           FROM dist) WHERE rn = 1),
+qq AS (SELECT q.qid, dd.d, CAST((dd.d * 37 + q.qid * 101) % 1025 - 512
+                                AS BIGINT) AS v
+       FROM (SELECT unnest(generate_series(0, 1)) AS qid) q,
+            (SELECT unnest(generate_series(0, 63)) AS d) dd),
+lut AS (SELECT q.qid, c.s, c.j,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS t
+        FROM qq q JOIN cb c ON c.s = q.d // 8 AND c.dd = q.d % 8
+        GROUP BY q.qid, c.s, c.j),
+ad AS (SELECT l.qid, code.vec_id, CAST(sum(l.t) AS BIGINT) AS adist
+       FROM code JOIN lut l ON l.s = code.s AND l.j = code.j
+       GROUP BY l.qid, code.vec_id)
+SELECT qid AS query_id, vec_id, adist, pq_rank FROM (
+  SELECT qid, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY adist, vec_id) AS BIGINT) AS pq_rank
+  FROM ad)
+WHERE pq_rank <= 10
+"""
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance resampling (ops/text.py dsir_select): hashed-
     bigram target (lang='en') vs raw corpus models, integer floor-log2
@@ -6523,6 +6584,7 @@ REGISTRY: dict[str, tuple] = {
     "clip_score": (q_clip_score, SQL_CLIP_SCORE),
     "focal_hotspots": (q_focal_hotspots, SQL_FOCAL_HOTSPOTS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

@@ -1447,3 +1447,50 @@ def test_dsir_select_matches_brute_force(ray_session):
     en_mean = np.mean([w / n for n, w, l in want.values() if l == "en"])
     de_mean = np.mean([w / n for n, w, l in want.values() if l == "de"])
     assert en_mean > de_mean
+
+
+def test_ann_pq_matches_brute_force(ray_session):
+    """PQ encode + ADC scan equals the local brute-force computation of
+    the same quantized metric under any partitioning; duplicated vectors
+    tie on adist and resolve by vec_id ascending; k caps the output."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import ann as ann_ops
+
+    rng = np.random.RandomState(3)
+    n, dim, m, ksub, k = 120, 64, 8, 16, 7
+    emb = rng.uniform(-0.6, 0.6, size=(n, dim))
+    emb[5] = emb[4]  # exact duplicate -> adist tie, vec_id tiebreak
+    cb = ann_ops.pq_codebooks(dim, m, ksub)
+    d = np.arange(dim, dtype=np.int64)
+    qm = np.stack([(d * 37 + qid * 101) % 1025 - 512 for qid in (0, 1)])
+
+    # brute force
+    v = np.floor(emb * 512.0).astype(np.int64).reshape(n, m, dim // m)
+    codes = np.empty((n, m), np.int64)
+    for s in range(m):
+        d2 = ((v[:, s, :, None] - cb[s].T[None, :, :]) ** 2).sum(axis=1)
+        codes[:, s] = np.argmin(d2, axis=1)
+    want = {}
+    for qi in range(2):
+        lut = ((qm[qi].reshape(m, -1)[:, None, :] - cb) ** 2).sum(axis=2)
+        adist = lut[np.arange(m), codes].sum(axis=1)
+        order = np.lexsort((np.arange(n), adist))[:k]
+        want[qi] = [(int(vid), int(adist[vid]), r + 1)
+                    for r, vid in enumerate(order)]
+        assert adist[4] == adist[5]  # the planted tie is real
+
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float64()))})
+    for parts in (1, 6):
+        out = ann_ops.ann_pq(
+            rd.from_arrow(tbl).repartition(parts),
+            {"id": np.array([0, 1]), "matrix": qm}, k=k, codebooks=cb,
+        ).to_pandas()
+        assert len(out) == 2 * k
+        for qi in range(2):
+            g = out[out["query_id"] == qi].sort_values("pq_rank")
+            got = [(int(r["vec_id"]), int(r["adist"]), int(r["pq_rank"]))
+                   for _, r in g.iterrows()]
+            assert got == want[qi], (parts, qi)
