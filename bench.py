@@ -108,6 +108,8 @@ def run_bench() -> dict:
         "dsir_select",
         # product-quantization ANN (ADC scan, the IVF-PQ memory path)
         "ann_pq",
+        # metadata prune-before-decode filter (LAION pre-filters)
+        "image_meta_filter",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -6325,6 +6325,33 @@ FROM sup JOIN g USING (s_nationkey)
 """
 
 
+def q_image_meta_filter(sf_dir: str):
+    """LAION-style metadata pre-filter (sources/images.py
+    image_metadata_filter): min dims / max integer aspect / min caption
+    tokens, computed WITHOUT decoding — bytes are projected away before
+    the stage (the prune-before-decode discipline). All image rows (both
+    formats): the rules read metadata only."""
+    from .sources import images as img_src
+
+    return img_src.image_metadata_filter(_images_ds(sf_dir))
+
+
+SQL_IMAGE_META_FILTER = f"""
+WITH k AS (SELECT doc_id, {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck,
+                  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cap_tok
+           FROM documents),
+p AS (SELECT image_id, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h,
+             cap_tok FROM k)
+SELECT image_id, CAST(w * h AS BIGINT) AS n_px,
+       CAST(100 * greatest(w, h) // least(w, h) AS BIGINT) AS aspect_q,
+       CAST(cap_tok AS BIGINT) AS cap_tok,
+       (w >= 40 AND h >= 40
+        AND 100 * greatest(w, h) // least(w, h) <= 150
+        AND cap_tok >= 32) AS kept
+FROM p
+"""
+
+
 def q_ann_pq(sf_dir: str):
     """PQ/ADC quantized ANN (ops/ann.py ann_pq) — product-quantization
     encode + asymmetric-distance scan, the IVF-PQ memory path of
@@ -6585,6 +6612,7 @@ REGISTRY: dict[str, tuple] = {
     "focal_hotspots": (q_focal_hotspots, SQL_FOCAL_HOTSPOTS),
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "image_meta_filter": (q_image_meta_filter, SQL_IMAGE_META_FILTER),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

@@ -294,3 +294,46 @@ def images_dataset(sf_dir: str, concurrency=None, batch_size: int = 32,
         concurrency=default_pool(concurrency),
         fn_constructor_kwargs={"copies": copies},
     )
+
+
+def image_metadata_filter(images_ds, min_w: int = 40, min_h: int = 40,
+                          max_aspect_q: int = 150, min_cap_tok: int = 32):
+    """LAION-style metadata pre-filter over an image+caption table:
+    minimum dimensions, maximum aspect ratio (integerized as
+    ``100 * max(w,h) // min(w,h)``), minimum caption token count. Runs
+    BEFORE any decode — the pruning stage a web-scale curation pipeline
+    puts first so the expensive decode/embed stages only see survivors.
+
+    Payload discipline: the stage projects away ``bytes`` up front
+    (select_columns), so image payloads never ride through it; at 10^12
+    rows this is a metadata-only streaming pass. Output:
+    (image_id, n_px, aspect_q, cap_tok, kept) — all rows with the flag,
+    so downstream can either filter on it or audit the rule mix.
+    """
+    import re
+
+    import pyarrow.compute as pc
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def stage(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        caps = b["caption"].to_pylist()
+        cap_tok = np.fromiter(
+            (len(tok_re.findall((c or "").lower())) for c in caps),
+            dtype=np.int64, count=len(caps))
+        aspect_q = 100 * np.maximum(w, h) // np.minimum(w, h)
+        kept = ((w >= min_w) & (h >= min_h)
+                & (aspect_q <= max_aspect_q) & (cap_tok >= min_cap_tok))
+        return pa.table({
+            "image_id": b["image_id"],
+            "n_px": pa.array(w * h, pa.int64()),
+            "aspect_q": pa.array(aspect_q, pa.int64()),
+            "cap_tok": pa.array(cap_tok, pa.int64()),
+            "kept": pa.array(kept, pa.bool_()),
+        })
+
+    return images_ds.select_columns(
+        ["image_id", "w", "h", "caption"]
+    ).map_batches(stage, batch_format="pyarrow", batch_size=8192)

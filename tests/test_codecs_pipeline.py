@@ -237,3 +237,39 @@ def test_clip_score_matches_brute_force(ray_session):
     empty_row = out[out["image_id"] == "img000000000004"]
     assert len(empty_row) == 1 and not bool(empty_row["kept"].iloc[0])
     assert int(empty_row["clip_score"].iloc[0]) == 0
+
+
+def test_image_metadata_filter_rules(ray_session):
+    """Each rule (min_w, min_h, aspect, caption tokens) independently
+    fails exactly the rows it should; boundary values pass (>= / <=);
+    bytes never reach the stage (schema pruned before map_batches)."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.sources.images import image_metadata_filter
+
+    rows = [
+        # (w, h, caption, expect_kept)  thresholds: 40/40/150/3 tokens
+        (40, 40, "a b c", True),        # every rule AT its boundary
+        (39, 64, "a b c", False),       # min_w
+        (64, 39, "a b c", False),       # min_h
+        (40, 60, "a b c", True),        # aspect 150 exactly -> kept
+        (40, 61, "a b c", False),       # aspect 152 -> dropped
+        (64, 64, "a b", False),         # caption too short
+        (64, 64, "", False),            # empty caption
+    ]
+    tbl = pa.table({
+        "image_id": pa.array([f"i{j}" for j in range(len(rows))]),
+        "bytes": pa.array([b"\x00"] * len(rows), pa.binary()),
+        "w": pa.array([r[0] for r in rows], pa.int32()),
+        "h": pa.array([r[1] for r in rows], pa.int32()),
+        "caption": pa.array([r[2] for r in rows]),
+    })
+    out = image_metadata_filter(
+        rd.from_arrow(tbl), min_w=40, min_h=40, max_aspect_q=150,
+        min_cap_tok=3).to_pandas().set_index("image_id")
+    for j, (w, h, cap, want) in enumerate(rows):
+        r = out.loc[f"i{j}"]
+        assert bool(r["kept"]) == want, (j, rows[j])
+        assert int(r["n_px"]) == w * h
+        assert int(r["aspect_q"]) == 100 * max(w, h) // min(w, h)
+    assert "bytes" not in out.columns
