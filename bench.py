@@ -110,6 +110,8 @@ def run_bench() -> dict:
         "ann_pq",
         # metadata prune-before-decode filter (LAION pre-filters)
         "image_meta_filter",
+        # IVF-PQ: coarse probe + residual-PQ ADC (faiss's composition)
+        "ann_ivfpq",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -438,3 +438,114 @@ def ann_pq(vectors_ds, queries: dict, k: int, codebooks: np.ndarray,
         return g
 
     return partials.groupby("query_id").map_groups(fin, batch_format="pandas")
+
+
+def ivf_coarse_centroids(dim: int = 64, nlist: int = 8) -> np.ndarray:
+    """Deterministic integer coarse-quantizer centroids (nlist, dim) —
+    same loaded-checkpoint convention as pq_codebooks."""
+    l, d = np.ogrid[0:nlist, 0:dim]
+    return ((l * 53 + d * 17) % 1025 - 512).astype(np.int64)
+
+
+class IvfPqTopK:
+    """Actor stage: IVF-PQ — the production-ANN composition (faiss's
+    workhorse index): coarse-assign each vector to its nearest of
+    ``nlist`` centroids (exact integer argmin, min-id ties), PQ-encode
+    the RESIDUAL v - c against the shared codebooks, and ADC-scan only
+    the vectors whose list one of the query's ``nprobe`` nearest coarse
+    centroids owns. Residual encoding is what makes PQ tight around each
+    list's centroid; probing bounds the scan to nprobe/nlist of the
+    corpus. All distances integer-exact (same contract as ann_pq), so
+    the result is bit-reproducible and SQL-checkable; with
+    nprobe == nlist it degrades to exact-PQ over everything.
+    """
+
+    def __init__(self, state_ref, k: int, nprobe: int,
+                 id_col: str = "vec_id", col: str = "embedding"):
+        cc, cb, qids, qm = ray.get(state_ref)
+        self.cc = cc                      # (nlist, dim) int64
+        self.cb = cb                      # (m, ksub, dsub) int64
+        self.m, self.ksub, self.dsub = cb.shape
+        self.qids = qids.astype(np.int64)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+        # probe sets + per-(query, probed list) residual ADC tables
+        qd = ((qm[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)  # (nq, nlist)
+        order = np.lexsort((np.broadcast_to(np.arange(cc.shape[0]),
+                                            qd.shape), qd), axis=1)
+        self.probes = order[:, :nprobe]   # (nq, nprobe) list ids
+        self.luts = {}                    # (qi, list) -> (m, ksub) int64
+        for qi in range(len(qids)):
+            for l in self.probes[qi]:
+                resq = (qm[qi] - cc[l]).reshape(self.m, self.dsub)
+                self.luts[(qi, int(l))] = (
+                    (resq[:, None, :] - cb) ** 2).sum(axis=2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "adist": pa.array([], pa.int64())})
+        if not len(ids):
+            return empty
+        v = np.floor(embedding_matrix(batch, self.col) * 512.0).astype(np.int64)
+        cd = ((v[:, None, :] - self.cc[None, :, :]) ** 2).sum(axis=2)
+        lists = np.argmin(cd, axis=1)     # first occurrence = min id
+        res = (v - self.cc[lists]).reshape(len(ids), self.m, self.dsub)
+        codes = np.empty((len(ids), self.m), np.int64)
+        for s in range(self.m):
+            d2 = ((res[:, s, :, None] - self.cb[s].T[None, :, :]) ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        sub = np.arange(self.m)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(len(self.qids)):
+            sel = np.isin(lists, self.probes[qi])
+            if not sel.any():
+                continue
+            sids, slists, scodes = ids[sel], lists[sel], codes[sel]
+            adist = np.empty(len(sids), np.int64)
+            for l in np.unique(slists):
+                inl = slists == l
+                adist[inl] = self.luts[(qi, int(l))][sub, scodes[inl]].sum(axis=1)
+            k_eff = min(self.k, len(sids))
+            order = np.lexsort((sids, adist))[:k_eff]
+            out_q.append(np.full(k_eff, self.qids[qi]))
+            out_v.append(sids[order])
+            out_d.append(adist[order])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "adist": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+
+def ann_ivfpq(vectors_ds, queries: dict, k: int, coarse: np.ndarray,
+              codebooks: np.ndarray, nprobe: int = 2,
+              id_col: str = "vec_id", col: str = "embedding",
+              concurrency=None, batch_size: int = 8192):
+    """IVF-PQ top-k (coarse probe + residual-PQ ADC). queries = {'id':
+    (nq,) int64, 'matrix': (nq, dim) int64}. Output (query_id, vec_id,
+    adist, pq_rank), k rows per query from the probed lists only."""
+    ref = ray.put((coarse.astype(np.int64), codebooks.astype(np.int64),
+                   np.asarray(queries["id"], np.int64),
+                   np.asarray(queries["matrix"], np.int64)))
+    partials = vectors_ds.map_batches(
+        IvfPqTopK,
+        fn_constructor_kwargs={"state_ref": ref, "k": k, "nprobe": nprobe,
+                               "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=default_pool(concurrency),
+    )
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adist", "vec_id"],
+                          ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["pq_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(fin, batch_format="pandas")

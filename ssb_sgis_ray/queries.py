@@ -6413,6 +6413,90 @@ WHERE pq_rank <= 10
 """
 
 
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ quantized ANN (ops/ann.py ann_ivfpq) — coarse probe
+    (nprobe=2 of 8 lists) + residual-PQ ADC scan, faiss's production
+    composition; integer-exact end to end (loaded-checkpoint coarse
+    centroids + codebooks, floor(e*512) vectors)."""
+    import ray.data as rd
+
+    from .ops import ann as ann_ops
+
+    d = np.arange(64, dtype=np.int64)
+    qm = np.stack([(d * 37 + qid * 101) % 1025 - 512 for qid in (0, 1)])
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return ann_ops.ann_ivfpq(
+        vecs, {"id": np.array([0, 1]), "matrix": qm}, k=10,
+        coarse=ann_ops.ivf_coarse_centroids(64, 8),
+        codebooks=ann_ops.pq_codebooks(64, 8, 16), nprobe=2,
+    ).select_columns(["query_id", "vec_id", "adist", "pq_rank"])
+
+
+SQL_ANN_IVFPQ = """
+WITH
+ed AS (SELECT vec_id, unnest(generate_series(0, 63)) AS d, embedding
+       FROM embeddings),
+qv AS (SELECT vec_id, d, CAST(floor(embedding[d + 1] * 512) AS BIGINT) AS v
+       FROM ed),
+cc AS (SELECT l.l, d.d, CAST((l.l * 53 + d.d * 17) % 1025 - 512 AS BIGINT) AS cv
+       FROM (SELECT unnest(generate_series(0, 7)) AS l) l,
+            (SELECT unnest(generate_series(0, 63)) AS d) d),
+cdist AS (SELECT q.vec_id, c.l,
+                 CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+          FROM qv q JOIN cc c USING (d) GROUP BY q.vec_id, c.l),
+assign AS (SELECT vec_id, l FROM (
+             SELECT vec_id, l, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d2, l) AS rn
+             FROM cdist) WHERE rn = 1),
+resid AS (SELECT q.vec_id, q.d, q.v - c.cv AS r
+          FROM qv q JOIN assign a USING (vec_id)
+          JOIN cc c ON c.l = a.l AND c.d = q.d),
+cb AS (SELECT s.s, j.j, dd.dd,
+              CAST((s.s * 67 + j.j * 29 + dd.dd * 13) % 1025 - 512 AS BIGINT) AS cw
+       FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+            (SELECT unnest(generate_series(0, 15)) AS j) j,
+            (SELECT unnest(generate_series(0, 7)) AS dd) dd),
+pdist AS (SELECT r.vec_id, r.d // 8 AS s, c.j,
+                 CAST(sum((r.r - c.cw) * (r.r - c.cw)) AS BIGINT) AS d2
+          FROM resid r JOIN cb c ON c.s = r.d // 8 AND c.dd = r.d % 8
+          GROUP BY r.vec_id, r.d // 8, c.j),
+code AS (SELECT vec_id, s, j FROM (
+           SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+                                                   ORDER BY d2, j) AS rn
+           FROM pdist) WHERE rn = 1),
+qq AS (SELECT q.qid, dd.d, CAST((dd.d * 37 + q.qid * 101) % 1025 - 512
+                                AS BIGINT) AS v
+       FROM (SELECT unnest(generate_series(0, 1)) AS qid) q,
+            (SELECT unnest(generate_series(0, 63)) AS d) dd),
+qcd AS (SELECT q.qid, c.l,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d2
+        FROM qq q JOIN cc c USING (d) GROUP BY q.qid, c.l),
+probes AS (SELECT qid, l FROM (
+             SELECT qid, l, row_number() OVER (PARTITION BY qid
+                                               ORDER BY d2, l) AS rn
+             FROM qcd) WHERE rn <= 2),
+qres AS (SELECT q.qid, p.l, q.d, q.v - c.cv AS r
+         FROM qq q JOIN probes p USING (qid)
+         JOIN cc c ON c.l = p.l AND c.d = q.d),
+lut AS (SELECT qr.qid, qr.l, qr.d // 8 AS s, c.j,
+               CAST(sum((qr.r - c.cw) * (qr.r - c.cw)) AS BIGINT) AS t
+        FROM qres qr JOIN cb c ON c.s = qr.d // 8 AND c.dd = qr.d % 8
+        GROUP BY qr.qid, qr.l, qr.d // 8, c.j),
+ad AS (SELECT l.qid, a.vec_id, CAST(sum(l.t) AS BIGINT) AS adist
+       FROM assign a
+       JOIN lut l ON l.l = a.l
+       JOIN code cd ON cd.vec_id = a.vec_id AND cd.s = l.s AND cd.j = l.j
+       GROUP BY l.qid, a.vec_id)
+SELECT qid AS query_id, vec_id, adist, pq_rank FROM (
+  SELECT qid, vec_id, adist,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY adist, vec_id) AS BIGINT) AS pq_rank
+  FROM ad)
+WHERE pq_rank <= 10
+"""
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR importance resampling (ops/text.py dsir_select): hashed-
     bigram target (lang='en') vs raw corpus models, integer floor-log2
@@ -6613,6 +6697,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "image_meta_filter": (q_image_meta_filter, SQL_IMAGE_META_FILTER),
+    "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

@@ -1494,3 +1494,68 @@ def test_ann_pq_matches_brute_force(ray_session):
             got = [(int(r["vec_id"]), int(r["adist"]), int(r["pq_rank"]))
                    for _, r in g.iterrows()]
             assert got == want[qi], (parts, qi)
+
+
+def test_ann_ivfpq_matches_brute_force(ray_session):
+    """IVF-PQ == the local brute force of the same quantized pipeline
+    (coarse argmin, residual PQ, probed-list ADC) under any
+    partitioning; vectors outside the probed lists never appear; at
+    nprobe == nlist every vector is eligible."""
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops import ann as ann_ops
+
+    rng = np.random.RandomState(9)
+    n, dim, m, nlist, k = 150, 64, 8, 8, 6
+    emb = rng.uniform(-0.6, 0.6, size=(n, dim))
+    cc = ann_ops.ivf_coarse_centroids(dim, nlist)
+    cb = ann_ops.pq_codebooks(dim, m, 16)
+    d = np.arange(dim, dtype=np.int64)
+    qm = np.stack([(d * 37 + qid * 101) % 1025 - 512 for qid in (0, 1)])
+
+    # local brute force
+    v = np.floor(emb * 512.0).astype(np.int64)
+    cd = ((v[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+    lists = np.argmin(cd, axis=1)
+    res = (v - cc[lists]).reshape(n, m, dim // m)
+    codes = np.empty((n, m), np.int64)
+    for s in range(m):
+        d2 = ((res[:, s, :, None] - cb[s].T[None, :, :]) ** 2).sum(axis=1)
+        codes[:, s] = np.argmin(d2, axis=1)
+
+    def brute(nprobe):
+        want = {}
+        for qi in range(2):
+            qd = ((qm[qi][None, :] - cc) ** 2).sum(axis=1)
+            probe = np.lexsort((np.arange(nlist), qd))[:nprobe]
+            sel = np.isin(lists, probe)
+            sids = np.nonzero(sel)[0]
+            adist = np.empty(len(sids), np.int64)
+            for ii, vid in enumerate(sids):
+                lut = ((qm[qi] - cc[lists[vid]]).reshape(m, -1)[:, None, :]
+                       - cb) ** 2
+                adist[ii] = lut.sum(axis=2)[np.arange(m), codes[vid]].sum()
+            order = np.lexsort((sids, adist))[:k]
+            want[qi] = [(int(sids[o]), int(adist[o]), r + 1)
+                        for r, o in enumerate(order)]
+        return want, set(np.nonzero(np.isin(
+            lists, np.lexsort((np.arange(nlist),
+                               ((qm[0][None, :] - cc) ** 2).sum(axis=1)))
+            [:nprobe]))[0])
+
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float64()))})
+    for nprobe in (2, nlist):
+        want, eligible_q0 = brute(nprobe)
+        for parts in (1, 5):
+            out = ann_ops.ann_ivfpq(
+                rd.from_arrow(tbl).repartition(parts),
+                {"id": np.array([0, 1]), "matrix": qm}, k=k,
+                coarse=cc, codebooks=cb, nprobe=nprobe).to_pandas()
+            for qi in range(2):
+                g = out[out["query_id"] == qi].sort_values("pq_rank")
+                got = [(int(r["vec_id"]), int(r["adist"]),
+                        int(r["pq_rank"])) for _, r in g.iterrows()]
+                assert got == want[qi], (nprobe, parts, qi)
+            assert set(out[out["query_id"] == 0]["vec_id"]) <= eligible_q0
