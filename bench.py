@@ -112,6 +112,8 @@ def run_bench() -> dict:
         "image_meta_filter",
         # IVF-PQ: coarse probe + residual-PQ ADC (faiss's composition)
         "ann_ivfpq",
+        # per-window exact top-k heavy hitters (trending entities)
+        "heavy_hitters",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays

@@ -413,3 +413,49 @@ def sum_by_small_key(ds, key_col: str, val_col: str, keys) -> pa.Table:
             "total_area": pa.array(res[: len(keys)][mask] if seen else [], pa.int64()),
         }
     )
+
+
+def windowed_heavy_hitters(events_ds, window_us: int = 86_400_000_000,
+                           k: int = 3, ts_col: str = "ts",
+                           key_col: str = "user_id"):
+    """Per-window top-k heavy hitters — the "trending entities per day"
+    statistic every event pipeline serves. Exact, deterministic ties
+    (count DESC, key ASC).
+
+    Plan (top_tokens' shape with the window as the super-group): each
+    batch emits unique ((window, key), partial count) rows — map-side
+    combine, so the shuffle moves at most (distinct pairs x batches)
+    rows, not events — then ONE window-keyed groupby; the in-group
+    kernel merges partials by key and keeps k. A window's group size is
+    bounded by its distinct-key count (not its event count), so the only
+    skew risk is a window with ~all keys active, which is the output's
+    natural lower bound anyway.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy()
+        win = ts // np.int64(window_us)
+        key = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(np.stack([win, key], axis=1), axis=0,
+                         return_counts=True)
+        return pa.table({
+            "win": pa.array(u[:, 0], pa.int64()),
+            "hkey": pa.array(u[:, 1], pa.int64()),
+            "c": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("hkey", as_index=False)["c"].sum()
+        agg = agg.sort_values(["c", "hkey"], ascending=[False, True]).head(k)
+        out = pd.DataFrame({
+            "win": np.full(len(agg), g["win"].iloc[0], np.int64),
+            "hkey": agg["hkey"].to_numpy(np.int64),
+            "n_events": agg["c"].to_numpy(np.int64),
+            "hh_rank": np.arange(1, len(agg) + 1, dtype=np.int64),
+        })
+        return out
+
+    return (events_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=8192)
+            .groupby("win")
+            .map_groups(topk, batch_format="pandas"))

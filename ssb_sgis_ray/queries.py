@@ -6352,6 +6352,41 @@ FROM p
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Per-day top-3 most active users (ops/relational.py
+    windowed_heavy_hitters): map-side (day, user) count partials, ONE
+    window-keyed shuffle, exact in-group merge + top-k with (count DESC,
+    user ASC) ties."""
+    import ray.data as rd
+
+    from .ops import relational as rel
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    out = rel.windowed_heavy_hitters(ev, window_us=86_400_000_000, k=3)
+    return out.map_batches(
+        lambda b: b.rename_columns(["day_epoch", "user_id", "n_events",
+                                    "hh_rank"]),
+        batch_format="pyarrow")
+
+
+SQL_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_epoch, user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT day_epoch, user_id, CAST(n_events AS BIGINT) AS n_events,
+         CAST(row_number() OVER (PARTITION BY day_epoch
+                                 ORDER BY n_events DESC, user_id)
+              AS BIGINT) AS hh_rank
+  FROM c
+)
+SELECT day_epoch, user_id, n_events, hh_rank FROM r WHERE hh_rank <= 3
+"""
+
+
 def q_ann_pq(sf_dir: str):
     """PQ/ADC quantized ANN (ops/ann.py ann_pq) — product-quantization
     encode + asymmetric-distance scan, the IVF-PQ memory path of
@@ -6698,6 +6733,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "image_meta_filter": (q_image_meta_filter, SQL_IMAGE_META_FILTER),
     "ann_ivfpq": (q_ann_ivfpq, SQL_ANN_IVFPQ),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

@@ -138,3 +138,43 @@ def test_asof_join_rejects_overflowing_bucket(ray_session):
     ).astype("int64")
     with pytest.raises(Exception, match="bucket"):
         rel.asof_join(_to_ds(left), _to_ds(left), bucket_us=1000).to_pandas()
+
+
+def test_windowed_heavy_hitters_matches_brute_force(ray_session):
+    """Per-window top-k equals the Counter brute force with (count DESC,
+    key ASC) ties under any partitioning; a window with fewer than k
+    distinct keys returns them all; tied counts order by key."""
+    import ray.data as rd
+
+    from collections import Counter
+
+    from ssb_sgis_ray.ops import relational as rel
+
+    rng = np.random.RandomState(13)
+    W = 1000
+    ts = rng.randint(0, 5 * W, size=400).astype(np.int64)
+    users = rng.randint(0, 9, size=400).astype(np.int64)
+    ts[:2] = [4 * W + 1, 4 * W + 2]   # window 4: exactly 2 events
+    users[:2] = [7, 8]
+    cnt = Counter(zip(ts // W, users))
+    want = {}
+    for w in sorted({t // W for t in ts}):
+        rows = sorted(((c, u) for (ww, u), c in cnt.items() if ww == w),
+                      key=lambda x: (-x[0], x[1]))[:3]
+        want[w] = [(int(u), int(c), r + 1)
+                   for r, (c, u) in enumerate(rows)]
+
+    tbl = pa.table({
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(users),
+    })
+    for parts in (1, 8):
+        out = rel.windowed_heavy_hitters(
+            rd.from_arrow(tbl).repartition(parts), window_us=W,
+            k=3).to_pandas()
+        got = {}
+        for _, r in out.iterrows():
+            got.setdefault(int(r["win"]), []).append(
+                (int(r["hkey"]), int(r["n_events"]), int(r["hh_rank"])))
+        got = {w: sorted(v, key=lambda x: x[2]) for w, v in got.items()}
+        assert got == want, parts
