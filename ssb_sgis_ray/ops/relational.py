@@ -459,3 +459,96 @@ def windowed_heavy_hitters(events_ds, window_us: int = 86_400_000_000,
                                   batch_size=8192)
             .groupby("win")
             .map_groups(topk, batch_format="pandas"))
+
+
+def conversion_funnel(events_ds, stages, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      type_col: str = "event_type",
+                      num_buckets: int = 256):
+    """Ordered conversion funnel: for each funnel stage k, count the users
+    who performed stages[0..k] IN ORDER (each stage strictly after the
+    earliest completion time of the previous one). The product-analytics
+    staple (view -> click -> purchase) the reference's event tooling has
+    no equivalent for; reference event-stream scope per SURVEY §2.13.
+
+    Plan: project to funnel-stage rows only (the filter prunes before the
+    exchange), ONE user-bucket-keyed shuffle, then a vectorized multi-user
+    chain inside each bucket group — S rounds of pandas groupby-min, never
+    a per-user Python loop. Each group emits <= S partial rows
+    (stage, n_users), so the finalize merges <= S x num_buckets bounded
+    rows on the driver. Returns pandas (stage, n_users) with every stage
+    present (0 if nobody converted).
+    """
+    stages = list(stages)
+    sidx_of = {s: i for i, s in enumerate(stages)}
+    n_stages = len(stages)
+
+    def project(b: pa.Table) -> pa.Table:
+        et = b[type_col].to_numpy(zero_copy_only=False)
+        sidx = np.array([sidx_of.get(t, -1) for t in et], dtype=np.int64)
+        keep = sidx >= 0
+        uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ts = b[ts_col].cast(pa.int64()).to_numpy()[keep]
+        return pa.table({
+            "ub": pa.array(uid % np.int64(num_buckets), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "sidx": pa.array(sidx[keep], pa.int64()),
+        })
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        # t: per-user earliest completion time of the previous stage.
+        reached = np.zeros(n_stages, dtype=np.int64)
+        t = None
+        for k in range(n_stages):
+            sub = g[g["sidx"] == k]
+            if k > 0:
+                prev = t.reindex(sub["user_id"].to_numpy()).to_numpy()
+                sub = sub[sub["ts_us"].to_numpy() > prev]  # NaN -> False
+            if len(sub) == 0:
+                break
+            t = sub.groupby("user_id")["ts_us"].min()
+            reached[k] = len(t)
+        return pd.DataFrame({
+            "stage": np.arange(1, n_stages + 1, dtype=np.int64),
+            "n_users": reached,
+        })
+
+    partials = (events_ds.map_batches(project, batch_format="pyarrow",
+                                      batch_size=65536)
+                .groupby("ub")
+                .map_groups(chain, batch_format="pandas"))
+    df = partials.to_pandas()  # bounded: <= n_stages * num_buckets rows
+    out = (df.groupby("stage", as_index=False)["n_users"].sum()
+           if len(df) else
+           pd.DataFrame({"stage": pd.Series(dtype="int64"),
+                         "n_users": pd.Series(dtype="int64")}))
+    out = (out.set_index("stage")
+           .reindex(np.arange(1, n_stages + 1, dtype=np.int64), fill_value=0)
+           .reset_index())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+def json_int_field_agg(events_ds, field: str = "k",
+                       group_col: str = "event_type",
+                       props_col: str = "props"):
+    """Semi-structured extraction + rollup: pull an integer field out of a
+    JSON string column with a vectorized RE2 kernel (pyarrow
+    extract_regex — no per-row json.loads) and aggregate count + sum per
+    group. The everyday "parse the props blob" stage of event pipelines.
+
+    Scale: map-side combine bounds the exchange to (#groups x #batches)
+    rows; grouped_sums picks driver-merge vs distributed groupby.
+    """
+    import pyarrow.compute as pc
+
+    pat = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def ext(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b[props_col], pat)
+        v = pc.cast(pc.struct_field(s, "v"), pa.int64())
+        return pa.table({group_col: b[group_col], "k_sum": v})
+
+    ds = events_ds.map_batches(ext, batch_format="pyarrow", batch_size=65536)
+    return grouped_sums(ds, [group_col], ["k_sum"])

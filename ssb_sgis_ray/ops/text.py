@@ -977,3 +977,42 @@ def dsir_select(docs_ds, target_lang: str = "en", num_buckets: int = 1024,
 
     return docs_ds.map_batches(score, batch_format="pyarrow",
                                batch_size=2048)
+
+
+def blocklist_flags(docs_ds, words, num: int = 1, den: int = 25,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """C4/Gopher-style blocklist content filter: flag documents whose
+    blocklist-token fraction is at least num/den (default 4%). Exact
+    integer predicate (den * n_bad >= num * n_tokens) so there is no
+    float threshold boundary; keep = NOT flagged.
+
+    One streaming pass, no shuffle: per-word RE2 word-boundary counts via
+    pyarrow count_substring_regex (documents are single-space-separated
+    word sequences, so \\b-delimited matches == token matches), token
+    count from the separator count. Vectorized per batch — no Python
+    row loop.
+    """
+    import pyarrow.compute as pc
+
+    words = list(words)
+
+    def flag(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        n_tok = pc.add(pc.count_substring(txt, " "), 1).cast(pa.int64())
+        n_bad = None
+        for w in words:
+            c = pc.count_substring_regex(txt, r"\b" + w + r"\b").cast(pa.int64())
+            n_bad = c if n_bad is None else pc.add(n_bad, c)
+        flagged = pc.greater_equal(
+            pc.multiply(pa.scalar(den, pa.int64()), n_bad),
+            pc.multiply(pa.scalar(num, pa.int64()), n_tok),
+        )
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": n_tok,
+            "n_bad": n_bad,
+            "keep": pc.invert(flagged),
+        })
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow",
+                               batch_size=65536)

@@ -6722,6 +6722,127 @@ FROM sc LEFT JOIN nt ON nt.doc_id = sc.doc_id
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase over the events
+    stream: users completing each prefix of the stage sequence in strict
+    timestamp order. One user-bucket shuffle after a stage-type filter;
+    the in-group chain is S rounds of vectorized groupby-min."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return rel.conversion_funnel(ds, ("view", "click", "purchase"))
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
+def q_events_props_agg(sf_dir: str):
+    """Semi-structured extraction: parse the integer field k out of the
+    props JSON blob with a vectorized RE2 kernel and roll up count + sum
+    per event_type (map-side combine, bounded merge)."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return rel.json_int_field_agg(ds, field="k")
+
+
+SQL_EVENTS_PROPS_AGG = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+def q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist content filter over documents: flag docs whose
+    fraction of blocklist tokens ('slow', 'dup') is >= 1/25, exact
+    integer predicate, one streaming pass (no shuffle)."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text_ops.blocklist_flags(ds, ("slow", "dup"), num=1, den=25)
+
+
+SQL_BLOCKLIST_FILTER = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(str_split(text, ' '),
+                              x -> x IN ('slow', 'dup'))) AS BIGINT) AS n_bad
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bad,
+       NOT (25 * n_bad >= 1 * n_tokens) AS keep
+FROM t
+"""
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection: decode RVID videos, cut wherever the
+    frame pixel-sum delta exceeds 100 x w x h (mean-pixel jump > 100).
+    Zero shuffle — each video's frames live in its own row. Oracle
+    rebuilds the per-frame content ramp from doc_id arithmetic and counts
+    the mod-200 wraps (|delta base| is 17 without a wrap, 183 with one)."""
+    from .sources import media as media_src
+
+    return media_src.video_dataset(sf_dir).map_batches(
+        media_src.VideoSceneCuts, batch_format="pyarrow", batch_size=128,
+        concurrency=media_src.default_pool(None),
+    )
+
+
+SQL_VIDEO_SCENE_CUTS = """
+WITH p AS (
+  SELECT doc_id,
+         16 * (2 + doc_id % 4) AS w,
+         8 + (doc_id * 5) % 9 AS h,
+         8 + doc_id % 9 AS nf
+  FROM documents
+),
+f AS (
+  SELECT p.doc_id, p.nf, u.f, (p.doc_id * 31 + u.f * 17) % 200 AS base
+  FROM p, LATERAL (
+    SELECT unnest(generate_series(0, CAST(p.nf - 1 AS BIGINT))) AS f
+  ) u
+),
+d AS (
+  SELECT doc_id, nf,
+         CASE WHEN f > 0 AND abs(base - lag(base)
+                OVER (PARTITION BY doc_id ORDER BY f)) > 100
+              THEN 1 ELSE 0 END AS c
+  FROM f
+)
+SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(1 + sum(c) AS BIGINT) AS n_scenes
+FROM d GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -6880,6 +7001,10 @@ REGISTRY: dict[str, tuple] = {
     "size_rank": (q_size_rank, SQL_SIZE_RANK),
     "close_holes": (q_close_holes, SQL_CLOSE_HOLES),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "events_props_agg": (q_events_props_agg, SQL_EVENTS_PROPS_AGG),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "video_scene_cuts": (q_video_scene_cuts, SQL_VIDEO_SCENE_CUTS),
 }
 
 

@@ -269,3 +269,34 @@ def video_dataset(sf_dir: str, concurrency=None, batch_size: int = 128):
         BuildVideo, batch_format="pyarrow", batch_size=batch_size,
         concurrency=default_pool(concurrency),
     )
+
+
+class VideoSceneCuts:
+    """Actor stage: decode RVID bytes and segment each video into scenes
+    by frame-difference thresholding — a cut between consecutive frames
+    whenever the absolute pixel-sum delta exceeds ``thresh`` x w x h
+    (i.e. mean-pixel jump > thresh). The standard shot-boundary pass a
+    video curation pipeline runs before frame sampling. A video's frames
+    live inside its own row, so the stage needs NO shuffle: one streaming
+    actor-pool pass, one row out per video."""
+
+    def __init__(self, thresh: int = 100):
+        self.thresh = int(thresh)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch["video"].to_pylist()
+        nfs = np.empty(len(blobs), np.int64)
+        scenes = np.empty(len(blobs), np.int64)
+        for i, blob in enumerate(blobs):
+            frames = decode_video(blob)
+            nf, h, w = frames.shape
+            sums = frames.astype(np.int64).sum(axis=(1, 2))
+            cuts = int((np.abs(np.diff(sums)) > self.thresh * w * h).sum())
+            nfs[i] = nf
+            scenes[i] = 1 + cuts
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "n_scenes": pa.array(scenes, pa.int64()),
+        })

@@ -1,0 +1,130 @@
+"""Conversion funnel, JSON field extraction, blocklist filter, scene cuts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ssb_sgis_ray.ops import relational as rel
+from ssb_sgis_ray.ops import text as text_ops
+from ssb_sgis_ray.sources import media
+
+
+def _events_ds(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    return rd.from_pandas(df)
+
+
+def _brute_funnel(rows, stages):
+    """Per-user python chain: stage k+1 strictly after earliest completion
+    of stage k."""
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    reached = np.zeros(len(stages), dtype=np.int64)
+    for _, g in df.groupby("user_id"):
+        t = -np.inf
+        for k, s in enumerate(stages):
+            cand = g[(g.event_type == s) & (g.ts > t)]
+            if cand.empty:
+                break
+            t = cand.ts.min()
+            reached[k] += 1
+    return reached
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    stages = ("view", "click", "purchase")
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (int(rng.integers(0, 40)), int(rng.integers(0, 1000)),
+         types[rng.integers(0, 4)])
+        for _ in range(600)
+    ]
+    out = rel.conversion_funnel(_events_ds(rows), stages, num_buckets=8)
+    expect = _brute_funnel(rows, stages)
+    assert out["stage"].tolist() == [1, 2, 3]
+    assert out["n_users"].tolist() == expect.tolist()
+
+
+def test_funnel_order_and_tie_rules(ray_session):
+    rows = [
+        # user 1: click BEFORE view -> stops at stage 1
+        (1, 10, "click"), (1, 20, "view"),
+        # user 2: view and click at the SAME ts -> strict > rejects click
+        (2, 10, "view"), (2, 10, "click"),
+        # user 3: full ordered chain
+        (3, 1, "view"), (3, 2, "click"), (3, 3, "purchase"),
+        # user 4: purchase before click -> stage 2 only
+        (4, 1, "view"), (4, 2, "purchase"), (4, 3, "click"),
+        # user 5: second view starts no new chain (earliest view anchors)
+        (5, 5, "view"), (5, 1, "click"), (5, 9, "view"), (5, 7, "click"),
+        (5, 8, "purchase"),
+    ]
+    out = rel.conversion_funnel(
+        _events_ds(rows), ("view", "click", "purchase"), num_buckets=4
+    )
+    # stage1: users 1,2,3,4,5; stage2: 3,4,5 (user5 click@7 > view@5);
+    # stage3: 3 and 5 (purchase@8 > click@7)
+    assert out["n_users"].tolist() == [5, 3, 2]
+
+
+def test_funnel_empty_stage(ray_session):
+    rows = [(1, 1, "view"), (2, 2, "view")]
+    out = rel.conversion_funnel(
+        _events_ds(rows), ("view", "click", "purchase"), num_buckets=2
+    )
+    assert out["n_users"].tolist() == [2, 0, 0]
+
+
+def test_json_int_field_agg_negative(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "b"],
+        "props": ['{"k": -5}', '{"k": 12}', '{"k": 0}'],
+    })
+    out = rel.json_int_field_agg(rd.from_pandas(df), field="k")
+    got = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert got["k_sum"].tolist() == [7, 0]
+    assert got["n_rows"].tolist() == [2, 1]
+
+
+def test_blocklist_boundary(ray_session):
+    import ray.data as rd
+
+    # 25 tokens with exactly 1 bad -> flagged (>= 1/25); 26 tokens -> kept.
+    t_at = " ".join(["ok"] * 24 + ["slow"])
+    t_below = " ".join(["ok"] * 25 + ["dup"])
+    t_two = " ".join(["slow", "dup"] + ["ok"] * 10)
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [t_at, t_below, t_two]})
+    out = (
+        text_ops.blocklist_flags(rd.from_pandas(df), ("slow", "dup"))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["n_bad"].tolist() == [1, 1, 2]
+    assert out["keep"].tolist() == [False, True, False]
+
+
+def test_scene_cuts_threshold_strict(ray_session):
+    import ray.data as rd
+
+    # 4x4 frames: constant value per frame; pixel-sum delta = 16*dv.
+    # thresh=10 -> cut iff dv > 10 (strict).
+    def vid(vals):
+        frames = np.stack([np.full((4, 4), v, np.uint8) for v in vals])
+        return media.encode_video(frames)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "video": [vid([0, 10, 21]),      # deltas 10 (no), 11 (cut)
+                  vid([5, 5, 5, 5]),     # constant -> 1 scene
+                  vid([0, 200, 0])],     # two cuts
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = (ds.map_batches(media.VideoSceneCuts(thresh=10),
+                          batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    assert out["n_scenes"].tolist() == [2, 1, 3]
+    assert out["n_frames"].tolist() == [3, 4, 3]
