@@ -549,3 +549,72 @@ def ann_ivfpq(vectors_ds, queries: dict, k: int, coarse: np.ndarray,
         return g
 
     return partials.groupby("query_id").map_groups(fin, batch_format="pandas")
+
+
+def label_recall(vectors_ds, k: int = 10, quantize: int = 512,
+                 id_col: str = "vec_id", label_col: str = "label",
+                 sample_limit: int = 200_000):
+    """Retrieval-quality eval: for every vector, does its exact top-k
+    neighborhood (squared L2 on floor(e*quantize) int64 vectors,
+    deterministic (dist2, id) order, self excluded) contain a same-label
+    vector? The recall@k diagnostic an embedding pipeline runs before
+    trusting ANN indexes.
+
+    Exact brute force is O(n^2) BY DESIGN — an eval, not a serving path —
+    so the corpus is required to fit the documented sample bound (at
+    scale you run it on a stratified sample; see sample.py). The corpus
+    matrix broadcasts once via ray.put; each query batch is one int64
+    matmul (exact: products < 2^53) against it."""
+    import ray
+
+    mat = vectors_ds.materialize()
+    n = mat.count()
+    if n > sample_limit:
+        raise ValueError(
+            f"label_recall is an O(n^2) eval; corpus {n} exceeds "
+            f"sample_limit={sample_limit} — pass a sample instead")
+    corpus = mat.to_pandas().sort_values(id_col).reset_index(drop=True)
+    cm = np.floor(
+        np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+        * quantize
+    ).astype(np.int64)
+    cids = corpus[id_col].to_numpy(np.int64)
+    clabels = corpus[label_col].to_numpy(np.int64)
+    cnorm = (cm * cm).sum(axis=1)
+    state = ray.put((cm, cids, clabels, cnorm))
+
+    class Recall:
+        def __init__(self):
+            self.cm, self.cids, self.clabels, self.cnorm = ray.get(state)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            q = np.floor(
+                embedding_matrix(b) * quantize
+            ).astype(np.int64)
+            if len(q) == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    label_col: pa.array([], pa.int64()),
+                    "hit": pa.array([], pa.bool_()),
+                })
+            qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            qlabels = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            qnorm = (q * q).sum(axis=1)
+            # dist2 = |q|^2 - 2 q.C + |c|^2, exact in int64
+            d2 = qnorm[:, None] - 2 * (q @ self.cm.T) + self.cnorm[None, :]
+            # exclude self (same id); columns are id-sorted so a stable
+            # argsort on dist2 yields exact (dist2, id) order
+            self_mask = qids[:, None] == self.cids[None, :]
+            d2[self_mask] = np.iinfo(np.int64).max
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            hit = (self.clabels[idx] == qlabels[:, None]).any(axis=1)
+            return pa.table({
+                id_col: pa.array(qids, pa.int64()),
+                label_col: pa.array(qlabels, pa.int64()),
+                "hit": pa.array(hit, pa.bool_()),
+            })
+
+    return mat.map_batches(
+        Recall, batch_format="pyarrow", batch_size=4096,
+        concurrency=default_pool(None, nrows=n),
+    )

@@ -2076,3 +2076,82 @@ def duplicated_spans(docs_ds, k: int = 8, id_col: str = "doc_id",
         lambda b: b.select(["doc_id", "n_spans", "n_dup_spans"]),
         batch_format="pyarrow",
     )
+
+
+def incremental_dedup(existing_ds, incoming_ds, key_fn, n_shards: int = 8):
+    """Dedup an INCOMING stream against an EXISTING corpus via a shared
+    mutable index — the one place the Dataset API genuinely can't express
+    the semantics (cross-pass mutable state), so the index is a pool of
+    raw ``@ray.remote`` hash-shard actors. This is how a crawl refresh
+    drops documents already in the training corpus without re-shuffling
+    the corpus itself.
+
+    Pass 1 streams the existing corpus through ``key_fn`` and routes each
+    key to its shard (first key byte mod n_shards) — consumed eagerly so
+    the index is COMPLETE before pass 2 starts. Pass 2 probes the same
+    shards and flags incoming rows whose key is already present; output
+    is deterministic because membership tests run against the finished
+    index, never a partially-built one.
+
+    Scale: shards partition the key space horizontally — at 10^12 keys
+    you raise n_shards (and back each shard with a spillable table or a
+    counting Bloom filter); the streaming passes themselves never hold
+    more than a batch. ``key_fn(batch) -> list[bytes]``.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class _HashShard:
+        def __init__(self):
+            self.keys: set = set()
+
+        def add(self, keys: list) -> int:
+            self.keys.update(keys)
+            return len(self.keys)
+
+        def contains(self, keys: list) -> list:
+            s = self.keys
+            return [k in s for k in keys]
+
+    shards = [_HashShard.remote() for _ in range(n_shards)]
+
+    def _route(keys):
+        by = [[] for _ in range(n_shards)]
+        idx = [[] for _ in range(n_shards)]
+        for i, kk in enumerate(keys):
+            s = kk[0] % n_shards if kk else 0
+            by[s].append(kk)
+            idx[s].append(i)
+        return by, idx
+
+    def ingest(b: pa.Table) -> pa.Table:
+        keys = key_fn(b)
+        by, _ = _route(keys)
+        refs = [shards[s].add.remote(by[s])
+                for s in range(n_shards) if by[s]]
+        ray.get(refs)  # sync: the batch is indexed before the task returns
+        return pa.table({"n": pa.array([len(keys)], pa.int64())})
+
+    # eager barrier: the whole existing corpus is indexed before probing
+    existing_ds.map_batches(ingest, batch_format="pyarrow",
+                            batch_size=8192).sum("n")
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = key_fn(b)
+        by, idx = _route(keys)
+        flags = np.zeros(len(keys), dtype=bool)
+        pending = [(s, shards[s].contains.remote(by[s]))
+                   for s in range(n_shards) if by[s]]
+        for s, ref in pending:
+            res = ray.get(ref)
+            flags[np.asarray(idx[s], np.int64)] = res
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "is_dup": pa.array(flags, pa.bool_()),
+        })
+
+    # materialize while the shard handles are alive, then let them die
+    out = incoming_ds.map_batches(probe, batch_format="pyarrow",
+                                  batch_size=8192).materialize()
+    return out

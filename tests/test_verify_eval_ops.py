@@ -1,0 +1,104 @@
+"""Myers edit distance, label-recall eval, incremental shard-actor dedup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ssb_sgis_ray.ops import ann as ann_ops
+from ssb_sgis_ray.ops import dedup as dedup_ops
+from ssb_sgis_ray.ops.text import edit_distance_pairs, myers_levenshtein
+
+
+def _dp_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def test_myers_fuzz_vs_dp():
+    rng = np.random.default_rng(3)
+    alpha = "abcd "
+    for _ in range(300):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 15)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 15)))
+        assert myers_levenshtein(a, b) == _dp_lev(a, b)
+    # cross the 64-bit word boundary (bigint path) and empties
+    a = "".join(rng.choice(list(alpha), 300))
+    b = "".join(rng.choice(list(alpha), 280))
+    assert myers_levenshtein(a, b) == _dp_lev(a, b)
+    assert myers_levenshtein("", "xyz") == 3
+    assert myers_levenshtein("xyz", "") == 3
+
+
+def test_edit_distance_pairs_bucketing(ray_session):
+    import ray.data as rd
+
+    # ids 0..6: pairs (0,1),(2,3),(4,5); 6 unpaired and dropped
+    texts = ["kitten", "sitting", "abc", "abc", "flaw", "lawn", "zzz"]
+    df = pd.DataFrame({"doc_id": np.arange(7, dtype=np.int64),
+                       "text": texts})
+    out = (edit_distance_pairs(rd.from_pandas(df), num_buckets=2)
+           .to_pandas().sort_values("pair_id").reset_index(drop=True))
+    assert out["pair_id"].tolist() == [0, 1, 2]
+    assert out["lev"].tolist() == [3, 0, 2]
+
+
+def test_label_recall_ties_and_self_exclusion(ray_session):
+    import ray.data as rd
+
+    # 4 vectors: v0/v1 identical (dist2=0 tie broken by id), labels so
+    # that v0's top-1 hits, v2's misses, v3 equidistant pair tie.
+    emb = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array([7, 7, 8, 8], pa.int32()),
+    })
+    out = (ann_ops.label_recall(rd.from_arrow(tbl), k=1)
+           .to_pandas().sort_values("vec_id"))
+    # v0 -> v1 (dist 0, same label 7): hit. v1 -> v0: hit.
+    # v2 -> nearest is v3 (same label 8): hit.
+    # v3 -> dist2 ties between v0/v1/v2 at quantized coords? compute:
+    # q(0.5*512)=256 -> d2(v3,v0)=(512-256)^2+256^2 = d2(v3,v2): tie ->
+    # id order picks v0 (label 7 != 8): miss at k=1.
+    assert out["hit"].tolist() == [True, True, True, False]
+
+
+def test_label_recall_sample_limit(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array([[1.0, 1.0]] * 5, pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(5, np.int32)),
+    })
+    with pytest.raises(ValueError):
+        ann_ops.label_recall(rd.from_arrow(tbl), k=1, sample_limit=3)
+
+
+def test_incremental_dedup_planted(ray_session):
+    import ray.data as rd
+
+    def tbl(ids, payloads):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(payloads, pa.binary()),
+        })
+
+    existing = rd.from_arrow(tbl([1, 2, 3], [b"aa", b"bb", b"cc"]))
+    incoming = rd.from_arrow(tbl([10, 11, 12, 13],
+                                 [b"bb", b"xx", b"cc", b"yy"]))
+
+    def key_fn(b):
+        return [bytes(x) for x in b["bytes"].to_pylist()]
+
+    out = (dedup_ops.incremental_dedup(existing, incoming, key_fn,
+                                       n_shards=3)
+           .to_pandas().sort_values("doc_id"))
+    assert out["doc_id"].tolist() == [10, 11, 12, 13]
+    assert out["is_dup"].tolist() == [True, False, True, False]
