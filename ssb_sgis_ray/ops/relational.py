@@ -552,3 +552,30 @@ def json_int_field_agg(events_ds, field: str = "k",
 
     ds = events_ds.map_batches(ext, batch_format="pyarrow", batch_size=65536)
     return grouped_sums(ds, [group_col], ["k_sum"])
+
+
+def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              join_type: str = "inner", num_partitions: int = 32,
+              left_cols=None, right_cols=None):
+    """General large x large equi-join — the shuffle-join complement to
+    lookup_join's broadcast plan (small right sides should keep using
+    lookup_join; this one exchanges BOTH inputs through a hash shuffle).
+
+    Delegates to Ray Data's native hash-shuffle ``Dataset.join`` (the
+    idiomatic path: streaming aggregators, spillable partitions) after
+    pruning both sides to the requested columns — a join that ships
+    columns the caller never reads is wrong at any scale. Skewed hot keys
+    inflate single partitions; salt upstream (the pip_pairs_salted
+    pattern) when one key dominates."""
+    right_on = right_on or on
+    if left_cols is not None:
+        left_ds = left_ds.select_columns(
+            [on] + [c for c in left_cols if c != on])
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(
+            [right_on] + [c for c in right_cols if c != right_on])
+    return left_ds.join(
+        right_ds, join_type, num_partitions,
+        on=(on,), right_on=(right_on,),
+        left_suffix="_l", right_suffix="_r",
+    )

@@ -6935,6 +6935,48 @@ FROM ck i WHERE i.doc_id % 2 = 1
 """
 
 
+def q_orders_priority_revenue(sf_dir: str):
+    """Large x large hash join (lineitem x orders on orderkey) + rollup:
+    revenue cents per order priority. Exercises the engine's shuffle-join
+    path (ops/relational.hash_join -> native hash-shuffle Dataset.join)
+    with both sides column-pruned at the read; revenue is integerized as
+    floor((extendedprice * (1 - discount)) * 100) so the sum is exact
+    int64 on both sides."""
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = rel.hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor((ep * (1.0 - dc)) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue_cents": pa.array(rev, pa.int64()),
+        })
+
+    return rel.grouped_sums(
+        joined.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"], ["revenue_cents"],
+    )
+
+
+SQL_ORDERS_PRIORITY_REVENUE = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7100,6 +7142,8 @@ REGISTRY: dict[str, tuple] = {
     "edit_distance_pairs": (q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
     "label_recall": (q_label_recall, SQL_LABEL_RECALL),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "orders_priority_revenue": (q_orders_priority_revenue,
+                                SQL_ORDERS_PRIORITY_REVENUE),
 }
 
 

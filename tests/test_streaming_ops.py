@@ -128,3 +128,28 @@ def test_scene_cuts_threshold_strict(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert out["n_scenes"].tolist() == [2, 1, 3]
     assert out["n_frames"].tolist() == [3, 4, 3]
+
+
+def test_hash_join_inner_and_pruning(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "a": [10, 20, 21, 30],
+                         "junk": ["x"] * 4})
+    right = pd.DataFrame({"rk": [2, 3, 4], "b": [200, 300, 400]})
+    out = (rel.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", right_on="rk", num_partitions=4,
+                         left_cols=["a"], right_cols=["b"])
+           .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    assert "junk" not in out.columns
+    assert out["k"].tolist() == [2, 2, 3]
+    assert out["b"].tolist() == [200, 200, 300]
+
+
+def test_hash_join_empty_intersection(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1, 2], "a": [1, 2]})
+    right = pd.DataFrame({"k": [5], "b": [9]})
+    out = rel.hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", num_partitions=2)
+    assert out.count() == 0
