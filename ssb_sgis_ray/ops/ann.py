@@ -618,3 +618,134 @@ def label_recall(vectors_ds, k: int = 10, quantize: int = 512,
         Recall, batch_format="pyarrow", batch_size=4096,
         concurrency=default_pool(None, nrows=n),
     )
+
+
+def filtered_topk(vectors_ds, queries: dict, k: int = 5,
+                  exclude_label=None, quantize: int = 512,
+                  id_col: str = "vec_id", label_col: str = "label"):
+    """Attribute-filtered vector search: exact top-k cosine restricted to
+    corpus rows whose label differs from ``exclude_label`` (the
+    filtered-search feature every vector store exposes — metadata
+    predicate pushed INTO the scan, not applied after top-k, so k
+    results always survive the filter).
+
+    Same plumbing as ann_bruteforce: queries broadcast once, per-batch
+    partial top-k on integer dot products (floor(e*quantize) vectors, so
+    scores are exact int64 and ties break on vec_id), bounded finalize.
+    """
+    import ray
+
+    qids = sorted(queries)
+    qm = np.floor(
+        np.stack([np.asarray(queries[q], np.float64) for q in qids])
+        * quantize
+    ).astype(np.int64)
+    state = ray.put((np.asarray(qids, np.int64), qm))
+
+    class Scan:
+        def __init__(self):
+            self.qids, self.qm = ray.get(state)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = embedding_matrix(b)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            labels = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if exclude_label is not None:
+                keep = labels != exclude_label
+                m, ids = m[keep], ids[keep]
+            if len(m) == 0:
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                })
+            cm = np.floor(m * quantize).astype(np.int64)
+            dots = self.qm @ cm.T  # (nq, nb) exact int64
+            k_eff = min(k, dots.shape[1])
+            out_q, out_i, out_d = [], [], []
+            for r in range(dots.shape[0]):
+                part = np.argpartition(-dots[r], k_eff - 1)[:k_eff]
+                out_q.extend([int(self.qids[r])] * k_eff)
+                out_i.extend(ids[part].tolist())
+                out_d.extend(dots[r][part].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
+                "dot": pa.array(out_d, pa.int64()),
+            })
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dot", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["ann_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    n = vectors_ds.count()
+    return (vectors_ds.map_batches(
+                Scan, batch_format="pyarrow", batch_size=4096,
+                concurrency=default_pool(None, nrows=n))
+            .groupby("query_id")
+            .map_groups(fin, batch_format="pandas"))
+
+
+def label_centroid_stats(vectors_ds, quantize: int = 512,
+                         label_col: str = "label", max_labels: int = 4096):
+    """Per-class embedding statistics (the prototype/centroid pass of
+    few-shot evals and semdedup seeding): for every label, the exact sum
+    of floor(e*quantize) int64 vectors and the row count — ONE tree-merged
+    AggregateFn pass, no shuffle (the gram_matrix shape keyed by label).
+    Returns a pa.Table (label, dim, qsum, n) in long form."""
+    from ray.data.aggregate import AggregateFn
+
+    # accumulator: one int64 matrix, row = [label, n, qsum_0..qsum_{d-1}]
+    # (a single ndarray — the only intermediate Ray's aggregate ships
+    # losslessly; a dict accumulator dies in the Arrow conversion)
+    def _merge_rows(a, b):
+        if a.size == 0:
+            return b
+        if b.size == 0:
+            return a
+        allr = np.vstack([a, b])
+        u, inv = np.unique(allr[:, 0], return_inverse=True)
+        if len(u) > max_labels:
+            raise ValueError(f"more than {max_labels} labels — "
+                             "use a keyed groupby instead")
+        out = np.zeros((len(u), allr.shape[1]), np.int64)
+        out[:, 0] = u
+        np.add.at(out[:, 1:], inv, allr[:, 1:])
+        return out
+
+    def init(_):
+        return np.zeros((0, 0), dtype=np.int64)
+
+    def acc(a, block):
+        m = embedding_matrix(block)
+        if len(m) == 0:
+            return a
+        q = np.floor(m * quantize).astype(np.int64)
+        labels = block[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), q.shape[1]), np.int64)
+        np.add.at(sums, inv, q)
+        part = np.column_stack(
+            [u, np.bincount(inv).astype(np.int64), sums])
+        return _merge_rows(a, part)
+
+    res = vectors_ds.aggregate(
+        AggregateFn(init=init, merge=_merge_rows, name="cstats",
+                    accumulate_block=acc))["cstats"]
+    if res.size == 0:
+        return pa.table({
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "qsum": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+    d = res.shape[1] - 2
+    return pa.table({
+        "label": pa.array(np.repeat(res[:, 0], d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(res)),
+                        pa.int64()),
+        "qsum": pa.array(res[:, 2:].reshape(-1), pa.int64()),
+        "n": pa.array(np.repeat(res[:, 1], d), pa.int64()),
+    })

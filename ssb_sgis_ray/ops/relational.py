@@ -579,3 +579,62 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
         on=(on,), right_on=(right_on,),
         left_suffix="_l", right_suffix="_r",
     )
+
+
+def burst_windows(events_ds, window_us: int = 3_600_000_000,
+                  factor: int = 2, ts_col: str = "ts",
+                  type_col: str = "event_type"):
+    """Burst detection: per (type, window) event counts, flagging windows
+    whose count exceeds ``factor`` x the PREVIOUS PRESENT window of the
+    same type (strict >, integer predicate; a type's first window is
+    never a burst). The rate-anomaly monitor every event pipeline runs.
+
+    Plan: map-side (window, type) count partials — the shuffle-free
+    heavy_hitters shape — then the bounded (windows x types) partial set
+    merges and lag-compares in one vectorized pass. Partial volume is
+    bounded by distinct pairs x batches, never by events."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy()
+        win = ts // np.int64(window_us)
+        df = pd.DataFrame({
+            "win": win,
+            type_col: b[type_col].to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby(["win", type_col], as_index=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "n"}), preserve_index=False)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow",
+                                     batch_size=65536)
+    df = partials.to_pandas()  # bounded: distinct (win, type) x batches
+    agg = df.groupby([type_col, "win"], as_index=False)["n"].sum()
+    agg = agg.sort_values([type_col, "win"]).reset_index(drop=True)
+    prev = agg.groupby(type_col)["n"].shift(1)
+    burst = (prev.notna()
+             & (agg["n"].to_numpy() > factor * prev.fillna(0).to_numpy()))
+    agg["burst"] = burst.to_numpy()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[[type_col, "win", "n", "burst"]]
+
+
+def redact_pattern(ds, pattern: str = r"\d", repl: str = "#",
+                   cols=("event_id",), text_col: str = "props"):
+    """PII-style redaction: replace every regex match in a text column
+    and count the redactions — the scrub stage of a curation pipeline
+    (emails/phones/IPs in production; the pattern is a parameter). One
+    streaming pass, RE2-vectorized (replace_substring_regex +
+    count_substring_regex), no Python row loop, no shuffle."""
+    import pyarrow.compute as pc
+
+    cols = list(cols)
+
+    def scrub(b: pa.Table) -> pa.Table:
+        arrs = {c: b[c] for c in cols}
+        arrs["redacted"] = pc.replace_substring_regex(
+            b[text_col], pattern, replacement=repl)
+        arrs["n_redacted"] = pc.count_substring_regex(
+            b[text_col], pattern).cast(pa.int64())
+        return pa.table(arrs)
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=65536)

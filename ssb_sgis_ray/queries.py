@@ -6977,6 +6977,151 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_burst_windows(sf_dir: str):
+    """Rate-anomaly (burst) detection: hourly per-type event counts,
+    flagged when a window more than doubles its type's previous present
+    window. Map-side (window,type) partials, bounded lag-compare."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return rel.burst_windows(ds)
+
+
+SQL_BURST_WINDOWS = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win, count(*) AS n
+  FROM events GROUP BY event_type, win
+),
+l AS (
+  SELECT event_type, win, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY win) AS prev
+  FROM c
+)
+SELECT event_type, CAST(win AS BIGINT) AS win, CAST(n AS BIGINT) AS n,
+       (prev IS NOT NULL AND n > 2 * prev) AS burst
+FROM l
+"""
+
+
+def q_redact_props(sf_dir: str):
+    """PII-style scrub: redact every digit in the props blob to '#' and
+    count redactions — RE2-vectorized, zero shuffle."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return rel.redact_pattern(ds)
+
+
+SQL_REDACT_PROPS = r"""
+SELECT event_id,
+       regexp_replace(props, '\d', '#', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props, '\d')) AS BIGINT) AS n_redacted
+FROM events
+"""
+
+
+def q_audio_fingerprint_groups(sf_dir: str):
+    """Audio near-dup by perceptual fingerprint: decode RPCM clips, read
+    (first-run length, amplitude bucket) from the SAMPLES, group clips
+    sharing the fingerprint (same tone + volume class, any duration).
+    Oracle recomputes the fingerprint from doc_id arithmetic it never
+    decodes. Bounded finalize: <= 20 fingerprint groups."""
+    from .sources import media as media_src
+
+    fps = media_src.audio_dataset(sf_dir).map_batches(
+        media_src.AudioFingerprint, batch_format="pyarrow", batch_size=256,
+        concurrency=media_src.default_pool(None),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["fp_half", "fp_ampb"], as_index=False).agg(
+            n_docs=("doc_id", "size"), rep=("doc_id", "min"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = fps.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["fp_half", "fp_ampb"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), rep=("rep", "min"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_AUDIO_FINGERPRINT_GROUPS = """
+WITH p AS (
+  SELECT doc_id,
+         2 + (doc_id * 7) % 5 AS fp_half,
+         (1000 + (doc_id * 37) % 2000) // 500 AS fp_ampb
+  FROM documents
+)
+SELECT CAST(fp_half AS BIGINT) AS fp_half, CAST(fp_ampb AS BIGINT) AS fp_ampb,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(min(doc_id) AS BIGINT) AS rep
+FROM p GROUP BY fp_half, fp_ampb
+"""
+
+
+def q_filtered_ann(sf_dir: str):
+    """Attribute-filtered vector search: exact top-5 by integer dot
+    product for the first 8 vectors as queries, restricted to corpus
+    rows with label != 0 (the metadata-predicate-inside-the-scan feature
+    of vector stores — k results always survive the filter)."""
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8]
+    queries = {int(r.vec_id): np.asarray(r.embedding, np.float64)
+               for r in qdf.itertuples()}
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ops.filtered_topk(ds, queries, k=5, exclude_label=0)
+
+
+SQL_FILTERED_ANN = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 512)) AS qv
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 8),
+c AS (SELECT vec_id, qv FROM v WHERE label != 0),
+p AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(list_inner_product(q.qv, c.qv) AS BIGINT) AS dot
+  FROM q, c
+),
+r AS (
+  SELECT query_id, vec_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id) AS ann_rank
+  FROM p
+)
+SELECT query_id, vec_id, dot, CAST(ann_rank AS BIGINT) AS ann_rank
+FROM r WHERE ann_rank <= 5
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding centroid statistics (prototype pass): exact
+    per-label sums of floor(e*512) int64 vectors + class sizes in ONE
+    tree-merged AggregateFn pass — no shuffle. Long form (label, dim,
+    qsum, n); centroid = qsum / n off-engine."""
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ops.label_centroid_stats(ds)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH t AS (
+  SELECT label,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 512)) AS qv
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, gs.i AS dim,
+       CAST(sum(qv[gs.i + 1]) AS BIGINT) AS qsum,
+       CAST(count(*) AS BIGINT) AS n
+FROM t, LATERAL (
+  SELECT unnest(generate_series(0, CAST(len(qv) - 1 AS BIGINT))) AS i
+) gs
+GROUP BY label, gs.i
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7144,6 +7289,12 @@ REGISTRY: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "orders_priority_revenue": (q_orders_priority_revenue,
                                 SQL_ORDERS_PRIORITY_REVENUE),
+    "burst_windows": (q_burst_windows, SQL_BURST_WINDOWS),
+    "redact_props": (q_redact_props, SQL_REDACT_PROPS),
+    "audio_fingerprint_groups": (q_audio_fingerprint_groups,
+                                 SQL_AUDIO_FINGERPRINT_GROUPS),
+    "filtered_ann": (q_filtered_ann, SQL_FILTERED_ANN),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
 }
 
 

@@ -300,3 +300,30 @@ class VideoSceneCuts:
             "n_frames": pa.array(nfs, pa.int64()),
             "n_scenes": pa.array(scenes, pa.int64()),
         })
+
+
+class AudioFingerprint:
+    """Actor stage: decode RPCM audio and emit a perceptual fingerprint
+    computed purely from the decoded samples — (half, amp_bucket) where
+    ``half`` is the first constant-run length of the square wave (pitch)
+    and ``amp_bucket = amp // 500`` buckets the amplitude (loudness).
+    Clips sharing a fingerprint are near-duplicates (same tone + volume
+    class regardless of duration) — the audio analogue of phash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blobs = batch["audio"].to_pylist()
+        halves = np.empty(len(blobs), np.int64)
+        ampb = np.empty(len(blobs), np.int64)
+        for i, blob in enumerate(blobs):
+            _, s = decode_audio(blob)
+            s64 = s.astype(np.int64)
+            amp = int(s64[0])  # square wave starts at +amp
+            flips = np.flatnonzero(s64 != amp)
+            halves[i] = int(flips[0]) if len(flips) else len(s64)
+            ampb[i] = amp // 500
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "fp_half": pa.array(halves, pa.int64()),
+            "fp_ampb": pa.array(ampb, pa.int64()),
+        })

@@ -153,3 +153,51 @@ def test_hash_join_empty_intersection(ray_session):
     out = rel.hash_join(rd.from_pandas(left), rd.from_pandas(right),
                         on="k", num_partitions=2)
     assert out.count() == 0
+
+
+def test_burst_windows_rules(ray_session):
+    import ray.data as rd
+
+    # type A: wins 0(n=2), 1(n=5): 5 > 2*2 -> burst; win 3 (gap, n=9):
+    # prev PRESENT is win1 (5), 9 <= 10 -> no burst. First window never.
+    rows = []
+    def add(t, win, n):
+        rows.extend({"ts": win * 3_600_000_000 + i, "event_type": t}
+                    for i in range(n))
+    add("A", 0, 2); add("A", 1, 5); add("A", 3, 9)
+    add("B", 2, 4)  # single window -> never a burst
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = rel.burst_windows(rd.from_pandas(df))
+    out = out.sort_values(["event_type", "win"]).reset_index(drop=True)
+    assert out["burst"].tolist() == [False, True, False, False]
+    assert out["n"].tolist() == [2, 5, 9, 4]
+
+
+def test_redact_pattern(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"event_id": [1, 2], "props": ['{"k": 87}', "none"]})
+    out = (rel.redact_pattern(rd.from_pandas(df))
+           .to_pandas().sort_values("event_id"))
+    assert out["redacted"].tolist() == ['{"k": ##}', "none"]
+    assert out["n_redacted"].tolist() == [2, 0]
+
+
+def test_audio_fingerprint_from_samples(ray_session):
+    import ray.data as rd
+
+    # fingerprints must come from the DECODED samples: two clips with the
+    # same (half, amp bucket) but different lengths share a fingerprint.
+    w1 = media.render_waveform(40, 3, 700)
+    w2 = media.render_waveform(80, 3, 900)   # same bucket 700//500==900//500
+    w3 = media.render_waveform(40, 4, 700)   # different half
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "audio": [media.encode_audio(w) for w in (w1, w2, w3)],
+    })
+    out = (rd.from_arrow(pa.Table.from_pandas(df))
+           .map_batches(media.AudioFingerprint(), batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    assert out["fp_half"].tolist() == [3, 3, 4]
+    assert out["fp_ampb"].tolist() == [1, 1, 1]

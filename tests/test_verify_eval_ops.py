@@ -102,3 +102,43 @@ def test_incremental_dedup_planted(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert out["doc_id"].tolist() == [10, 11, 12, 13]
     assert out["is_dup"].tolist() == [True, False, True, False]
+
+
+def test_filtered_topk_filter_inside_scan(ray_session):
+    import ray.data as rd
+
+    # corpus: 6 vectors; exclude label 0. Query aligned with v0 (label 0):
+    # filtered search must NOT return v0 even though it has max dot.
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0],
+             [0.8, 0.2], [0.5, 0.5], [0.1, 0.9]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1, 0, 2, 2], pa.int32()),
+    })
+    out = (ann_ops.filtered_topk(
+        rd.from_arrow(tbl), {77: np.array([1.0, 0.0])}, k=3,
+        exclude_label=0)
+        .to_pandas().sort_values("ann_rank"))
+    assert 0 not in out["vec_id"].tolist()
+    assert 3 not in out["vec_id"].tolist()
+    assert out["vec_id"].tolist() == [1, 4, 5]
+
+
+def test_label_centroid_stats_exact(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(
+            [[0.5, 1.0], [1.5, 2.0], [3.0, 4.0], [0.25, 0.75]],
+            pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 2, 2], pa.int32()),
+    })
+    out = ann_ops.label_centroid_stats(
+        rd.from_arrow(tbl), quantize=4).to_pandas()
+    out = out.sort_values(["label", "dim"]).reset_index(drop=True)
+    # label 1: q=[2,4]+[6,8]=[8,12]; label 2: [12,16]+[1,3]=[13,19]
+    assert out["qsum"].tolist() == [8, 12, 13, 19]
+    assert out["n"].tolist() == [2, 2, 2, 2]
