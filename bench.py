@@ -114,6 +114,18 @@ def run_bench() -> dict:
         "ann_ivfpq",
         # per-window exact top-k heavy hitters (trending entities)
         "heavy_hitters",
+        # large x large hash-shuffle join (native Dataset.join path)
+        "orders_priority_revenue",
+        # event-stream analytics: ordered funnel + burst detection
+        "funnel", "burst_windows",
+        # video shot-boundary detection (zero-shuffle decode stage)
+        "video_scene_cuts",
+        # exact Myers edit-distance verify over candidate pairs
+        "edit_distance_pairs",
+        # shard-actor incremental dedup (shared mutable index)
+        "incremental_dedup",
+        # retrieval eval + filtered vector search
+        "label_recall", "filtered_ann",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
