@@ -7122,6 +7122,108 @@ GROUP BY label, gs.i
 """
 
 
+def q_segment_revenue(sf_dir: str):
+    """Mixed join plan in one pipeline — the multi-join shape every
+    warehouse query has: lineitem x orders through the big x big
+    hash-shuffle join, then the 1500-row customer dimension BROADCAST
+    (ray.put sorted key array + searchsorted per batch — never a second
+    shuffle), rolled up to revenue cents per market segment."""
+    import ray
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = rel.hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).sort_by("c_custkey")
+    ref = ray.put((
+        cust["c_custkey"].to_numpy().astype(np.int64),
+        np.asarray(cust["c_mktsegment"].to_pylist()),
+    ))
+
+    class Enrich:
+        def __init__(self):
+            self.keys, self.segs = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.keys, ck)
+            ok = (pos < len(self.keys)) & (self.keys[np.minimum(
+                pos, len(self.keys) - 1)] == ck)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)[ok]
+            rev = np.floor((ep * (1.0 - dc)) * 100.0).astype(np.int64)
+            return pa.table({
+                "c_mktsegment": pa.array(self.segs[pos[ok]], pa.string()),
+                "revenue_cents": pa.array(rev, pa.int64()),
+            })
+
+    return rel.grouped_sums(
+        joined.map_batches(Enrich, batch_format="pyarrow",
+                           concurrency=(1, 8)),
+        ["c_mktsegment"], ["revenue_cents"],
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_length_histogram(sf_dir: str):
+    """Sequence-length distribution (the pre-packing diagnostic): docs
+    bucketed by floor(log2(n_tokens)) — integer-exact on both sides
+    (searchsorted over powers of two vs length(bin(n)) - 1) — with doc
+    and token counts per bucket. Map-side bincount partials, bounded
+    merge, no shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    pows = 2 ** np.arange(63, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(b["text"], " "), 1) \
+            .cast(pa.int64()).to_numpy()
+        bucket = np.searchsorted(pows, n_tok, side="right") - 1
+        df = pd.DataFrame({"bucket": bucket, "n_tokens": n_tok})
+        agg = df.groupby("bucket", as_index=False).agg(
+            n_docs=("n_tokens", "size"), token_sum=("n_tokens", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_docs=("n_docs", "sum"), token_sum=("token_sum", "sum"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_LENGTH_HISTOGRAM = """
+WITH t AS (
+  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_sum
+FROM t GROUP BY bucket
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7295,6 +7397,8 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_AUDIO_FINGERPRINT_GROUPS),
     "filtered_ann": (q_filtered_ann, SQL_FILTERED_ANN),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
 }
 
 

@@ -324,3 +324,31 @@ def test_bigram_hashes_concat_invariant(texts):
         m = d_all == i
         np.testing.assert_array_equal(h1_all[m], h1)
         np.testing.assert_array_equal(bh_all[m], bh)
+
+
+def _dp_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    a=st.text(alphabet="abXY 9", max_size=80),
+    b=st.text(alphabet="abXY 9", max_size=80),
+)
+@example(a="a" * 65, b="a" * 64 + "b")  # cross the 64-bit word boundary
+@example(a="", b="ab")
+def test_myers_levenshtein_matches_dp(a, b):
+    from ssb_sgis_ray.ops.text import myers_levenshtein
+
+    d = myers_levenshtein(a, b)
+    assert d == _dp_levenshtein(a, b)
+    # metric axioms the bit algorithm must preserve
+    assert d == myers_levenshtein(b, a)
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))

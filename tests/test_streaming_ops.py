@@ -201,3 +201,22 @@ def test_audio_fingerprint_from_samples(ray_session):
            .to_pandas().sort_values("doc_id"))
     assert out["fp_half"].tolist() == [3, 3, 4]
     assert out["fp_ampb"].tolist() == [1, 1, 1]
+
+
+def test_length_histogram_buckets(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from ssb_sgis_ray.queries import q_length_histogram
+
+    # 1 token -> bucket 0; 2-3 -> 1; 4-7 -> 2; 8 -> 3
+    texts = ["a", "a b", "a b c", "a b c d", "a b c d e f g",
+             "a b c d e f g h"]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"text": pa.array(texts)}),
+                       os.path.join(d, "documents.parquet"))
+        out = q_length_histogram(d).sort_values("bucket").reset_index(drop=True)
+    assert out["bucket"].tolist() == [0, 1, 2, 3]
+    assert out["n_docs"].tolist() == [1, 2, 2, 1]
+    assert out["token_sum"].tolist() == [1, 5, 11, 8]
