@@ -600,14 +600,39 @@ def label_recall(vectors_ds, k: int = 10, quantize: int = 512,
             qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             qlabels = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
             qnorm = (q * q).sum(axis=1)
-            # dist2 = |q|^2 - 2 q.C + |c|^2, exact in int64
-            d2 = qnorm[:, None] - 2 * (q @ self.cm.T) + self.cnorm[None, :]
-            # exclude self (same id); columns are id-sorted so a stable
-            # argsort on dist2 yields exact (dist2, id) order
-            self_mask = qids[:, None] == self.cids[None, :]
-            d2[self_mask] = np.iinfo(np.int64).max
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
-            hit = (self.clabels[idx] == qlabels[:, None]).any(axis=1)
+            nc = len(self.cids)
+            sentinel = np.iinfo(np.int64).max
+            # overflow guard for the composite key (python ints, exact)
+            worst = (int(np.abs(q).max(initial=0))
+                     + int(np.abs(self.cm).max(initial=0))) ** 2
+            if worst * q.shape[1] * nc >= 1 << 62:
+                raise ValueError("embedding magnitude too large for the "
+                                 "int64 composite key — lower quantize")
+            # composite key d2 * nc + column: one int64 that totally
+            # orders candidates by exact (dist2, corpus position) — and
+            # corpus positions are id-sorted, so this IS the (dist2, id)
+            # order. Safe: d2 <= d*(2*quantize)^2 and nc <= sample_limit
+            # keep d2*nc < 2^63. Self rows get the sentinel (never a hit,
+            # even when k >= corpus size).
+            chunk = 16384  # bounds the (batch x chunk) intermediates
+            cand_comp, cand_lab = [], []
+            for s in range(0, nc, chunk):
+                cm = self.cm[s:s + chunk]
+                d2 = (qnorm[:, None] - 2 * (q @ cm.T)
+                      + self.cnorm[None, s:s + chunk])
+                comp = d2 * nc + (s + np.arange(cm.shape[0]))[None, :]
+                comp[qids[:, None] == self.cids[None, s:s + chunk]] = sentinel
+                k_eff = min(k, comp.shape[1])
+                idx = np.argpartition(comp, k_eff - 1, axis=1)[:, :k_eff]
+                cand_comp.append(np.take_along_axis(comp, idx, axis=1))
+                cand_lab.append(self.clabels[s:s + chunk][idx])
+            allc = np.concatenate(cand_comp, axis=1)
+            alll = np.concatenate(cand_lab, axis=1)
+            order = np.argsort(allc, axis=1)[:, :k]
+            topc = np.take_along_axis(allc, order, axis=1)
+            topl = np.take_along_axis(alll, order, axis=1)
+            hit = ((topc != sentinel)
+                   & (topl == qlabels[:, None])).any(axis=1)
             return pa.table({
                 id_col: pa.array(qids, pa.int64()),
                 label_col: pa.array(qlabels, pa.int64()),
@@ -615,23 +640,25 @@ def label_recall(vectors_ds, k: int = 10, quantize: int = 512,
             })
 
     return mat.map_batches(
-        Recall, batch_format="pyarrow", batch_size=4096,
-        concurrency=default_pool(None, nrows=n),
+        Recall, batch_format="pyarrow", batch_size=2048,
+        concurrency=default_pool(None, nrows=n, batch_size=2048),
     )
 
 
 def filtered_topk(vectors_ds, queries: dict, k: int = 5,
                   exclude_label=None, quantize: int = 512,
                   id_col: str = "vec_id", label_col: str = "label"):
-    """Attribute-filtered vector search: exact top-k cosine restricted to
-    corpus rows whose label differs from ``exclude_label`` (the
-    filtered-search feature every vector store exposes — metadata
-    predicate pushed INTO the scan, not applied after top-k, so k
-    results always survive the filter).
+    """Attribute-filtered vector search: exact top-k by INTEGER DOT
+    PRODUCT (inner-product search over floor(e*quantize) vectors — equal
+    to cosine order when the corpus is unit-norm, as here) restricted to
+    corpus rows whose label differs from ``exclude_label`` — the
+    filtered-search feature every vector store exposes, with the
+    metadata predicate pushed INTO the scan (not applied after top-k),
+    so k results always survive the filter.
 
     Same plumbing as ann_bruteforce: queries broadcast once, per-batch
-    partial top-k on integer dot products (floor(e*quantize) vectors, so
-    scores are exact int64 and ties break on vec_id), bounded finalize.
+    partial top-k (boundary ties kept so the global (dot desc, id asc)
+    order is exact), bounded finalize.
     """
     import ray
 
@@ -664,10 +691,16 @@ def filtered_topk(vectors_ds, queries: dict, k: int = 5,
             k_eff = min(k, dots.shape[1])
             out_q, out_i, out_d = [], [], []
             for r in range(dots.shape[0]):
-                part = np.argpartition(-dots[r], k_eff - 1)[:k_eff]
-                out_q.extend([int(self.qids[r])] * k_eff)
-                out_i.extend(ids[part].tolist())
-                out_d.extend(dots[r][part].tolist())
+                # keep EVERYTHING tied with the k-th boundary score —
+                # an argpartition cut would drop boundary ties
+                # arbitrarily and break the (dot desc, id asc) contract
+                # before the finalize can apply it
+                thr = np.partition(dots[r], dots.shape[1] - k_eff)[
+                    dots.shape[1] - k_eff]
+                sel = np.flatnonzero(dots[r] >= thr)
+                out_q.extend([int(self.qids[r])] * len(sel))
+                out_i.extend(ids[sel].tolist())
+                out_d.extend(dots[r][sel].tolist())
             return pa.table({
                 "query_id": pa.array(out_q, pa.int64()),
                 id_col: pa.array(out_i, pa.int64()),
@@ -683,7 +716,7 @@ def filtered_topk(vectors_ds, queries: dict, k: int = 5,
     n = vectors_ds.count()
     return (vectors_ds.map_batches(
                 Scan, batch_format="pyarrow", batch_size=4096,
-                concurrency=default_pool(None, nrows=n))
+                concurrency=default_pool(None, nrows=n, batch_size=4096))
             .groupby("query_id")
             .map_groups(fin, batch_format="pandas"))
 

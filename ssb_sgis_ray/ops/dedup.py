@@ -2078,7 +2078,8 @@ def duplicated_spans(docs_ds, k: int = 8, id_col: str = "doc_id",
     )
 
 
-def incremental_dedup(existing_ds, incoming_ds, key_fn, n_shards: int = 8):
+def incremental_dedup(existing_ds, incoming_ds, key_fn, n_shards: int = 8,
+                      id_col: str = "doc_id"):
     """Dedup an INCOMING stream against an EXISTING corpus via a shared
     mutable index — the one place the Dataset API genuinely can't express
     the semantics (cross-pass mutable state), so the index is a pool of
@@ -2145,9 +2146,9 @@ def incremental_dedup(existing_ds, incoming_ds, key_fn, n_shards: int = 8):
         for s, ref in pending:
             res = ray.get(ref)
             flags[np.asarray(idx[s], np.int64)] = res
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
             "is_dup": pa.array(flags, pa.bool_()),
         })
 

@@ -484,8 +484,13 @@ def conversion_funnel(events_ds, stages, ts_col: str = "ts",
     n_stages = len(stages)
 
     def project(b: pa.Table) -> pa.Table:
-        et = b[type_col].to_numpy(zero_copy_only=False)
-        sidx = np.array([sidx_of.get(t, -1) for t in et], dtype=np.int64)
+        import pyarrow.compute as pc
+
+        # C-level stage lookup (a python dict .get per row would make the
+        # projection the slowest part of the pipeline)
+        sidx = pc.fill_null(
+            pc.index_in(b[type_col], value_set=pa.array(stages)), -1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
         keep = sidx >= 0
         uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         ts = b[ts_col].cast(pa.int64()).to_numpy()[keep]
@@ -548,6 +553,10 @@ def json_int_field_agg(events_ds, field: str = "k",
     def ext(b: pa.Table) -> pa.Table:
         s = pc.extract_regex(b[props_col], pat)
         v = pc.cast(pc.struct_field(s, "v"), pa.int64())
+        # rows without the field contribute 0 (and stay int64 — a null
+        # reaching the pandas partial stage would flip k_sum to float64
+        # and silently NaN-skip)
+        v = pc.fill_null(v, 0)
         return pa.table({group_col: b[group_col], "k_sum": v})
 
     ds = events_ds.map_batches(ext, batch_format="pyarrow", batch_size=65536)

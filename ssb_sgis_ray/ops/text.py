@@ -992,16 +992,21 @@ def blocklist_flags(docs_ds, words, num: int = 1, den: int = 25,
     count from the separator count. Vectorized per batch — no Python
     row loop.
     """
+    import re
+
     import pyarrow.compute as pc
 
     words = list(words)
+    if not words:
+        raise ValueError("blocklist_flags needs at least one word")
 
     def flag(b: pa.Table) -> pa.Table:
         txt = b[text_col]
         n_tok = pc.add(pc.count_substring(txt, " "), 1).cast(pa.int64())
         n_bad = None
         for w in words:
-            c = pc.count_substring_regex(txt, r"\b" + w + r"\b").cast(pa.int64())
+            c = pc.count_substring_regex(
+                txt, r"\b" + re.escape(w) + r"\b").cast(pa.int64())
             n_bad = c if n_bad is None else pc.add(n_bad, c)
         flagged = pc.greater_equal(
             pc.multiply(pa.scalar(den, pa.int64()), n_bad),

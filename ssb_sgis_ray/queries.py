@@ -6771,8 +6771,8 @@ def q_events_props_agg(sf_dir: str):
 
 SQL_EVENTS_PROPS_AGG = """
 SELECT event_type,
-       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
-            AS BIGINT) AS k_sum,
+       CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                                  AS BIGINT), 0)) AS BIGINT) AS k_sum,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM events GROUP BY event_type
 """
@@ -7399,6 +7399,33 @@ REGISTRY: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+}
+
+
+# The driver's correctness sweep caps at ~50 queries taken in REGISTRY
+# iteration order. Rounds 1-3 swept every entry that existed then (119
+# queries; CORRECTNESS_r0{1,2,3}.json), so the round-4 additions — never
+# yet driver-swept — are hoisted to the front of the iteration order;
+# the already-certified 119 follow.
+_ROUND4_UNSWEPT = [
+    "clip_score", "focal_hotspots", "dsir_select", "ann_pq",
+    "image_meta_filter", "ann_ivfpq", "heavy_hitters", "bigram_surprisal",
+    "semdedup", "quality_buckets", "tfidf_keywords", "embedding_outliers",
+    "top_bigrams", "mixture_sample", "span_dedup", "gram_matrix",
+    "tile_pyramid", "corpus_stats", "budget_select", "dedup_keep_best",
+    "sequence_pack", "decontaminate", "repetition_stats",
+    "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
+    "grouped_centroids", "simhash_near_dup", "ngram_jaccard",
+    "stratified_sample", "route_frequencies", "od_cost_points_split",
+    "video_set_clusters", "funnel", "events_props_agg", "blocklist_filter",
+    "video_scene_cuts", "edit_distance_pairs", "label_recall",
+    "incremental_dedup", "orders_priority_revenue", "burst_windows",
+    "redact_props", "audio_fingerprint_groups", "filtered_ann",
+    "label_centroids", "segment_revenue", "length_histogram"
+]
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _ROUND4_UNSWEPT},
+    **{k: v for k, v in REGISTRY.items() if k not in set(_ROUND4_UNSWEPT)},
 }
 
 

@@ -142,3 +142,36 @@ def test_label_centroid_stats_exact(ray_session):
     # label 1: q=[2,4]+[6,8]=[8,12]; label 2: [12,16]+[1,3]=[13,19]
     assert out["qsum"].tolist() == [8, 12, 13, 19]
     assert out["n"].tolist() == [2, 2, 2, 2]
+
+
+def test_label_recall_k_exceeds_corpus(ray_session):
+    import ray.data as rd
+
+    # 3 vectors, all distinct labels, k=10 > corpus size: self must stay
+    # excluded -> zero hits (the review-found self-inclusion bug)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1, 2, 3], pa.int32()),
+    })
+    out = ann_ops.label_recall(rd.from_arrow(tbl), k=10).to_pandas()
+    assert out["hit"].tolist() == [False, False, False]
+
+
+def test_filtered_topk_boundary_ties_keep_min_id(ray_session):
+    import ray.data as rd
+
+    # 6 corpus vectors with IDENTICAL embeddings (all dots equal): the
+    # exact (dot desc, id asc) order must return ids 0..4, regardless of
+    # which k the per-batch partition would have kept
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+        "embedding": pa.array([[1.0, 0.0]] * 6, pa.list_(pa.float32())),
+        "label": pa.array([1] * 6, pa.int32()),
+    })
+    out = (ann_ops.filtered_topk(rd.from_arrow(tbl),
+                                 {9: np.array([1.0, 0.0])}, k=5,
+                                 exclude_label=0)
+           .to_pandas().sort_values("ann_rank"))
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]
