@@ -647,3 +647,91 @@ def redact_pattern(ds, pattern: str = r"\d", repl: str = "#",
         return pa.table(arrs)
 
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=65536)
+
+
+def active_users(events_ds, window_us: int = 86_400_000_000,
+                 ts_col: str = "ts", key_col: str = "user_id",
+                 num_buckets: int = 1024):
+    """Exact windowed distinct users (the DAU statistic) without ever
+    shuffling raw events OR hot windows: batches emit unique
+    (window, user) pairs (map-side dedup), the exchange is keyed on
+    window*B + user_bucket — so a window's users spread over B groups
+    and no single group carries a whole hot window — each group counts
+    its distinct users, and a bounded second pass sums per window."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy()
+        uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        win = ts // np.int64(window_us)
+        u = np.unique(np.stack([win, uid], axis=1), axis=0)
+        key = u[:, 0] * np.int64(num_buckets) + (u[:, 1] % num_buckets)
+        return pa.table({
+            "wk": pa.array(key, pa.int64()),
+            "win": pa.array(u[:, 0], pa.int64()),
+            "uid": pa.array(u[:, 1], pa.int64()),
+        })
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "win": [np.int64(g["win"].iloc[0])],
+            "n_users": [np.int64(g["uid"].nunique())],
+        })
+
+    parts = (events_ds.map_batches(pairs, batch_format="pyarrow",
+                                   batch_size=65536)
+             .groupby("wk")
+             .map_groups(count_group, batch_format="pandas"))
+    df = parts.to_pandas()  # bounded: <= windows x num_buckets rows
+    out = (df.groupby("win", as_index=False)["n_users"].sum()
+           if len(df) else
+           pd.DataFrame({"win": pd.Series(dtype="int64"),
+                         "n_users": pd.Series(dtype="int64")}))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+def retention(events_ds, window_us: int = 86_400_000_000,
+              ts_col: str = "ts", key_col: str = "user_id",
+              num_buckets: int = 256):
+    """Next-window retention (the cohort curve's first step): per window,
+    how many active users are ALSO active in the following window. One
+    user-bucket-keyed shuffle of map-side-deduped (window, user) pairs —
+    a user's whole window set lands in one group, so the
+    consecutive-window scan is exact — then a bounded per-window merge.
+    """
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy()
+        uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        win = ts // np.int64(window_us)
+        u = np.unique(np.stack([uid, win], axis=1), axis=0)
+        return pa.table({
+            "ub": pa.array(u[:, 0] % np.int64(num_buckets), pa.int64()),
+            "uid": pa.array(u[:, 0], pa.int64()),
+            "win": pa.array(u[:, 1], pa.int64()),
+        })
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["uid", "win"]).sort_values(["uid", "win"])
+        uid = g["uid"].to_numpy(np.int64)
+        win = g["win"].to_numpy(np.int64)
+        same_next = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same_next[:-1] = (uid[1:] == uid[:-1]) & (win[1:] == win[:-1] + 1)
+        df = pd.DataFrame({"win": win, "ret": same_next.astype(np.int64)})
+        agg = df.groupby("win", as_index=False).agg(
+            n_active=("ret", "size"), n_retained=("ret", "sum"))
+        return agg
+
+    parts = (events_ds.map_batches(pairs, batch_format="pyarrow",
+                                   batch_size=65536)
+             .groupby("ub")
+             .map_groups(scan, batch_format="pandas"))
+    df = parts.to_pandas()  # bounded: <= windows x num_buckets rows
+    if not len(df):
+        return pd.DataFrame({c: pd.Series(dtype="int64")
+                             for c in ("win", "n_active", "n_retained")})
+    out = df.groupby("win", as_index=False)[["n_active", "n_retained"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -7224,6 +7224,48 @@ FROM t GROUP BY bucket
 """
 
 
+def q_active_users(sf_dir: str):
+    """Exact daily active users: map-side-deduped (window, user) pairs
+    shuffled on window*B + user-bucket (hot windows spread over B
+    groups), per-group distinct counts, bounded per-window sum."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return rel.active_users(ds)
+
+
+SQL_ACTIVE_USERS = """
+SELECT epoch_us(ts) // 86400000000 AS win,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY win
+"""
+
+
+def q_retention(sf_dir: str):
+    """Next-day retention: per day, active users who are also active the
+    following day. One user-bucket shuffle of deduped (window, user)
+    pairs; the per-user consecutive-window scan is exact because a
+    user's whole window set co-locates."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return rel.retention(ds)
+
+
+SQL_RETENTION = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS win FROM events
+)
+SELECT a.win,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained
+FROM p a LEFT JOIN p b
+  ON b.user_id = a.user_id AND b.win = a.win + 1
+GROUP BY a.win
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7399,6 +7441,8 @@ REGISTRY: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
+    "active_users": (q_active_users, SQL_ACTIVE_USERS),
+    "retention": (q_retention, SQL_RETENTION),
 }
 
 
@@ -7420,6 +7464,7 @@ _ROUND4_UNSWEPT = [
     "video_set_clusters", "funnel", "events_props_agg", "blocklist_filter",
     "video_scene_cuts", "edit_distance_pairs", "label_recall",
     "incremental_dedup", "orders_priority_revenue", "burst_windows",
+    "active_users", "retention",
     "redact_props", "audio_fingerprint_groups", "filtered_ann",
     "label_centroids", "segment_revenue", "length_histogram"
 ]

@@ -220,3 +220,34 @@ def test_length_histogram_buckets(ray_session):
     assert out["bucket"].tolist() == [0, 1, 2, 3]
     assert out["n_docs"].tolist() == [1, 2, 2, 1]
     assert out["token_sum"].tolist() == [1, 5, 11, 8]
+
+
+def _day_events(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["user_id", "day"])
+    # match the parquet tables' timestamp[us] resolution (a pandas-default
+    # ns column would make the int64 cast read nanoseconds)
+    df["ts"] = pd.to_datetime(
+        df["day"] * 86_400_000_000 + 7, unit="us"
+    ).astype("datetime64[us]")
+    return rd.from_pandas(df[["user_id", "ts"]])
+
+
+def test_active_users_dedup_across_batches(ray_session):
+    # user 1 active on days 0,0,1; user 2 on day 0 twice -> DAU 2,1
+    ds = _day_events([(1, 0), (1, 0), (1, 1), (2, 0), (2, 0)])
+    out = rel.active_users(ds, num_buckets=4).sort_values("win")
+    assert out["win"].tolist() == [0, 1]
+    assert out["n_users"].tolist() == [2, 1]
+
+
+def test_retention_consecutive_only(ray_session):
+    # u1: days 0,1,3 -> retained day0 (1->next), not day1, not day3
+    # u2: days 0,2 -> never retained; u3: day 1 only
+    ds = _day_events([(1, 0), (1, 1), (1, 3), (2, 0), (2, 2), (3, 1)])
+    out = rel.retention(ds, num_buckets=2).sort_values("win") \
+        .reset_index(drop=True)
+    assert out["win"].tolist() == [0, 1, 2, 3]
+    assert out["n_active"].tolist() == [2, 2, 1, 1]
+    assert out["n_retained"].tolist() == [1, 0, 0, 0]
