@@ -136,3 +136,124 @@ def exact_kth_smallest(
 def exact_quantiles(ds, col: str, qs, bins: int = 1 << 16) -> np.ndarray:
     """Exact rank-based quantiles: value at 1-based rank ceil(q*n)."""
     return exact_kth_smallest(ds, col, qs=qs, bins=bins)
+
+
+def grouped_exact_quantiles(ds, group_col: str, col: str, q_pcts, groups,
+                            bins: int = 1 << 16, max_rounds: int = 8):
+    """Exact per-group quantiles for a SMALL KNOWN group set (per-source
+    / per-language percentile thresholds — the grouped form of the
+    filter cutoffs above). Rank is the integer formula
+    k = (pct * n_g + 99) // 100 (1-based k-th smallest), so engine and
+    SQL share no float ceil.
+
+    Same zero-shuffle plan as exact_kth_smallest with the group as an
+    extra histogram axis: each round is ONE tree-merged aggregate pass
+    whose accumulator is (G x R, bins) int64 counts — every (group,
+    rank) interval narrows simultaneously, so the round count is the
+    WORST group's, not the sum. Driver state stays O(G*R*bins)."""
+    import pandas as pd
+    from ray.data.aggregate import AggregateFn
+
+    groups = list(groups)
+    q_pcts = [int(p) for p in q_pcts]
+    gindex = pd.Index(groups)
+    G, R = len(groups), len(q_pcts)
+
+    def _vals(block):
+        if isinstance(block, pa.Table):
+            g = block[group_col].to_numpy(zero_copy_only=False)
+            v = block[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            g = block[group_col].to_numpy()
+            v = block[col].to_numpy().astype(np.int64)
+        gi = gindex.get_indexer(g)
+        ok = gi >= 0
+        return gi[ok], v[ok]
+
+    # pass 0: per-group (min, max, count), one packed ndarray
+    def mm_init(_):
+        a = np.zeros((G, 3), dtype=np.int64)
+        a[:, 0] = np.iinfo(np.int64).max
+        a[:, 1] = np.iinfo(np.int64).min
+        return a
+
+    def mm_acc(a, block):
+        gi, v = _vals(block)
+        if len(v) == 0:
+            return a
+        out = a.copy()
+        np.minimum.at(out[:, 0], gi, v)
+        np.maximum.at(out[:, 1], gi, v)
+        np.add.at(out[:, 2], gi, 1)
+        return out
+
+    def mm_merge(a, b):
+        return np.column_stack([
+            np.minimum(a[:, 0], b[:, 0]),
+            np.maximum(a[:, 1], b[:, 1]),
+            a[:, 2] + b[:, 2],
+        ])
+
+    mm = ds.aggregate(AggregateFn(init=mm_init, merge=mm_merge,
+                                  name="gmm", accumulate_block=mm_acc))["gmm"]
+    lo = np.repeat(mm[:, 0], R)                      # (G*R,)
+    hi = np.repeat(mm[:, 1], R)
+    ng = np.repeat(mm[:, 2], R)
+    pct = np.tile(np.asarray(q_pcts, np.int64), G)
+    resid = (pct * ng + 99) // 100                   # 1-based residual rank
+    present = ng > 0
+    done = ~present
+    lo[~present], hi[~present] = 0, 0
+
+    for _ in range(max_rounds):
+        if (lo >= hi).all():
+            break
+        width = np.maximum((hi - lo + 1 + bins - 1) // bins, 1)
+
+        def h_init(_):
+            return np.zeros((G * R, bins), dtype=np.int64)
+
+        def h_acc(acc, block, lo=lo.copy(), hi=hi.copy(), width=width.copy()):
+            gi, v = _vals(block)
+            if len(v) == 0:
+                return acc
+            out = acc.copy()
+            for r in range(R):
+                slot = gi * R + r
+                b = (v - lo[slot]) // width[slot]
+                ok = (v >= lo[slot]) & (v <= hi[slot])
+                b = np.clip(b, 0, bins - 1)
+                np.add.at(out, (slot[ok], b[ok]), 1)
+            return out
+
+        def h_merge(a, b):
+            return a + b
+
+        counts = ds.aggregate(AggregateFn(
+            init=h_init, merge=h_merge, name="gh",
+            accumulate_block=h_acc))["gh"]
+        cum = counts.cumsum(axis=1)
+        for s in range(G * R):
+            if done[s] or lo[s] >= hi[s]:
+                continue
+            binpos = int(np.searchsorted(cum[s], resid[s], side="left"))
+            before = int(cum[s][binpos - 1]) if binpos else 0
+            resid[s] = resid[s] - before
+            lo_s = lo[s] + binpos * width[s]
+            hi_s = min(int(hi[s]), int(lo_s + width[s] - 1))
+            lo[s], hi[s] = lo_s, hi_s
+
+    out_g, out_p, out_v = [], [], []
+    for i, g in enumerate(groups):
+        for r, p in enumerate(q_pcts):
+            s = i * R + r
+            if mm[i, 2] == 0:
+                continue
+            out_g.append(g)
+            out_p.append(p)
+            out_v.append(int(lo[s]))
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "q_pct": pa.array(out_p, pa.int64()),
+        "value": pa.array(out_v, pa.int64()),
+    })

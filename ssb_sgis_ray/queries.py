@@ -7266,6 +7266,50 @@ GROUP BY a.win
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-type exact p50/p95 of the event value (cents): the grouped
+    percentile-threshold primitive (per-source quality cutoffs) —
+    zero-shuffle histogram refinement with the group as an extra
+    accumulator axis, rank = (pct*n + 99)//100 so no float ceil on
+    either side."""
+    from .ops import quantile as quant
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "v": pa.array(v, pa.int64())})
+
+    prepared = ds.map_batches(cents, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    types = ("click", "error", "purchase", "signup", "view")
+    return quant.grouped_exact_quantiles(
+        prepared, "event_type", "v", (50, 95), types)
+
+
+SQL_GROUPED_QUANTILES = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM t
+)
+SELECT event_type, CAST(50 AS BIGINT) AS q_pct, v AS value
+FROM r WHERE rk = (50 * n + 99) // 100
+UNION ALL
+SELECT event_type, CAST(95 AS BIGINT), v
+FROM r WHERE rk = (95 * n + 99) // 100
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7443,6 +7487,7 @@ REGISTRY: dict[str, tuple] = {
     "length_histogram": (q_length_histogram, SQL_LENGTH_HISTOGRAM),
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "retention": (q_retention, SQL_RETENTION),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
 }
 
 

@@ -175,3 +175,27 @@ def test_filtered_topk_boundary_ties_keep_min_id(ray_session):
                                  exclude_label=0)
            .to_pandas().sort_values("ann_rank"))
     assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_grouped_exact_quantiles_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.quantile import grouped_exact_quantiles
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["a", "b", "c"], 4000)
+    v = rng.integers(-50_000, 50_000, 4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"grp": pa.array(g), "v": pa.array(v)}))
+    # bins=16 forces several refinement rounds
+    out = grouped_exact_quantiles(ds, "grp", "v", (10, 50, 95),
+                                  ("a", "b", "c", "never"), bins=16) \
+        .to_pandas()
+    assert "never" not in set(out["grp"])
+    for grp in "abc":
+        vals = np.sort(v[g == grp])
+        n = len(vals)
+        for pct in (10, 50, 95):
+            k = (pct * n + 99) // 100
+            want = int(vals[k - 1])
+            got = int(out[(out.grp == grp) & (out.q_pct == pct)]["value"])
+            assert got == want, (grp, pct, got, want)
