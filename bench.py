@@ -126,6 +126,9 @@ def run_bench() -> dict:
         "incremental_dedup",
         # retrieval eval + filtered vector search
         "label_recall", "filtered_ann",
+        # DAU / retention / per-group exact percentiles / 3-table join
+        "active_users", "retention", "grouped_quantiles",
+        "segment_revenue",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
