@@ -614,9 +614,18 @@ def burst_windows(events_ds, window_us: int = 3_600_000_000,
         return pa.Table.from_pandas(
             agg.rename(columns={"size": "n"}), preserve_index=False)
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow",
-                                     batch_size=65536)
-    df = partials.to_pandas()  # bounded: distinct (win, type) x batches
+    from ray.data.aggregate import Sum
+
+    pm = events_ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536).materialize()
+    if pm.count() <= 2_000_000:
+        df = pm.to_pandas()  # (win, type) x batches, under the bound
+    else:
+        # shuffled/wide inputs can make (win,type) x batches large:
+        # pre-merge distributedly; the result is bounded by the TRUE
+        # (type x window) cardinality
+        df = (pm.groupby([type_col, "win"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
     agg = df.groupby([type_col, "win"], as_index=False)["n"].sum()
     agg = agg.sort_values([type_col, "win"]).reset_index(drop=True)
     prev = agg.groupby(type_col)["n"].shift(1)
@@ -655,33 +664,43 @@ def active_users(events_ds, window_us: int = 86_400_000_000,
     """Exact windowed distinct users (the DAU statistic) without ever
     shuffling raw events OR hot windows: batches emit unique
     (window, user) pairs (map-side dedup), the exchange is keyed on
-    window*B + user_bucket — so a window's users spread over B groups
-    and no single group carries a whole hot window — each group counts
-    its distinct users, and a bounded second pass sums per window."""
+    hash(window, user) mod B — a fixed B groups regardless of window
+    count (one (win, bucket) group per key would mean tens of thousands
+    of per-group kernel calls), and a window's users spread across all B
+    so no group carries a hot window — each shard dedups and counts its
+    pairs vectorized, and a bounded second pass sums per window."""
 
     def pairs(b: pa.Table) -> pa.Table:
         ts = b[ts_col].cast(pa.int64()).to_numpy()
         uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         win = ts // np.int64(window_us)
         u = np.unique(np.stack([win, uid], axis=1), axis=0)
-        key = u[:, 0] * np.int64(num_buckets) + (u[:, 1] % num_buckets)
+        mix = (u[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + u[:, 1].astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
         return pa.table({
-            "wk": pa.array(key, pa.int64()),
+            "sh": pa.array((mix % np.uint64(num_buckets)).astype(np.int64),
+                           pa.int64()),
             "win": pa.array(u[:, 0], pa.int64()),
             "uid": pa.array(u[:, 1], pa.int64()),
         })
 
-    def count_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "win": [np.int64(g["win"].iloc[0])],
-            "n_users": [np.int64(g["uid"].nunique())],
-        })
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["win", "uid"])
+        agg = d.groupby("win", as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        return agg
 
-    parts = (events_ds.map_batches(pairs, batch_format="pyarrow",
-                                   batch_size=65536)
-             .groupby("wk")
-             .map_groups(count_group, batch_format="pandas"))
-    df = parts.to_pandas()  # bounded: <= windows x num_buckets rows
+    from ray.data.aggregate import Sum
+
+    pm = (events_ds.map_batches(pairs, batch_format="pyarrow",
+                                batch_size=65536)
+          .groupby("sh")
+          .map_groups(count_shard, batch_format="pandas")).materialize()
+    if pm.count() <= 2_000_000:  # <= windows x num_buckets rows
+        df = pm.to_pandas()
+    else:  # decade-scale window counts: pre-merge per window distributedly
+        df = (pm.groupby("win")
+              .aggregate(Sum("n_users", alias_name="n_users")).to_pandas())
     out = (df.groupby("win", as_index=False)["n_users"].sum()
            if len(df) else
            pd.DataFrame({"win": pd.Series(dtype="int64"),
@@ -723,11 +742,19 @@ def retention(events_ds, window_us: int = 86_400_000_000,
             n_active=("ret", "size"), n_retained=("ret", "sum"))
         return agg
 
-    parts = (events_ds.map_batches(pairs, batch_format="pyarrow",
-                                   batch_size=65536)
-             .groupby("ub")
-             .map_groups(scan, batch_format="pandas"))
-    df = parts.to_pandas()  # bounded: <= windows x num_buckets rows
+    from ray.data.aggregate import Sum
+
+    pm = (events_ds.map_batches(pairs, batch_format="pyarrow",
+                                batch_size=65536)
+          .groupby("ub")
+          .map_groups(scan, batch_format="pandas")).materialize()
+    if pm.count() <= 2_000_000:  # <= windows x num_buckets rows
+        df = pm.to_pandas()
+    else:  # decade-scale window counts: pre-merge per window distributedly
+        df = (pm.groupby("win")
+              .aggregate(Sum("n_active", alias_name="n_active"),
+                         Sum("n_retained", alias_name="n_retained"))
+              .to_pandas())
     if not len(df):
         return pd.DataFrame({c: pd.Series(dtype="int64")
                              for c in ("win", "n_active", "n_retained")})
