@@ -641,3 +641,145 @@ def make_directed_network_norway(lines_ds, id_col: str, tolerance: float):
         minute_cols=("drivetime_fw", "drivetime_bw"),
         dropna=True, dropnegative=True,
     )
+
+
+def _pagerank_broadcast(edges_ds, deg, iters, scale, d_num, d_den, base):
+    """Broadcast-state PageRank rounds: nodes/degrees/ranks live in one
+    sorted array broadcast via ray.put; each round is one streaming pass
+    over the edges with map-side per-dst combining, merged on bounded
+    (nodes x batches) partials."""
+    import ray
+
+    dt = deg.to_pandas().sort_values("node")
+    nodes = dt["node"].to_numpy(np.int64)
+    degs = dt["deg"].to_numpy(np.int64)
+    p = np.full(len(nodes), scale, dtype=np.int64)
+
+    for _ in range(iters):
+        state = ray.put((nodes, degs, p))
+
+        def partial(b: pa.Table) -> pa.Table:
+            n_, d_, p_ = ray.get(state)
+            src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            si = np.searchsorted(n_, src)
+            c = (p_[si] * d_num) // (d_den * d_[si])
+            di = np.searchsorted(n_, dst)
+            # int64 scatter-add (bincount's float64 weights would lose
+            # exactness past 2^53 on big-rank graphs)
+            sums = np.zeros(len(n_), dtype=np.int64)
+            np.add.at(sums, di, c)
+            nz = np.flatnonzero(sums)
+            return pa.table({
+                "ni": pa.array(nz, pa.int64()),
+                "c": pa.array(sums[nz], pa.int64()),
+            })
+
+        parts = edges_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=262144).to_pandas()
+        agg = parts.groupby("ni")["c"].sum()
+        p = np.full(len(nodes), base, dtype=np.int64)
+        p[agg.index.to_numpy(np.int64)] += agg.to_numpy(np.int64)
+
+    return pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "p": pa.array(p, pa.int64()),
+    })
+
+
+def pagerank_integer(edges_ds, iters: int = 3, scale: int = 1_000_000,
+                     d_num: int = 17, d_den: int = 20,
+                     broadcast_limit: int = 2_000_000):
+    """Bulk-synchronous PageRank with INTEGER arithmetic — the iterative
+    join-aggregate shape made oracle-exact: ranks are int64 and a round
+    computes
+
+        p'(v) = (scale*(d_den-d_num))//d_den
+                + sum over in-edges (u,v) of (p(u)*d_num) // (d_den*deg(u))
+
+    so engine and SQL share only integer floor ops — no float damping,
+    no convergence epsilon, a fixed ``iters`` rounds (unrolled CTEs on
+    the SQL side). ``edges_ds``: (src, dst) int64, direction-expanded;
+    every node must appear as a src (true for symmetric lists), so the
+    node universe and out-degrees come from one grouped count. Keep
+    n_nodes * scale * d_num within int64 — lower ``scale`` for huge
+    graphs.
+
+    Plan: when the node table fits ``broadcast_limit`` the state is
+    ``ray.put`` once per round and every round is ONE streaming pass
+    (per-batch contributions combine map-side by dst before the bounded
+    merge — no join, no shuffle). Beyond the limit, the general BSP
+    plan: degrees attach to the edges ONCE, each round is one
+    hash-shuffle join (state onto edges by src) + one dst-keyed grouped
+    sum + a zero-union so in-degree-0 nodes keep the base rank; state
+    stays a (node, p) Dataset end to end."""
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    base = (scale * (d_den - d_num)) // d_den
+
+    deg = (edges_ds.groupby("src").count()
+           .map_batches(lambda b: pa.table({
+               "node": b["src"],
+               "deg": b["count()"].cast(pa.int64()),
+           }), batch_format="pyarrow")).materialize()
+
+    if deg.count() <= broadcast_limit:
+        return _pagerank_broadcast(edges_ds, deg, iters, scale,
+                                   d_num, d_den, base)
+
+    # join plan: size the hash-shuffle partition count to the session —
+    # the native join spins one aggregator actor per partition, and a
+    # partition count above the CPU count starves the map side outright
+    # (observed as a full deadlock at 32 partitions on 4 CPUs)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(32, cpus // 2))
+
+    edges_deg = hash_join(
+        edges_ds, deg, on="src", right_on="node",
+        num_partitions=nparts).materialize()
+
+    def init_state(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "p": pa.array(np.full(len(b), scale, np.int64), pa.int64()),
+        })
+
+    def zero_state(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "c": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+        })
+
+    state = deg.map_batches(init_state, batch_format="pyarrow")
+    zeros = deg.map_batches(zero_state, batch_format="pyarrow")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (p * d_num) // (d_den * d)
+        return pa.table({
+            "node": b["dst"],
+            "c": pa.array(c, pa.int64()),
+        })
+
+    for _ in range(iters):
+        joined = hash_join(edges_deg, state, on="src", right_on="node",
+                           num_partitions=nparts)
+        contribs = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = (contribs.union(zeros)
+                  .groupby("node").aggregate(Sum("c", alias_name="csum")))
+
+        def finish(b: pa.Table) -> pa.Table:
+            s = b["csum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "node": b["node"],
+                "p": pa.array(base + s, pa.int64()),
+            })
+
+        state = summed.map_batches(
+            finish, batch_format="pyarrow").materialize()
+    return state

@@ -7310,6 +7310,65 @@ FROM r WHERE rk = (95 * n + 99) // 100
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Integer BSP PageRank over the part line graph (3 rounds, damping
+    17/20, exact int64 floor arithmetic — the iterative join+aggregate
+    algorithm class with a bit-exact unrolled-CTE oracle)."""
+    from .ops import network as net_ops
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = 4 * ((k * 71) % 10000) + 2
+        y1 = 4 * ((k * 83) % 10000) + 2
+        x2 = 4 * ((k * 89) % 10000) + 2
+        y2 = 4 * ((k * 101) % 10000) + 2
+        na = (x1 // _NODE_TOL) * 100000 + (y1 // _NODE_TOL)
+        nb = (x2 // _NODE_TOL) * 100000 + (y2 // _NODE_TOL)
+        return pa.table({
+            "src": pa.array(np.concatenate([na, nb]), pa.int64()),
+            "dst": pa.array(np.concatenate([nb, na]), pa.int64()),
+        })
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return net_ops.pagerank_integer(e, iters=3)
+
+
+def _pagerank_round_sql(prev: str, out: str) -> str:
+    return f"""
+s{out} AS (
+  SELECT e.dst AS node,
+         sum(({prev}.p * 17) // (20 * deg.d)) AS s
+  FROM e
+  JOIN {prev} ON {prev}.node = e.src
+  JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+{out} AS (
+  SELECT d.node, CAST(150000 + coalesce(s{out}.s, 0) AS BIGINT) AS p
+  FROM deg d LEFT JOIN s{out} ON s{out}.node = d.node
+)"""
+
+
+SQL_PAGERANK = f"""
+WITH l AS (
+  SELECT {_NODE_A_SQL} AS na, {_NODE_B_SQL} AS nb FROM part
+),
+e AS (SELECT na AS src, nb AS dst FROM l
+      UNION ALL SELECT nb, na FROM l),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM e GROUP BY src),
+p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM deg),
+{_pagerank_round_sql('p0', 'p1').lstrip()},
+{_pagerank_round_sql('p1', 'p2').lstrip()},
+{_pagerank_round_sql('p2', 'p3').lstrip()}
+SELECT node, p FROM p3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7488,6 +7547,7 @@ REGISTRY: dict[str, tuple] = {
     "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "retention": (q_retention, SQL_RETENTION),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }
 
 

@@ -199,3 +199,39 @@ def test_grouped_exact_quantiles_vs_numpy(ray_session):
             want = int(vals[k - 1])
             got = int(out[(out.grp == grp) & (out.q_pct == pct)]["value"])
             assert got == want, (grp, pct, got, want)
+
+
+def _brute_pagerank(edges, iters=3, scale=1_000_000, dn=17, dd=20):
+    import collections
+    deg = collections.Counter(s for s, _ in edges)
+    nodes = sorted(deg)
+    p = {n: scale for n in nodes}
+    base = (scale * (dd - dn)) // dd
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d in edges:
+            nxt[d] += (p[s] * dn) // (dd * deg[s])
+        p = nxt
+    return p
+
+
+def test_pagerank_both_plans_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.network import pagerank_integer
+
+    rng = np.random.default_rng(5)
+    raw = [(int(a), int(b)) for a, b in rng.integers(0, 12, (40, 2))]
+    edges = raw + [(b, a) for a, b in raw]  # symmetric: every node a src
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], pa.int64()),
+        "dst": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    want = _brute_pagerank(edges)
+    got_b = pagerank_integer(ds, iters=3).to_pandas() \
+        .set_index("node")["p"].to_dict()
+    assert got_b == want
+    # force the large-graph join plan and pin it to the broadcast result
+    got_j = pagerank_integer(ds, iters=3, broadcast_limit=0)
+    got_j = got_j.to_pandas().set_index("node")["p"].to_dict()
+    assert got_j == want
