@@ -7369,6 +7369,48 @@ SELECT node, p FROM p3
 """
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count on the part line graph — canonical a<b<c
+    orientation, broadcast packed-edge set + vectorized sorted-array
+    intersections per edge."""
+    from .ops import network as net_ops
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = 4 * ((k * 71) % 10000) + 2
+        y1 = 4 * ((k * 83) % 10000) + 2
+        x2 = 4 * ((k * 89) % 10000) + 2
+        y2 = 4 * ((k * 101) % 10000) + 2
+        na = (x1 // _NODE_TOL) * 100000 + (y1 // _NODE_TOL)
+        nb = (x2 // _NODE_TOL) * 100000 + (y2 // _NODE_TOL)
+        return pa.table({
+            "src": pa.array(na, pa.int64()),
+            "dst": pa.array(nb, pa.int64()),
+        })
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return net_ops.triangle_count(e)
+
+
+SQL_TRIANGLES = f"""
+WITH l AS (
+  SELECT {_NODE_A_SQL} AS na, {_NODE_B_SQL} AS nb FROM part
+),
+c AS (
+  SELECT DISTINCT least(na, nb) AS a, greatest(na, nb) AS b
+  FROM l WHERE na != nb
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM c ab
+JOIN c bc ON bc.a = ab.b
+JOIN c ac ON ac.a = ab.a AND ac.b = bc.b
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7548,6 +7590,7 @@ REGISTRY: dict[str, tuple] = {
     "retention": (q_retention, SQL_RETENTION),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "triangles": (q_triangles, SQL_TRIANGLES),
 }
 
 

@@ -235,3 +235,31 @@ def test_pagerank_both_plans_match_bruteforce(ray_session):
     got_j = pagerank_integer(ds, iters=3, broadcast_limit=0)
     got_j = got_j.to_pandas().set_index("node")["p"].to_dict()
     assert got_j == want
+
+
+def test_triangle_count_bruteforce_and_dups(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.network import triangle_count
+
+    rng = np.random.default_rng(9)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 10, (30, 2))
+           if a != b}
+    # direction-expand AND duplicate every edge 3x across the input (the
+    # cpu-count-dependent overcount bug fed on cross-batch duplicates)
+    rows = [e for ab in raw for e in (ab, ab[::-1])] * 3
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+    })).repartition(6)
+    canon = {(min(a, b), max(a, b)) for a, b in raw}
+    adj = {}
+    for x, y in canon:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+               if y in adj[x] and z in adj[x] and z in adj[y])
+    got = triangle_count(ds).to_pandas()["n_triangles"][0]
+    assert got == want
