@@ -762,3 +762,58 @@ def retention(events_ds, window_us: int = 86_400_000_000,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def event_pattern_count(events_ds, pattern: str, initials: dict,
+                        ts_col: str = "ts", key_col: str = "user_id",
+                        type_col: str = "event_type",
+                        id_col: str = "event_id"):
+    """Complex-event-processing lite (the MATCH_RECOGNIZE shape): encode
+    each user's event history as a character sequence — one initial per
+    event type, ordered by (ts, event_id) so equal timestamps are
+    deterministic — and count non-overlapping regex matches of
+    ``pattern`` per user. One user-keyed shuffle; the per-group kernel
+    is a C-level regex over one string per user.
+
+    ``initials`` maps event_type -> single char; unmapped types are
+    dropped before the exchange (pattern chars can't match them anyway),
+    which also prunes the shuffle."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    types = list(initials)
+    chars = [initials[t] for t in types]
+    rx = _re.compile(pattern)
+
+    def project(b: pa.Table) -> pa.Table:
+        ti = pc.fill_null(
+            pc.index_in(b[type_col], value_set=pa.array(types)), -1
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ti >= 0
+        return pa.table({
+            key_col: pa.array(
+                b[key_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[keep], pa.int64()),
+            "ts_us": pa.array(
+                b[ts_col].cast(pa.int64()).to_numpy()[keep], pa.int64()),
+            "eid": pa.array(
+                b[id_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[keep], pa.int64()),
+            "ci": pa.array(ti[keep], pa.int64()),
+        })
+
+    lut = np.array(chars)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "eid"])
+        seq = "".join(lut[g["ci"].to_numpy(np.int64)])
+        return pd.DataFrame({
+            key_col: [np.int64(g[key_col].iloc[0])],
+            "n_matches": [np.int64(len(rx.findall(seq)))],
+        })
+
+    return (events_ds.map_batches(project, batch_format="pyarrow",
+                                  batch_size=65536)
+            .groupby(key_col)
+            .map_groups(per_user, batch_format="pandas"))

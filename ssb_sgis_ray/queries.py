@@ -7411,6 +7411,36 @@ JOIN c ac ON ac.a = ab.a AND ac.b = bc.b
 """
 
 
+def q_event_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per user, count non-overlapping VC+P runs
+    (a view, one-or-more clicks, then a purchase) in the (ts, event_id)-
+    ordered event sequence. The kept pattern class (greedy == longest)
+    keeps python-re and RE2/DuckDB match sets identical."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return rel.event_pattern_count(
+        ds, r"VC+P", {"view": "V", "click": "C", "purchase": "P"})
+
+
+SQL_EVENT_PATTERN = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'V'
+                                    WHEN 'click' THEN 'C'
+                                    ELSE 'P' END, ''
+                    ORDER BY epoch_us(ts), event_id) AS seq
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'VC+P')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7591,6 +7621,7 @@ REGISTRY: dict[str, tuple] = {
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "triangles": (q_triangles, SQL_TRIANGLES),
+    "event_pattern": (q_event_pattern, SQL_EVENT_PATTERN),
 }
 
 

@@ -251,3 +251,26 @@ def test_retention_consecutive_only(ray_session):
     assert out["win"].tolist() == [0, 1, 2, 3]
     assert out["n_active"].tolist() == [2, 2, 1, 1]
     assert out["n_retained"].tolist() == [1, 0, 0, 0]
+
+
+def test_event_pattern_order_and_overlap(ray_session):
+    import ray.data as rd
+
+    # u1 sequence (ts order, eid tiebreak at ts=5): V C C P V P  ->
+    # one VC+P match (second VP has no click). u2: VCP VCP -> 2.
+    rows = [
+        (1, 1, "view", 10), (1, 2, "click", 11), (1, 5, "click", 12),
+        (1, 5, "purchase", 13), (1, 6, "view", 14), (1, 7, "purchase", 15),
+        (2, 1, "view", 20), (2, 2, "click", 21), (2, 3, "purchase", 22),
+        (2, 4, "view", 23), (2, 5, "click", 24), (2, 6, "purchase", 25),
+        (3, 1, "error", 30),  # unmapped type only -> user absent
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                     "event_id"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    out = (rel.event_pattern_count(
+        rd.from_pandas(df), r"VC+P",
+        {"view": "V", "click": "C", "purchase": "P"})
+        .to_pandas().sort_values("user_id"))
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_matches"].tolist() == [1, 2]
