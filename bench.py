@@ -129,6 +129,8 @@ def run_bench() -> dict:
         # DAU / retention / per-group exact percentiles / 3-table join
         "active_users", "retention", "grouped_quantiles",
         "segment_revenue",
+        # iterative + combinatorial graph ops, CEP pattern matching
+        "pagerank", "triangles", "event_pattern", "length_histogram",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
