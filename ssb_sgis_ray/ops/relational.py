@@ -817,3 +817,58 @@ def event_pattern_count(events_ds, pattern: str, initials: dict,
                                   batch_size=65536)
             .groupby(key_col)
             .map_groups(per_user, batch_format="pandas"))
+
+
+def salted_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+                salt: int = 8, left_salt_col: str | None = None,
+                num_partitions: int = 32, left_cols=None, right_cols=None):
+    """Hot-key-safe equi-join: when one join key carries a large share of
+    the left side (a hub vertex, a null-like default, a celebrity user),
+    a plain hash join lands that key's entire mass on ONE partition.
+    Salting splits it: left rows get a deterministic salt in [0, salt)
+    (hashed from ``left_salt_col``, or from the row's own key when
+    omitted — pass a high-cardinality column for real skew relief),
+    right rows REPLICATE once per salt value, and the join runs on the
+    packed (key, salt) composite — same rows out, 1/salt of the hot
+    key's mass per partition, at the cost of a salt-times-larger right
+    side (use only when the right side is the small one).
+    """
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+    if left_cols is not None:
+        left_ds = left_ds.select_columns(
+            [on] + [c for c in left_cols if c != on and c != left_salt_col]
+            + ([left_salt_col] if left_salt_col else []))
+    if right_cols is not None:
+        right_ds = right_ds.select_columns(
+            [right_on] + [c for c in right_cols if c != right_on])
+
+    mult = np.int64(salt)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = (b[left_salt_col].to_numpy(zero_copy_only=False).astype(np.int64)
+               if left_salt_col else k)
+        sid = ((src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)).astype(np.int64) % mult
+        out = {"_sk": pa.array(k * mult + sid, pa.int64())}
+        for name in b.column_names:
+            out[name] = b[name]
+        return pa.table(out)
+
+    def expand_right(b: pa.Table) -> pa.Table:
+        k = b[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        idx = np.repeat(np.arange(n), salt)
+        sid = np.tile(np.arange(salt, dtype=np.int64), n)
+        out = {"_sk": pa.array(k[idx] * mult + sid, pa.int64())}
+        for name in b.column_names:
+            if name != right_on:
+                out[name] = b[name].take(pa.array(idx))
+        return pa.table(out)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(expand_right, batch_format="pyarrow")
+    joined = hash_join(lt, rt, on="_sk", num_partitions=num_partitions)
+    return joined.drop_columns(["_sk"])

@@ -7441,6 +7441,84 @@ FROM s
 """
 
 
+def q_salted_hub_join(sf_dir: str):
+    """Skewed join handled by salting: a synthetic hub key (every third
+    lineitem collapses to key 0 — one key carries ~a third of the left
+    side) joined against the distinct-key dimension. The salt splits the
+    hub's mass across partitions while the rollup proves the result
+    matches the unsalted semantics exactly."""
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def hub(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = np.where(k % 3 == 0, 0, k)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "hk": pa.array(hk, pa.int64()),
+            "uid": pa.array(k * 8 + ln, pa.int64()),
+        })
+
+    left = li.map_batches(hub, batch_format="pyarrow")
+
+    od = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"])
+
+    def dim(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = np.unique(np.where(k % 3 == 0, 0, k))
+        return pa.table({
+            "dk": pa.array(hk, pa.int64()),
+            "dval": pa.array(hk * 7 + 1, pa.int64()),
+        })
+
+    # per-batch unique + exact distinct via a tiny groupby-free partial
+    # merge (keys are unique per batch already; duplicates only across
+    # batches — dedup in the rollup would double-count, so dedup here)
+    dimt = od.map_batches(dim, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates("dk")
+    dim_ds = _rd().from_pandas(dimt)
+
+    joined = rel.salted_join(left, dim_ds, on="hk", right_on="dk",
+                             salt=8, left_salt_col="uid")
+
+    def measure(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            "dval": b["dval"],
+        })
+
+    out = rel.grouped_sums(
+        joined.map_batches(measure, batch_format="pyarrow"),
+        ["one"], ["dval"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": t["n_rows"],
+            "dval_sum": t["dval"],
+        })
+
+    return rename(out if isinstance(out, pa.Table)
+                  else out.to_pandas().pipe(pa.Table.from_pandas))
+
+
+SQL_SALTED_HUB_JOIN = """
+WITH l2 AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_orderkey END AS hk
+  FROM lineitem
+),
+d AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE o_orderkey END
+         AS dk
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(d.dk * 7 + 1) AS BIGINT) AS dval_sum
+FROM l2 JOIN d ON l2.hk = d.dk
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7622,6 +7700,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "triangles": (q_triangles, SQL_TRIANGLES),
     "event_pattern": (q_event_pattern, SQL_EVENT_PATTERN),
+    "salted_hub_join": (q_salted_hub_join, SQL_SALTED_HUB_JOIN),
 }
 
 

@@ -274,3 +274,23 @@ def test_event_pattern_order_and_overlap(ray_session):
         .to_pandas().sort_values("user_id"))
     assert out["user_id"].tolist() == [1, 2]
     assert out["n_matches"].tolist() == [1, 2]
+
+
+def test_salted_join_matches_plain(ray_session):
+    import ray.data as rd
+
+    # hot key 0 on the left; salted result must equal the plain join
+    left = pd.DataFrame({
+        "k": [0] * 20 + [1, 2, 3],
+        "uid": np.arange(23, dtype=np.int64),
+        "lv": np.arange(23, dtype=np.int64) * 10,
+    })
+    right = pd.DataFrame({"k": [0, 2, 9], "rv": [100, 200, 900]})
+    got = (rel.salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", salt=4, left_salt_col="uid",
+                           num_partitions=4)
+           .to_pandas().sort_values(["k", "uid"]).reset_index(drop=True))
+    want = left.merge(right, on="k").sort_values(["k", "uid"]) \
+        .reset_index(drop=True)
+    assert got["uid"].tolist() == want["uid"].tolist()
+    assert got["rv"].tolist() == want["rv"].tolist()
