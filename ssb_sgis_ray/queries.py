@@ -7519,6 +7519,123 @@ FROM l2 JOIN d ON l2.hk = d.dk
 """
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit (the dbt-style data-quality check):
+    count lineitems whose order key is missing from a deliberately
+    corrupted orders dimension (keys % 7 == 0 dropped), per return flag.
+    Anti-semi-join via the broadcast membership filter — the big side
+    streams through one vectorized searchsorted, no join exchange."""
+    from .ops import lookup as lookup_ops
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+    )
+    od = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"])
+
+    def keep_noncorrupt(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(k % 7 != 0))
+
+    orphans = lookup_ops.membership_filter(
+        li, od.map_batches(keep_noncorrupt, batch_format="pyarrow"),
+        "l_orderkey", small_key="o_orderkey", anti=True)
+
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+        })
+
+    out = rel.grouped_sums(
+        orphans.map_batches(one, batch_format="pyarrow"),
+        ["l_returnflag"], ["n"])
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return pa.table({
+        "l_returnflag": pa.array(df["l_returnflag"], pa.string()),
+        "n_orphans": pa.array(df["n"].astype(np.int64), pa.int64()),
+    })
+
+
+SQL_FK_VIOLATIONS = """
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 7 != 0
+)
+GROUP BY l.l_returnflag
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust-statistics curation pass: exact median and median absolute
+    deviation (MAD) of the event value (cents) via two histogram-
+    refinement k-selects (zero shuffle each), then the count of rows
+    beyond 5 x MAD — the outlier-clipping rule that doesn't blow up on
+    heavy tails like a stddev rule does."""
+    from .ops import quantile as quant
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    prepared = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    n = prepared.count()
+    med = int(quant.exact_kth_smallest(
+        prepared, "v", ranks=[(50 * n + 99) // 100])[0])
+
+    def absdev(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.abs(v - med), pa.int64())})
+
+    devs = prepared.map_batches(absdev, batch_format="pyarrow").materialize()
+    mad = int(quant.exact_kth_smallest(
+        devs, "v", ranks=[(50 * n + 99) // 100])[0])
+
+    def count_out(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int((np.abs(v - med) > 5 * mad).sum())], pa.int64())})
+
+    n_out = prepared.map_batches(
+        count_out, batch_format="pyarrow").sum("n") or 0
+    return pa.table({
+        "median": pa.array([med], pa.int64()),
+        "mad": pa.array([mad], pa.int64()),
+        "n_outliers": pa.array([int(n_out)], pa.int64()),
+    })
+
+
+SQL_MAD_OUTLIERS = """
+WITH t AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+m AS (
+  SELECT v AS med FROM (
+    SELECT v, row_number() OVER (ORDER BY v) AS rk,
+           count(*) OVER () AS n
+    FROM t
+  ) WHERE rk = (50 * n + 99) // 100
+),
+d AS (SELECT abs(t.v - m.med) AS av, m.med FROM t, m),
+md AS (
+  SELECT av AS mad FROM (
+    SELECT av, row_number() OVER (ORDER BY av) AS rk,
+           count(*) OVER () AS n
+    FROM d
+  ) WHERE rk = (50 * n + 99) // 100
+)
+SELECT m.med AS median, md.mad AS mad,
+       CAST((SELECT count(*) FROM d, md WHERE d.av > 5 * md.mad)
+            AS BIGINT) AS n_outliers
+FROM m, md
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7701,6 +7818,8 @@ REGISTRY: dict[str, tuple] = {
     "triangles": (q_triangles, SQL_TRIANGLES),
     "event_pattern": (q_event_pattern, SQL_EVENT_PATTERN),
     "salted_hub_join": (q_salted_hub_join, SQL_SALTED_HUB_JOIN),
+    "fk_violations": (q_fk_violations, SQL_FK_VIOLATIONS),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
 }
 
 
