@@ -7636,6 +7636,77 @@ FROM m, md
 """
 
 
+def q_image_entropy(sf_dir: str):
+    """Low-information image filter: per png image, an integer entropy
+    proxy per channel — sum over histogram counts c of c*floor(log2 c)
+    (floor-log2 is the engine's no-float convention; LOW values = flat /
+    synthetic images a curation pass drops). Decoded per actor, one
+    bincount per channel; the oracle rebuilds every pixel and the exact
+    same integer sum."""
+    from .codecs import png as png_codec
+    from .sources import images as img_src  # noqa: F401
+
+    pows = 2 ** np.arange(63, dtype=np.int64)
+
+    def ent(counts: np.ndarray) -> int:
+        c = counts[counts > 0].astype(np.int64)
+        return int((c * (np.searchsorted(pows, c, side="right") - 1)).sum())
+
+    def stage(b: pa.Table) -> pa.Table:
+        fmts = b["fmt"].to_pylist()
+        blobs = b["bytes"].to_pylist()
+        ids = b["image_id"].to_pylist()
+        out_id, e0, e1, e2 = [], [], [], []
+        for i, fmt in enumerate(fmts):
+            if fmt != "png":
+                continue
+            img = png_codec.decode_png(blobs[i])
+            out_id.append(ids[i])
+            for ch, acc in ((0, e0), (1, e1), (2, e2)):
+                acc.append(ent(np.bincount(
+                    img[:, :, ch].reshape(-1), minlength=256)))
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "ent_r": pa.array(e0, pa.int64()),
+            "ent_g": pa.array(e1, pa.int64()),
+            "ent_b": pa.array(e2, pa.int64()),
+        })
+
+    return _images_ds(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=1024)
+
+
+SQL_IMAGE_ENTROPY = f"""
+WITH k AS (SELECT {IMAGE_ID_SQL} AS image_id, {CONTENT_KEY_SQL} AS ck
+           FROM documents),
+p AS (SELECT image_id, ck, 32 + (ck * 7) % 33 AS w, 32 + (ck * 11) % 33 AS h
+      FROM k WHERE ck % 2 = 0),
+xs AS (SELECT image_id, ck, h, unnest(generate_series(0, w - 1)) AS gx
+       FROM p),
+px AS (SELECT image_id, ck, gx, unnest(generate_series(0, h - 1)) AS gy
+       FROM xs),
+v AS (
+  SELECT image_id,
+         (3 * gx + 5 * gy + 13 * ck) % 256 AS vr,
+         (7 * gx + 2 * gy + 29 * ck) % 256 AS vg,
+         (4 * (gx + gy) + 53 * ck) % 256 AS vb
+  FROM px
+),
+hr AS (SELECT image_id, vr, count(*) AS c FROM v GROUP BY image_id, vr),
+hg AS (SELECT image_id, vg, count(*) AS c FROM v GROUP BY image_id, vg),
+hb AS (SELECT image_id, vb, count(*) AS c FROM v GROUP BY image_id, vb),
+er AS (SELECT image_id, CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT)
+              AS ent_r FROM hr GROUP BY image_id),
+eg AS (SELECT image_id, CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT)
+              AS ent_g FROM hg GROUP BY image_id),
+eb AS (SELECT image_id, CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT)
+              AS ent_b FROM hb GROUP BY image_id)
+SELECT er.image_id, er.ent_r, eg.ent_g, eb.ent_b
+FROM er JOIN eg ON eg.image_id = er.image_id
+JOIN eb ON eb.image_id = er.image_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7820,6 +7891,7 @@ REGISTRY: dict[str, tuple] = {
     "salted_hub_join": (q_salted_hub_join, SQL_SALTED_HUB_JOIN),
     "fk_violations": (q_fk_violations, SQL_FK_VIOLATIONS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "image_entropy": (q_image_entropy, SQL_IMAGE_ENTROPY),
 }
 
 
