@@ -872,3 +872,93 @@ def salted_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     rt = right_ds.map_batches(expand_right, batch_format="pyarrow")
     joined = hash_join(lt, rt, on="_sk", num_partitions=num_partitions)
     return joined.drop_columns(["_sk"])
+
+
+def interval_join(points_ds, intervals_ds, *, t_col: str = "ts_us",
+                  point_id: str = "event_id", interval_id: str = "iid",
+                  start_col: str = "s", end_col: str = "e",
+                  bucket_us: int = 3_600_000_000):
+    """Range (interval) join — the operator class Ray Data has no native
+    form of: every (point, interval) pair with start <= t < end
+    (half-open, int64 microseconds). The maintenance-window /
+    validity-period join.
+
+    Plan: intervals REPLICATE to every time bucket they overlap (cost
+    ~len/bucket_us + 1 replicas — pick bucket_us at or above the typical
+    interval length), points map to their one bucket, both sides
+    co-partition in ONE bucket-keyed shuffle (tagged union), and the
+    in-group kernel emits matches with one vectorized mask per in-bucket
+    interval — linear in (intervals x points-in-their-buckets), never an
+    all-pairs cross. Output: (point_id, interval_id, t_us)."""
+    import ray.data as rd
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        t = b[t_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = b[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bk": pa.array(t // np.int64(bucket_us), pa.int64()),
+            "side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            "rid": pa.array(pid, pa.int64()),
+            "lo": pa.array(t, pa.int64()),
+            "hi": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+        })
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        s = b[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        iid = b[interval_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = e > s
+        s, e, iid = s[ok], e[ok], iid[ok]
+        b0 = s // np.int64(bucket_us)
+        b1 = (e - 1) // np.int64(bucket_us)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        return pa.table({
+            "bk": pa.array(b0[idx] + off, pa.int64()),
+            "side": pa.array(np.ones(len(idx), np.int8), pa.int8()),
+            "rid": pa.array(iid[idx], pa.int64()),
+            "lo": pa.array(s[idx], pa.int64()),
+            "hi": pa.array(e[idx], pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "bk": pa.array([], pa.int64()),
+        "side": pa.array([], pa.int8()),
+        "rid": pa.array([], pa.int64()),
+        "lo": pa.array([], pa.int64()),
+        "hi": pa.array([], pa.int64()),
+    }))
+    tagged = (points_ds.map_batches(tag_points, batch_format="pyarrow")
+              .union(intervals_ds.map_batches(tag_intervals,
+                                              batch_format="pyarrow"))
+              .union(seed))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["side"] == 0]
+        ivs = g[g["side"] == 1]
+        if pts.empty or ivs.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in (point_id, interval_id, "t_us")})
+        t = pts["lo"].to_numpy(np.int64)
+        pid = pts["rid"].to_numpy(np.int64)
+        out_p, out_i, out_t = [], [], []
+        for s, e, iid in zip(ivs["lo"].to_numpy(np.int64),
+                             ivs["hi"].to_numpy(np.int64),
+                             ivs["rid"].to_numpy(np.int64)):
+            m = (t >= s) & (t < e)
+            if m.any():
+                out_p.append(pid[m])
+                out_i.append(np.full(int(m.sum()), iid, np.int64))
+                out_t.append(t[m])
+        if not out_p:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in (point_id, interval_id, "t_us")})
+        return pd.DataFrame({
+            point_id: np.concatenate(out_p),
+            interval_id: np.concatenate(out_i),
+            "t_us": np.concatenate(out_t),
+        })
+
+    return tagged.groupby("bk").map_groups(kernel, batch_format="pandas")

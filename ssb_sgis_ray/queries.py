@@ -7707,6 +7707,54 @@ JOIN eb ON eb.image_id = er.image_id
 """
 
 
+def q_interval_join(sf_dir: str):
+    """Range join: events against part-key-derived maintenance windows
+    (1-4 minute intervals scattered over the event month) — every
+    (event, window) pair with start <= ts < end. Intervals replicate per
+    overlapped hour bucket; one co-partitioned shuffle."""
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def ts_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+        })
+
+    pt = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+    T0 = np.int64(1_704_067_200_000_000)  # 2024-01-01 epoch us
+    MIN = np.int64(60_000_000)
+
+    def windows(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (k * 7919) % np.int64(43_200)  # minute offset in Jan 2024
+        dur = 1 + k % 4
+        return pa.table({
+            "iid": pa.array(k, pa.int64()),
+            "s": pa.array(T0 + off * MIN, pa.int64()),
+            "e": pa.array(T0 + (off + dur) * MIN, pa.int64()),
+        })
+
+    return rel.interval_join(
+        ev.map_batches(ts_us, batch_format="pyarrow"),
+        pt.map_batches(windows, batch_format="pyarrow"))
+
+
+SQL_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT p_partkey AS iid,
+         1704067200000000 + ((p_partkey * 7919) % 43200) * 60000000 AS s,
+         1704067200000000
+         + ((p_partkey * 7919) % 43200 + 1 + p_partkey % 4) * 60000000 AS e
+  FROM part
+)
+SELECT ev.event_id, iv.iid, epoch_us(ev.ts) AS t_us
+FROM events ev JOIN iv
+  ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7892,6 +7940,7 @@ REGISTRY: dict[str, tuple] = {
     "fk_violations": (q_fk_violations, SQL_FK_VIOLATIONS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "image_entropy": (q_image_entropy, SQL_IMAGE_ENTROPY),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
 }
 
 

@@ -294,3 +294,26 @@ def test_salted_join_matches_plain(ray_session):
         .reset_index(drop=True)
     assert got["uid"].tolist() == want["uid"].tolist()
     assert got["rv"].tolist() == want["rv"].tolist()
+
+
+def test_interval_join_bucket_spans_and_boundaries(ray_session):
+    import ray.data as rd
+
+    B = 100  # tiny bucket so intervals span several buckets
+    pts = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts_us": np.array([50, 100, 250, 399, 400, 999], np.int64),
+    })
+    ivs = pd.DataFrame({
+        "iid": np.array([1, 2, 3], np.int64),
+        "s": np.array([100, 0, 950], np.int64),    # iid1 spans 3 buckets
+        "e": np.array([400, 60, 1000], np.int64),  # half-open ends
+    })
+    out = (rel.interval_join(rd.from_pandas(pts), rd.from_pandas(ivs),
+                             bucket_us=B)
+           .to_pandas().sort_values(["event_id", "iid"])
+           .reset_index(drop=True))
+    # t=100 in iid1 (start inclusive), t=399 in iid1, t=400 NOT (end
+    # exclusive); t=50 in iid2 [0,60); t=999 in iid3 [950,1000)
+    got = list(zip(out["event_id"], out["iid"]))
+    assert got == [(0, 2), (1, 1), (2, 1), (3, 1), (5, 3)]
