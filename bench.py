@@ -131,6 +131,9 @@ def run_bench() -> dict:
         "segment_revenue",
         # iterative + combinatorial graph ops, CEP pattern matching
         "pagerank", "triangles", "event_pattern", "length_histogram",
+        # range join, skew-salted join, data quality, robust stats
+        "interval_join", "salted_hub_join", "fk_violations",
+        "mad_outliers", "image_entropy",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
