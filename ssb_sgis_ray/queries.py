@@ -7736,9 +7736,14 @@ def q_interval_join(sf_dir: str):
             "e": pa.array(T0 + (off + dur) * MIN, pa.int64()),
         })
 
-    return rel.interval_join(
+    out = rel.interval_join(
         ev.map_batches(ts_us, batch_format="pyarrow"),
-        pt.map_batches(windows, batch_format="pyarrow"))
+        pt.map_batches(windows, batch_format="pyarrow")).to_pandas()
+    if out.empty and "event_id" not in out.columns:
+        # an all-empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({c: pd.Series(dtype="int64")
+                            for c in ("event_id", "iid", "t_us")})
+    return out
 
 
 SQL_INTERVAL_JOIN = """

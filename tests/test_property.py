@@ -352,3 +352,40 @@ def test_myers_levenshtein_matches_dp(a, b):
     # metric axioms the bit algorithm must preserve
     assert d == myers_levenshtein(b, a)
     assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pts=st.lists(st.integers(0, 999), min_size=0, max_size=30),
+    ivs=st.lists(st.tuples(st.integers(0, 999), st.integers(1, 400)),
+                 min_size=0, max_size=10),
+    bucket=st.sampled_from([64, 100, 250, 1000]),
+)
+def test_interval_join_matches_bruteforce(ray_session, pts, ivs, bucket):
+    import ray.data as rd
+
+    pdf = pd.DataFrame({
+        "event_id": np.arange(len(pts), dtype=np.int64),
+        "ts_us": np.asarray(pts, np.int64),
+    })
+    idf = pd.DataFrame({
+        "iid": np.arange(len(ivs), dtype=np.int64),
+        "s": np.asarray([s for s, _ in ivs], np.int64),
+        "e": np.asarray([s + d for s, d in ivs], np.int64),
+    })
+    got = rel.interval_join(
+        rd.from_pandas(pdf) if len(pdf) else
+        rd.from_arrow(pa.table({"event_id": pa.array([], pa.int64()),
+                                "ts_us": pa.array([], pa.int64())})),
+        rd.from_pandas(idf) if len(idf) else
+        rd.from_arrow(pa.table({"iid": pa.array([], pa.int64()),
+                                "s": pa.array([], pa.int64()),
+                                "e": pa.array([], pa.int64())})),
+        bucket_us=bucket).to_pandas()
+    if got.empty and "event_id" not in got.columns:
+        got = pd.DataFrame({c: pd.Series(dtype="int64")
+                            for c in ("event_id", "iid", "t_us")})
+    want = {(int(p), int(i))
+            for p, t in zip(pdf["event_id"], pdf["ts_us"])
+            for i, (s, d) in enumerate(ivs) if s <= t < s + d}
+    assert set(zip(got["event_id"], got["iid"])) == want
