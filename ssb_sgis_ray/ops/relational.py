@@ -962,3 +962,46 @@ def interval_join(points_ds, intervals_ds, *, t_col: str = "ts_us",
         })
 
     return tagged.groupby("bk").map_groups(kernel, batch_format="pandas")
+
+
+def running_totals(events_ds, ts_col: str = "ts", key_col: str = "user_id",
+                   id_col: str = "event_id", val_col: str = "value",
+                   num_buckets: int = 256):
+    """Cumulative window aggregates — the ROWS UNBOUNDED PRECEDING class:
+    per event, the running count and running value total of its user's
+    history up to and including it, ordered by (ts, id) so equal
+    timestamps are deterministic. ONE user-bucket shuffle; the kernel
+    sorts each bucket once and computes every user's cumsum in a single
+    C-level grouped pass (a bucket holds whole users, so prefixes are
+    complete)."""
+
+    def project(b: pa.Table) -> pa.Table:
+        uid = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(
+            b[val_col].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "ub": pa.array(uid % np.int64(num_buckets), pa.int64()),
+            key_col: pa.array(uid, pa.int64()),
+            "ts_us": pa.array(b[ts_col].cast(pa.int64()).to_numpy(),
+                              pa.int64()),
+            id_col: pa.array(
+                b[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "value_c": pa.array(v, pa.int64()),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "ts_us", id_col])
+        grp = g.groupby(key_col, sort=False)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            key_col: g[key_col].to_numpy(np.int64),
+            "run_n": grp.cumcount().to_numpy() + 1,
+            "run_value_c": grp["value_c"].cumsum().to_numpy(np.int64),
+        })
+
+    return (events_ds.map_batches(project, batch_format="pyarrow",
+                                  batch_size=65536)
+            .groupby("ub")
+            .map_groups(kernel, batch_format="pandas"))

@@ -7760,6 +7760,29 @@ FROM events ev JOIN iv
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Cumulative window aggregates (ROWS UNBOUNDED PRECEDING): per
+    event, its user's running count and running cents total, (ts,
+    event_id)-ordered. One user-bucket shuffle + a single grouped-cumsum
+    kernel pass."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rel.running_totals(ds)
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS run_n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS run_value_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7946,6 +7969,7 @@ REGISTRY: dict[str, tuple] = {
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "image_entropy": (q_image_entropy, SQL_IMAGE_ENTROPY),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
 }
 
 

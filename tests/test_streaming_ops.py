@@ -317,3 +317,20 @@ def test_interval_join_bucket_spans_and_boundaries(ray_session):
     # exclusive); t=50 in iid2 [0,60); t=999 in iid3 [950,1000)
     got = list(zip(out["event_id"], out["iid"]))
     assert got == [(0, 2), (1, 1), (2, 1), (3, 1), (5, 3)]
+
+
+def test_running_totals_tie_order(ray_session):
+    import ray.data as rd
+
+    # user 1: two events at the SAME ts -> event_id breaks the tie
+    df = pd.DataFrame({
+        "event_id": np.array([5, 3, 9], np.int64),
+        "user_id": np.array([1, 1, 1], np.int64),
+        "ts": pd.to_datetime([10, 10, 20], unit="us").astype("datetime64[us]"),
+        "value": [1.0, 2.0, 4.0],
+    })
+    out = (rel.running_totals(rd.from_pandas(df), num_buckets=2)
+           .to_pandas().sort_values("run_n"))
+    # order: (ts=10, id=3), (ts=10, id=5), (ts=20, id=9)
+    assert out["event_id"].tolist() == [3, 5, 9]
+    assert out["run_value_c"].tolist() == [200, 300, 700]
