@@ -7783,6 +7783,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 """
 
 
+def q_user_type_pivot(sf_dir: str):
+    """Pivot / crosstab: per user, one count column per event type (the
+    wide feature matrix a churn model trains on). Map-side (user, type)
+    combine bounds the exchange; the pivot itself is a reshape of the
+    bounded grouped result — no per-row conditional pass."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = ("click", "error", "purchase", "signup", "view")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return pa.Table.from_pandas(agg.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+    wide = agg.pivot_table(index="user_id", columns="event_type",
+                           values="n", fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=list(types), fill_value=0).reset_index()
+    wide.columns = ["user_id"] + [f"n_{t}" for t in types]
+    for c in wide.columns:
+        wide[c] = wide[c].astype(np.int64)
+    return wide
+
+
+SQL_USER_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # Ordered for the driver correctness sweep (caps at ~50 queries in
     # registry order): round-3 additions first, previously-unswept queries
@@ -7970,6 +8014,7 @@ REGISTRY: dict[str, tuple] = {
     "image_entropy": (q_image_entropy, SQL_IMAGE_ENTROPY),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "running_totals": (q_running_totals, SQL_RUNNING_TOTALS),
+    "user_type_pivot": (q_user_type_pivot, SQL_USER_TYPE_PIVOT),
 }
 
 
