@@ -548,7 +548,8 @@ def json_int_field_agg(events_ds, field: str = "k",
     """
     import pyarrow.compute as pc
 
-    pat = '"' + field + '":\\s*(?P<v>-?\\d+)'
+    import re as _re
+    pat = '"' + _re.escape(field) + '":\\s*(?P<v>-?\\d+)'
 
     def ext(b: pa.Table) -> pa.Table:
         s = pc.extract_regex(b[props_col], pat)
@@ -564,7 +565,7 @@ def json_int_field_agg(events_ds, field: str = "k",
 
 
 def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
-              join_type: str = "inner", num_partitions: int = 32,
+              join_type: str = "inner", num_partitions: int | None = None,
               left_cols=None, right_cols=None):
     """General large x large equi-join — the shuffle-join complement to
     lookup_join's broadcast plan (small right sides should keep using
@@ -576,6 +577,13 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     columns the caller never reads is wrong at any scale. Skewed hot keys
     inflate single partitions; salt upstream (the pip_pairs_salted
     pattern) when one key dominates."""
+    if num_partitions is None:
+        # Size aggregator-actor count to the session: 32 hash-shuffle
+        # aggregators deadlock outright on a 4-CPU session (DEVNOTES),
+        # so derive from cluster CPUs the way the pagerank join plan does.
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(32, cpus // 2))
     right_on = right_on or on
     if left_cols is not None:
         left_ds = left_ds.select_columns(
@@ -821,7 +829,8 @@ def event_pattern_count(events_ds, pattern: str, initials: dict,
 
 def salted_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
                 salt: int = 8, left_salt_col: str | None = None,
-                num_partitions: int = 32, left_cols=None, right_cols=None):
+                num_partitions: int | None = None,
+                left_cols=None, right_cols=None):
     """Hot-key-safe equi-join: when one join key carries a large share of
     the left side (a hub vertex, a null-like default, a celebrity user),
     a plain hash join lands that key's entire mass on ONE partition.
@@ -846,8 +855,19 @@ def salted_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
 
     mult = np.int64(salt)
 
+    def _guard_range(k: np.ndarray) -> None:
+        # k * salt + sid must stay inside int64: |key| >= 2^63/salt would
+        # wrap silently and join wrong rows (mirrors triangle_count's
+        # packed-key guard).
+        if len(k) and np.abs(k).max() >= 2**63 // salt:
+            raise ValueError(
+                f"salted_join: |key| max {np.abs(k).max()} exceeds the "
+                f"int64 packing range 2**63//salt ({2**63 // salt}); "
+                "reduce salt or pre-hash keys into a narrower range")
+
     def tag_left(b: pa.Table) -> pa.Table:
         k = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        _guard_range(k)
         src = (b[left_salt_col].to_numpy(zero_copy_only=False).astype(np.int64)
                if left_salt_col else k)
         sid = ((src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
@@ -859,6 +879,7 @@ def salted_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
 
     def expand_right(b: pa.Table) -> pa.Table:
         k = b[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        _guard_range(k)
         n = len(k)
         idx = np.repeat(np.arange(n), salt)
         sid = np.tile(np.arange(salt, dtype=np.int64), n)

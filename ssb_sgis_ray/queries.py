@@ -414,14 +414,14 @@ def q_overlay_diff_cell(sf_dir: str):
         parts(sf_dir), orders_ds(sf_dir), "p_partkey", "o_orderkey", res=10
     )
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+    def project(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy(zero_copy_only=False))
         area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
-        return pd.DataFrame(
-            {"p_partkey": b["p_partkey"].astype("int64"), "diff_area": area}
+        return pa.table(
+            {"p_partkey": b["p_partkey"].cast(pa.int64()), "diff_area": pa.array(area)}
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_overlay_difference_area(sf_dir: str):
@@ -431,14 +431,14 @@ def q_overlay_difference_area(sf_dir: str):
     an independent scanline oracle."""
     out = overlay_ops.clean_overlay(parts(sf_dir), orders_tbl(sf_dir), how="difference")
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+    def project(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy(zero_copy_only=False))
         area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
-        return pd.DataFrame(
-            {"p_partkey": b["p_partkey"].astype("int64"), "diff_area": area}
+        return pa.table(
+            {"p_partkey": b["p_partkey"].cast(pa.int64()), "diff_area": pa.array(area)}
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 # Klee sweep over axis rects in xy (no uv transform): covered area of a
@@ -640,14 +640,14 @@ def q_overlay_concave_diff(sf_dir: str):
     two-rect decomposition of each L."""
     out = overlay_ops.clean_overlay(parts_l(sf_dir), orders_tbl(sf_dir), how="difference")
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy())
+    def project(b: pa.Table) -> pa.Table:
+        pg = wkb.decode_polygons(b["geometry_wkb"].to_numpy(zero_copy_only=False))
         area = np.round(kernels.polygon_areas(pg)).astype(np.int64)
-        return pd.DataFrame(
-            {"p_partkey": b["p_partkey"].astype("int64"), "diff_area": area}
+        return pa.table(
+            {"p_partkey": b["p_partkey"].cast(pa.int64()), "diff_area": pa.array(area)}
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 SQL_OVERLAY_CONCAVE_DIFF = (
@@ -1978,16 +1978,20 @@ def q_dissolve_union_area(sf_dir: str):
     ds = dis.cluster_labels_ds(suppliers_ds(sf_dir), "s_suppkey")
     out = dis.dissolve_groups(ds, by=["cluster_label"])
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "cluster_label": b["cluster_label"].astype("int64"),
-                "n_members": b["n_members"].astype("int64"),
-                "union_area_i": np.round(b["union_area"].to_numpy()).astype(np.int64),
+                "cluster_label": b["cluster_label"].cast(pa.int64()),
+                "n_members": b["n_members"].cast(pa.int64()),
+                "union_area_i": pa.array(
+                    np.round(b["union_area"].to_numpy(zero_copy_only=False)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
-    return out.map_batches(project, batch_format="pandas")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -2606,6 +2610,45 @@ def q_minhash_keep(sf_dir: str):
         )
 
     return labels.map_batches(norm, batch_format="pyarrow")
+
+
+# ids offset beyond the 31-bit packed-key range (2^31 ≈ 2.147e9): proves
+# the pair machinery runs on the full int64 id range (r4 verdict #1 —
+# hashed pair super keys; arithmetic packing only behind its range guard).
+BIGID_OFFSET = 3_000_000_000
+
+
+def q_minhash_pairs_bigid(sf_dir: str):
+    """The q_minhash_pairs chain with every doc_id offset past 2^31.
+
+    Exercises the general (lexsort) leg of _pair_dedup_local and the
+    hashed _pair_hash_groups shuffle key — the 10^12-id north-rule
+    regime where the old packed-int64 plan silently wrapped."""
+
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.add(b["doc_id"].cast(pa.int64()), BIGID_OFFSET),
+                "text": b["text"],
+            }
+        )
+
+    docs = documents(sf_dir).map_batches(shift, batch_format="pyarrow")
+    pairs = dedup_ops.minhash_candidate_pairs(docs)
+    return dedup_ops.verify_pairs_jaccard(
+        pairs, docs, threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+
+
+# The id offset is order-preserving, so the verified pair set is the
+# small-id pair set shifted on both columns.
+SQL_MINHASH_PAIRS_BIGID = (
+    "WITH" + _minhash_cte_body() + _MINHASH_VERIFIED_PAIRS_CTES
+    + f"\nSELECT id_a + {BIGID_OFFSET} AS id_a,"
+    f" id_b + {BIGID_OFFSET} AS id_b FROM vpairs"
+)
 
 
 def q_repetition_stats(sf_dir: str):
@@ -7871,6 +7914,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "minhash_keep": (q_minhash_keep, SQL_MINHASH_KEEP),
+    "minhash_pairs_bigid": (q_minhash_pairs_bigid, SQL_MINHASH_PAIRS_BIGID),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
@@ -8019,30 +8063,19 @@ REGISTRY: dict[str, tuple] = {
 
 
 # The driver's correctness sweep caps at ~50 queries taken in REGISTRY
-# iteration order. Rounds 1-3 swept every entry that existed then (119
-# queries; CORRECTNESS_r0{1,2,3}.json), so the round-4 additions — never
-# yet driver-swept — are hoisted to the front of the iteration order;
-# the already-certified 119 follow.
-_ROUND4_UNSWEPT = [
-    "clip_score", "focal_hotspots", "dsir_select", "ann_pq",
-    "image_meta_filter", "ann_ivfpq", "heavy_hitters", "bigram_surprisal",
-    "semdedup", "quality_buckets", "tfidf_keywords", "embedding_outliers",
-    "top_bigrams", "mixture_sample", "span_dedup", "gram_matrix",
-    "tile_pyramid", "corpus_stats", "budget_select", "dedup_keep_best",
-    "sequence_pack", "decontaminate", "repetition_stats",
-    "elevation_gradient", "sentinel_mosaic", "kmeans_assign",
-    "grouped_centroids", "simhash_near_dup", "ngram_jaccard",
-    "stratified_sample", "route_frequencies", "od_cost_points_split",
-    "video_set_clusters", "funnel", "events_props_agg", "blocklist_filter",
-    "video_scene_cuts", "edit_distance_pairs", "label_recall",
-    "incremental_dedup", "orders_priority_revenue", "burst_windows",
-    "active_users", "retention",
-    "redact_props", "audio_fingerprint_groups", "filtered_ann",
-    "label_centroids", "segment_revenue", "length_histogram"
+# iteration order. Rounds 1-4 certified 169 of the 180 entries
+# (CORRECTNESS_r0{1,2,3,4}.json); the 11 never-driver-swept queries plus
+# round-5 additions are hoisted to the front of the iteration order so
+# CORRECTNESS_r5 certifies them; the already-certified set follows.
+_ROUND5_UNSWEPT = [
+    "event_pattern", "fk_violations", "grouped_quantiles", "image_entropy",
+    "interval_join", "mad_outliers", "pagerank", "running_totals",
+    "salted_hub_join", "triangles", "user_type_pivot",
+    "minhash_pairs_bigid",
 ]
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _ROUND4_UNSWEPT},
-    **{k: v for k, v in REGISTRY.items() if k not in set(_ROUND4_UNSWEPT)},
+    **{k: REGISTRY[k] for k in _ROUND5_UNSWEPT},
+    **{k: v for k, v in REGISTRY.items() if k not in set(_ROUND5_UNSWEPT)},
 }
 
 

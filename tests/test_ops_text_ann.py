@@ -1559,3 +1559,61 @@ def test_ann_ivfpq_matches_brute_force(ray_session):
                         int(r["pq_rank"])) for _, r in g.iterrows()]
                 assert got == want[qi], (nprobe, parts, qi)
             assert set(out[out["query_id"] == 0]["vec_id"]) <= eligible_q0
+
+
+def test_pair_dedup_local_bigid_matches_packed():
+    """_pair_dedup_local: the lexsort (full-int64) leg must return exactly
+    the packed-fast-path result shifted — proves the r4 31-bit packing
+    ceiling is gone without changing small-id behavior (r4 verdict #1)."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 1000, size=5000).astype(np.int64)
+    b = rng.integers(0, 1000, size=5000).astype(np.int64)
+    sa, sb = dedup_ops._pair_dedup_local(a, b)  # packed fast path
+    big = np.int64(3_000_000_000)  # > 2^31: forces the lexsort leg
+    la, lb = dedup_ops._pair_dedup_local(a + big, b + big)
+    np.testing.assert_array_equal(la, sa + big)
+    np.testing.assert_array_equal(lb, sb + big)
+    # negative ids also take the general leg
+    na, nb = dedup_ops._pair_dedup_local(a - 500, b - 500)
+    ref = np.unique(np.stack([a - 500, b - 500], axis=1), axis=0)
+    np.testing.assert_array_equal(na, ref[:, 0])
+    np.testing.assert_array_equal(nb, ref[:, 1])
+
+
+def test_pair_unique_counts_bigid():
+    """_pair_unique_counts multiplicity + representative index over ids
+    beyond 2^31, checked against a pandas groupby oracle."""
+    rng = np.random.default_rng(7)
+    base = np.int64(5_000_000_000)
+    a = base + rng.integers(0, 40, size=2000).astype(np.int64)
+    b = base + rng.integers(0, 40, size=2000).astype(np.int64)
+    ua, ub, counts, first = dedup_ops._pair_unique_counts(a, b)
+    df = pd.DataFrame({"a": a, "b": b}).groupby(["a", "b"]).size().reset_index()
+    np.testing.assert_array_equal(ua, df["a"].to_numpy())
+    np.testing.assert_array_equal(ub, df["b"].to_numpy())
+    np.testing.assert_array_equal(counts, df[0].to_numpy())
+    # the representative index points at a row holding that exact pair
+    np.testing.assert_array_equal(a[first], ua)
+    np.testing.assert_array_equal(b[first], ub)
+
+
+def test_distinct_pairs_bigid_both_plans(ray_session, monkeypatch):
+    """distinct_pairs end-to-end with ids beyond 2^31 on BOTH the driver
+    fast path and the forced distributed groupby(super) path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    big = np.int64(7_000_000_000)
+    a = big + rng.integers(0, 50, size=n).astype(np.int64)
+    b = big + rng.integers(0, 50, size=n).astype(np.int64)
+    pairs = pd.DataFrame({"id_a": a, "id_b": b})
+    want = (pairs.drop_duplicates().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    small = (dedup_ops.distinct_pairs(rd.from_pandas(pairs).repartition(4))
+             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(small, want)
+    monkeypatch.setattr(dedup_ops, "SMALL_VERIFY_PAIRS", 0)
+    dist = (dedup_ops.distinct_pairs(rd.from_pandas(pairs).repartition(4))
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(dist, want)
