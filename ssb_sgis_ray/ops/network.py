@@ -292,6 +292,162 @@ class _CloseHolesActor:
         )
 
 
+NODE_BROADCAST_LIMIT = 5_000_000  # node rows the driver may materialize
+_CELL_GROUPS = 4096  # hashed-cell shuffle groups for the fallback plan
+
+
+def _close_holes_distributed(nodes, max_distance: float, max_angle: float,
+                             deadends_only: bool):
+    """Cell-co-partitioned fallback for close_network_holes beyond
+    NODE_BROADCAST_LIMIT (the connected_components envelope discipline,
+    r4 verdict #3): candidate nodes key to their max_distance-sized grid
+    cell, deadends replicate to the 3x3 cell neighborhood, ONE
+    cell-keyed shuffle co-partitions both sides, the per-cell kernel
+    finds each deadend copy's nearest eligible candidate, and a coarse
+    groupby picks each deadend's global minimum with the broadcast
+    kernel's exact (distance, node_key) lexicographic tiebreak. Cell
+    keys are HASHED (full int64 coords); hash collisions merge cells —
+    extra distance-verified candidates, never wrong answers."""
+    inv = 1.0 / max_distance
+
+    def cell_hash(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (cx.astype(np.int64).view(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+            h ^= (cy.astype(np.int64).view(np.uint64)
+                  * np.uint64(0xC2B2AE3D27D4EB4F))
+            h ^= h >> np.uint64(31)
+        return (h % np.uint64(_CELL_GROUPS)).astype(np.int64)
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        deg = b["degree"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(deg == 1)[0] if deadends_only else np.arange(len(deg))
+        x = b["x"].to_numpy(zero_copy_only=False)[sel]
+        y = b["y"].to_numpy(zero_copy_only=False)[sel]
+        nk = b["node_key"].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        cx = np.floor(x * inv).astype(np.int64)
+        cy = np.floor(y * inv).astype(np.int64)
+        z = np.zeros(len(sel))
+        return pa.table({
+            "cell": pa.array(cell_hash(cx, cy), pa.int64()),
+            "side": pa.array(np.ones(len(sel), np.int8), pa.int8()),
+            "node_key": pa.array(nk, pa.int64()),
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64()),
+            "dx": pa.array(z, pa.float64()),
+            "dy": pa.array(z, pa.float64()),
+            "line_id": pa.array(np.zeros(len(sel), np.int64), pa.int64()),
+        })
+
+    def tag_dead(b: pa.Table) -> pa.Table:
+        deg = b["degree"].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(deg == 1)[0]
+        x = b["x"].to_numpy(zero_copy_only=False)[sel]
+        y = b["y"].to_numpy(zero_copy_only=False)[sel]
+        n = len(sel)
+        idx = np.repeat(np.arange(n), 9)
+        di = np.tile(np.repeat(np.array([-1, 0, 1], np.int64), 3), n)
+        dj = np.tile(np.tile(np.array([-1, 0, 1], np.int64), 3), n)
+        cx = np.floor(x * inv).astype(np.int64)[idx] + di
+        cy = np.floor(y * inv).astype(np.int64)[idx] + dj
+
+        def take(col, dtype):
+            return pa.array(
+                b[col].to_numpy(zero_copy_only=False)[sel][idx], dtype)
+
+        return pa.table({
+            "cell": pa.array(cell_hash(cx, cy), pa.int64()),
+            "side": pa.array(np.zeros(9 * n, np.int8), pa.int8()),
+            "node_key": pa.array(
+                b["node_key"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[sel][idx], pa.int64()),
+            "x": pa.array(x[idx], pa.float64()),
+            "y": pa.array(y[idx], pa.float64()),
+            "dx": take("dx", pa.float64()),
+            "dy": take("dy", pa.float64()),
+            "line_id": take("line_id", pa.int64()),
+        })
+
+    both = nodes.map_batches(tag_cand, batch_format="pyarrow").union(
+        nodes.map_batches(tag_dead, batch_format="pyarrow"))
+
+    empty = pd.DataFrame({
+        "line_id": pd.Series([], dtype="int64"),
+        "from_node": pd.Series([], dtype="int64"),
+        "to_node": pd.Series([], dtype="int64"),
+        "hole_dist": pd.Series([], dtype="float64"),
+    })
+
+    def cell_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        dmask = side == 0
+        cmask = ~dmask
+        if not dmask.any() or not cmask.any():
+            return empty
+        dxr = g["x"].to_numpy()[dmask]
+        dyr = g["y"].to_numpy()[dmask]
+        dk = g["node_key"].to_numpy()[dmask].astype(np.int64)
+        ddx = g["dx"].to_numpy()[dmask]
+        ddy = g["dy"].to_numpy()[dmask]
+        dl = g["line_id"].to_numpy()[dmask].astype(np.int64)
+        cx_ = g["x"].to_numpy()[cmask]
+        cy_ = g["y"].to_numpy()[cmask]
+        ck = g["node_key"].to_numpy()[cmask].astype(np.int64)
+        # brute pairwise within the cell (cell edge = max_distance keeps
+        # this dense block bounded by local point density)
+        ex = cx_[None, :] - dxr[:, None]
+        ey = cy_[None, :] - dyr[:, None]
+        dist = np.hypot(ex, ey)
+        ok = (dist <= max_distance) & (ck[None, :] != dk[:, None])
+        if max_angle < 180.0:
+            dot = ex * ddx[:, None] + ey * ddy[:, None]
+            nrm = dist * np.hypot(ddx, ddy)[:, None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ang = np.degrees(np.arccos(
+                    np.clip(dot / np.where(nrm > 0, nrm, 1.0), -1, 1)))
+            ok &= ang <= max_angle
+        ri, ci = np.nonzero(ok)
+        if len(ri) == 0:
+            return empty
+        d = dist[ri, ci]
+        order = np.lexsort((ck[ci], d, ri))
+        first = np.nonzero(np.concatenate(
+            [[True], ri[order][1:] != ri[order][:-1]]))[0]
+        sel = order[first]
+        return pd.DataFrame({
+            "line_id": dl[ri[sel]],
+            "from_node": dk[ri[sel]],
+            "to_node": ck[ci[sel]],
+            "hole_dist": d[sel],
+        })
+
+    per_cell = both.groupby("cell").map_groups(
+        cell_kernel, batch_format="pandas")
+
+    def add_sg(b: pa.Table) -> pa.Table:
+        nk = b["from_node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "sg", pa.array((nk % 512 + 512) % 512, pa.int64()))
+
+    def pick_global(g: pd.DataFrame) -> pd.DataFrame:
+        fn = g["from_node"].to_numpy().astype(np.int64)
+        d = g["hole_dist"].to_numpy()
+        tn = g["to_node"].to_numpy().astype(np.int64)
+        order = np.lexsort((tn, d, fn))
+        first = np.nonzero(np.concatenate(
+            [[True], fn[order][1:] != fn[order][:-1]]))[0]
+        sel = order[first]
+        return pd.DataFrame({
+            "line_id": g["line_id"].to_numpy().astype(np.int64)[sel],
+            "from_node": fn[sel],
+            "to_node": tn[sel],
+            "hole_dist": d[sel],
+        })
+
+    return (per_cell.map_batches(add_sg, batch_format="pyarrow")
+            .groupby("sg").map_groups(pick_global, batch_format="pandas"))
+
+
 def close_network_holes(lines_ds, id_col: str, tolerance: float,
                         max_distance: float, max_angle: float = 180.0,
                         deadends_only: bool = False, concurrency=None):
@@ -336,10 +492,17 @@ def close_network_holes(lines_ds, id_col: str, tolerance: float,
             }
         )
 
-    nodes = ends.groupby("super").map_groups(node_group, batch_format="pandas")
+    nodes = ends.groupby("super").map_groups(
+        node_group, batch_format="pandas").materialize()
+    if nodes.count() > NODE_BROADCAST_LIMIT:
+        # the one driver merge in this module that had no guard (r4
+        # verdict #3): beyond the envelope, run the cell-co-partitioned
+        # plan instead of materializing the node table
+        return _close_holes_distributed(
+            nodes, max_distance, max_angle, deadends_only)
     import ray
 
-    nodes_pd = nodes.to_pandas()  # broadcast node table (documented envelope)
+    nodes_pd = nodes.to_pandas()  # broadcast node table (guarded envelope)
     # close_network_holes_to_deadends (closing_network_holes.py:128-200):
     # candidate endpoints are restricted to OTHER deadends — the broadcast
     # lookup table is filtered to degree-1 nodes, everything else identical
@@ -791,15 +954,28 @@ def triangle_count(edges_ds, broadcast_limit: int = 20_000_000):
     signal). Edges arrive direction-expanded; triangles are counted once
     via the canonical a < b < c orientation.
 
-    Plan: the canonical edge set (a < b, deduped map-side) broadcasts as
-    a sorted packed int64 array (a*2^32+b requires node keys < 2^31 —
-    guarded); each batch of canonical edges then counts, for every edge
-    (a, b), the common neighbors c > b by one sorted-array intersection
-    — vectorized searchsorted, no joins. Beyond ``broadcast_limit``
-    canonical edges the right plan is the two-round join (orient, join
-    on the middle vertex, semi-join the closing edge); raise instead of
-    silently degrading."""
+    Two dispatched plans (r4 verdict #2):
+
+    BROADCAST (canonical edges <= ``broadcast_limit`` AND node keys fit
+    uint31): the globally-distinct edge set broadcasts as one sorted
+    packed int64 array (a*2^32+b); each edge batch then counts common
+    neighbors c > b with BATCH-vectorized searchsorted probes — the
+    per-edge neighbor slices are flattened into one candidate array per
+    batch (repeat/cumsum arithmetic), so there is no Python loop over
+    edges.
+
+    JOIN (beyond the limit, or ids beyond uint31 — full int64 range):
+    wedges a<b<c come from one hash self-join on the MIDDLE vertex
+    (edges keyed by hi meet edges keyed by lo, so a<b<c holds by
+    construction), and the closing (a, c) edge is confirmed by one more
+    multi-key hash join against the canonical set; the triangle count is
+    the match count. Both global dedups ride the full-int64 pair plan
+    (ops/dedup.distinct_pairs).
+    """
     import ray
+    import ray.data as rd
+
+    from .dedup import distinct_pairs
 
     def canon(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -809,56 +985,113 @@ def triangle_count(edges_ds, broadcast_limit: int = 20_000_000):
         keep = lo < hi  # drop self loops
         u = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
         return pa.table({
-            "a": pa.array(u[:, 0], pa.int64()),
-            "b": pa.array(u[:, 1], pa.int64()),
+            "id_a": pa.array(u[:, 0], pa.int64()),
+            "id_b": pa.array(u[:, 1], pa.int64()),
         })
 
-    cedges = edges_ds.map_batches(
-        canon, batch_format="pyarrow").materialize()
+    # per-batch canon dedup, then GLOBAL distributed distinct — an edge
+    # duplicated across batches would count its triangles more than once
+    # (caught r4 as a cpu-count-dependent off-by-N)
+    cedges = distinct_pairs(
+        edges_ds.map_batches(canon, batch_format="pyarrow")).materialize()
     n = cedges.count()
-    if n > broadcast_limit:
-        raise ValueError(
-            f"{n} canonical edges exceed broadcast_limit={broadcast_limit}"
-            " — use the join-plan variant for web-scale graphs")
-    # canon dedups per batch only; the GLOBAL dedup happens here — and the
-    # scan below must run over THIS deduped set, not cedges, or an edge
-    # duplicated across batches counts its triangles more than once
-    # (caught as a cpu-count-dependent off-by-N)
-    ct = cedges.to_pandas().drop_duplicates(["a", "b"])
-    a = ct["a"].to_numpy(np.int64)
-    bb = ct["b"].to_numpy(np.int64)
-    if len(a) and (a.max() >= 1 << 31 or bb.max() >= 1 << 31
-                   or a.min() < 0 or bb.min() < 0):
-        raise ValueError("node keys must fit uint31 for the packed "
-                         "broadcast — remap ids first")
+
+    def ids_fit_uint31(t: pa.Table) -> bool:
+        if t.num_rows == 0:
+            return True
+        import pyarrow.compute as pc
+
+        return (pc.min(t["id_a"]).as_py() >= 0
+                and pc.max(t["id_b"]).as_py() < 1 << 31)
+
+    if n <= broadcast_limit:
+        ct = cedges.to_pandas()
+        a = ct["id_a"].to_numpy(np.int64)
+        bb = ct["id_b"].to_numpy(np.int64)
+        if not len(a) or (a.min() >= 0 and a.max() < 1 << 31
+                          and bb.max() < 1 << 31):
+            return _triangle_broadcast(a, bb)
+        # ids beyond uint31: fall through to the packing-free join plan
+
+    return _triangle_join_plan(cedges)
+
+
+def _triangle_broadcast(a: np.ndarray, bb: np.ndarray) -> pa.Table:
+    """Broadcast-plan kernel: sorted packed edge array shipped once via
+    ray.put; per batch, every edge's candidate closing vertices are
+    gathered and probed in ONE flattened searchsorted pass."""
+    import ray
+    import ray.data as rd
+
     packed = np.sort(a * (1 << 32) + bb)
     ref = ray.put(packed)
 
     def count_batch(t: pa.Table) -> pa.Table:
         pk = ray.get(ref)
-        ea = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        total = 0
-        # neighbors-of-a greater than b: slice of the packed sorted array
-        for i in range(len(ea)):
-            lo_a = np.searchsorted(pk, ea[i] * (1 << 32))
-            hi_a = np.searchsorted(pk, (ea[i] + 1) * (1 << 32))
-            cand = pk[lo_a:hi_a] & ((1 << 32) - 1)   # neighbors c of a
-            cand = cand[cand > eb[i]]
-            # triangle iff (b, c) is also an edge
-            probe = eb[i] * (1 << 32) + cand
-            pos = np.searchsorted(pk, probe)
-            ok = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == probe)
-            total += int(ok.sum())
-        return pa.table({"n_tri": pa.array([total], pa.int64())})
-
-    import ray.data as rd
+        ea = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # neighbor slice [lo_i, hi_i) of each edge's a in the packed array
+        lo = np.searchsorted(pk, ea << 32)
+        hi = np.searchsorted(pk, (ea + 1) << 32)
+        cnt = hi - lo
+        total_c = int(cnt.sum())
+        if total_c == 0:
+            return pa.table({"n_tri": pa.array([0], pa.int64())})
+        # flatten all slices: pos_in_pk[j] walks lo_i..hi_i-1 per edge i
+        edge_of = np.repeat(np.arange(len(ea)), cnt)
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total_c) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cand = pk[starts + offs] & ((1 << 32) - 1)  # neighbors c of a
+        keep = cand > eb[edge_of]                    # enforce b < c
+        probe = (eb[edge_of[keep]] << 32) + cand[keep]
+        pos = np.searchsorted(pk, probe)
+        ok = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == probe)
+        return pa.table({"n_tri": pa.array([int(ok.sum())], pa.int64())})
 
     scan = rd.from_arrow(pa.table({
-        "a": pa.array(a, pa.int64()),
-        "b": pa.array(bb, pa.int64()),
-    })).repartition(max(1, len(ct) // 8192 + 1))
+        "id_a": pa.array(a, pa.int64()),
+        "id_b": pa.array(bb, pa.int64()),
+    })).repartition(max(1, len(a) // 8192 + 1))
     parts = scan.map_batches(count_batch, batch_format="pyarrow",
                              batch_size=8192)
     total = parts.sum("n_tri") or 0
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
+def _triangle_join_plan(cedges) -> pa.Table:
+    """Join-plan kernel (full int64 ids, no broadcast): wedge join on the
+    middle vertex, then a multi-key closing-edge join; count = matches.
+
+    Skew note: a hot middle vertex v contributes deg_lo(v)*deg_hi(v)
+    wedge rows to one partition — the degree-orientation refinement
+    (orient each edge toward its higher-degree endpoint) bounds this at
+    O(m^1.5) total and drops in here by re-orienting cedges before the
+    wedge join."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(32, cpus // 2))
+
+    def left_leg(b: pa.Table) -> pa.Table:
+        # edge (wa, mid) with wa < mid: keyed by its HIGHER endpoint
+        return pa.table({"mid": b["id_b"], "wa": b["id_a"]})
+
+    def right_leg(b: pa.Table) -> pa.Table:
+        # edge (mid, wc) with mid < wc: keyed by its LOWER endpoint
+        return pa.table({"mid": b["id_a"], "wc": b["id_b"]})
+
+    left = cedges.map_batches(left_leg, batch_format="pyarrow")
+    right = cedges.map_batches(right_leg, batch_format="pyarrow")
+    wedges = left.join(right, "inner", nparts, on=("mid",))
+
+    def wedge_ends(b: pa.Table) -> pa.Table:
+        return pa.table({"wa": b["wa"], "wc": b["wc"]})
+
+    ends = wedges.map_batches(wedge_ends, batch_format="pyarrow")
+
+    def closing(b: pa.Table) -> pa.Table:
+        return pa.table({"wa": b["id_a"], "wc": b["id_b"]})
+
+    close = cedges.map_batches(closing, batch_format="pyarrow")
+    tri = ends.join(close, "inner", nparts, on=("wa", "wc"))
+    return pa.table({"n_triangles": pa.array([int(tri.count())], pa.int64())})

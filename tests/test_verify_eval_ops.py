@@ -263,3 +263,37 @@ def test_triangle_count_bruteforce_and_dups(ray_session):
                if y in adj[x] and z in adj[x] and z in adj[y])
     got = triangle_count(ds).to_pandas()["n_triangles"][0]
     assert got == want
+
+
+def test_triangle_count_join_plan_matches_broadcast(ray_session):
+    """Force broadcast_limit=0: the wedge-join + closing-edge join plan
+    must equal the broadcast plan, including with duplicated inputs and
+    node ids beyond uint31 (full-int64 leg — r4 verdict #2)."""
+    import itertools
+
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.network import triangle_count
+
+    rng = np.random.default_rng(21)
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, 14, (60, 2))
+           if a != b}
+    rows = [e for ab in raw for e in (ab, ab[::-1])] * 2
+    canon = {(min(a, b), max(a, b)) for a, b in raw}
+    adj = {}
+    for x, y in canon:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+               if y in adj[x] and z in adj[x] and z in adj[y])
+
+    for off in (0, 3_000_000_000):  # second pass pushes ids past 2^31
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array([r[0] + off for r in rows], pa.int64()),
+            "dst": pa.array([r[1] + off for r in rows], pa.int64()),
+        })).repartition(5)
+        got_b = triangle_count(ds).to_pandas()["n_triangles"][0]
+        got_j = triangle_count(
+            ds, broadcast_limit=0).to_pandas()["n_triangles"][0]
+        assert got_b == want, off
+        assert got_j == want, off
