@@ -154,22 +154,21 @@ def polygon_centroids(pg: PolygonArray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def points_in_polygon_pairs(
+def _pip_pairs_masks(
     px: np.ndarray,
     py: np.ndarray,
     pg: PolygonArray,
     pt_idx: np.ndarray,
     poly_row_idx: np.ndarray,
-) -> np.ndarray:
-    """Boundary-inclusive PIP for candidate (point, polygon-row) pairs.
-
-    px/py index the full point set; ``pt_idx[i]``/``poly_row_idx[i]`` name
-    the i-th candidate pair. Returns bool mask over pairs. Fully
-    vectorized: pairs are expanded to (pair, edge) rows via np.repeat.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per candidate (point, polygon-row) pair: (crossing-parity interior
+    mask, exact on-boundary mask). Parity is only meaningful off the
+    boundary — strict-interior = parity & ~on_boundary. Fully vectorized:
+    pairs are expanded to (pair, edge) rows via np.repeat.
     """
     n_pairs = len(pt_idx)
     if n_pairs == 0:
-        return np.zeros(0, dtype=bool)
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=bool)
 
     # rings per pair: all rings of all member polys of the polygon row
     starts, stops = _per_geom_coord_ranges(pg)  # per row, coord ranges
@@ -234,7 +233,132 @@ def points_in_polygon_pairs(
     )
     on_bd = np.zeros(n_pairs, dtype=bool)
     np.logical_or.at(on_bd, pair_of_item, on_edge)
+    return inside, on_bd
+
+
+def points_in_polygon_pairs(
+    px: np.ndarray,
+    py: np.ndarray,
+    pg: PolygonArray,
+    pt_idx: np.ndarray,
+    poly_row_idx: np.ndarray,
+) -> np.ndarray:
+    """Boundary-inclusive PIP ('intersects') for candidate pairs.
+
+    px/py index the full point set; ``pt_idx[i]``/``poly_row_idx[i]`` name
+    the i-th candidate pair. Returns bool mask over pairs."""
+    inside, on_bd = _pip_pairs_masks(px, py, pg, pt_idx, poly_row_idx)
     return inside | on_bd
+
+
+def points_in_polygon_pairs_predicate(
+    px: np.ndarray,
+    py: np.ndarray,
+    pg: PolygonArray,
+    pt_idx: np.ndarray,
+    poly_row_idx: np.ndarray,
+    predicate: str = "intersects",
+) -> np.ndarray:
+    """Full point-left predicate vocabulary vs areal right (reference
+    sfilter.py:67-134; the within->inverse-contains rewrite at :46-62 is
+    computed directly here): 'intersects' / 'covered_by' are
+    boundary-inclusive PIP, 'within' is strict interior, 'touches' is
+    exactly-on-boundary; 'contains' / 'covers' / 'overlaps' / 'crosses'
+    are DE-9IM-false for a point left against an areal right."""
+    if predicate in ("contains", "covers", "overlaps", "crosses"):
+        return np.zeros(len(pt_idx), dtype=bool)
+    inside, on_bd = _pip_pairs_masks(px, py, pg, pt_idx, poly_row_idx)
+    if predicate in ("intersects", "covered_by"):
+        return inside | on_bd
+    if predicate == "within":
+        return inside & ~on_bd
+    if predicate == "touches":
+        return on_bd
+    raise ValueError(f"unknown predicate {predicate!r}")
+
+
+def polygon_predicate_pairs(
+    left_pg: PolygonArray,
+    right_pg: PolygonArray,
+    qi: np.ndarray,
+    pi: np.ndarray,
+    predicate: str = "intersects",
+) -> np.ndarray:
+    """Areal×areal predicate vocabulary for candidate (left-row,
+    right-row) pairs (reference sfilter.py:67-134 semantics): built on
+    the exact scanline boolean engine's pair areas —
+
+      touches    : boundaries meet, interiors disjoint (inter area 0)
+      overlaps   : interiors meet, neither side covers the other
+      covers     : right \\ left has zero area (left covers right)
+      contains   : covers AND interiors meet (equal for positive-area
+                   rights; split kept for DE-9IM fidelity)
+      within /
+      covered_by : the mirror pair (left \\ right zero) — the reference's
+                   within->inverse-contains rewrite (sfilter.py:46-62)
+                   computed directly
+      crosses    : always False for area×area (DE-9IM dimension rule)
+
+    Zero-tests use a relative epsilon on the snapped scanline areas."""
+    if predicate == "intersects":
+        return polygons_intersect_pairs(left_pg, right_pg, qi, pi)
+    if predicate == "crosses":
+        return np.zeros(len(qi), dtype=bool)
+    if predicate not in ("touches", "overlaps", "covers", "contains",
+                         "within", "covered_by"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    from . import booleans as B
+
+    # cheap exact prefilter: every predicate implies closure intersection
+    cand = polygons_intersect_pairs(left_pg, right_pg, qi, pi)
+    out = np.zeros(len(qi), dtype=bool)
+    # axis-rect fast path (same special case the clip kernels use): both
+    # sides plain rectangles -> pure vectorized interval arithmetic, no
+    # scanline loop
+    lrect = detect_axis_rects(left_pg)
+    rrect = detect_axis_rects(right_pg)
+    fast = cand & lrect[qi] & rrect[pi]
+    jf = np.nonzero(fast)[0]
+    if len(jf):
+        L = polygon_bounds(left_pg)[qi[jf]]
+        R = polygon_bounds(right_pg)[pi[jf]]
+        ix = np.minimum(L[:, 2], R[:, 2]) - np.maximum(L[:, 0], R[:, 0])
+        iy = np.minimum(L[:, 3], R[:, 3]) - np.maximum(L[:, 1], R[:, 1])
+        l_in_r = ((L[:, 0] >= R[:, 0]) & (L[:, 2] <= R[:, 2])
+                  & (L[:, 1] >= R[:, 1]) & (L[:, 3] <= R[:, 3]))
+        r_in_l = ((R[:, 0] >= L[:, 0]) & (R[:, 2] <= L[:, 2])
+                  & (R[:, 1] >= L[:, 1]) & (R[:, 3] <= L[:, 3]))
+        if predicate == "touches":
+            out[jf] = (ix == 0) | (iy == 0)
+        elif predicate == "overlaps":
+            out[jf] = (ix > 0) & (iy > 0) & ~l_in_r & ~r_in_l
+        elif predicate in ("covers", "contains"):
+            # identical for positive-area rectangles
+            out[jf] = r_in_l
+        else:  # within / covered_by
+            out[jf] = l_in_r
+    for j in np.nonzero(cand & ~fast)[0]:
+        ra, ha = B.ringset_of_row(left_pg, int(qi[j]))
+        rb, hb = B.ringset_of_row(right_pg, int(pi[j]))
+        aa = B.ringset_area(ra, ha)
+        ab = B.ringset_area(rb, hb)
+        eps = 1e-9 * max(1.0, aa, ab)
+        if predicate == "touches":
+            out[j] = B.boolean_area(ra, rb, "intersection", ha, hb) <= eps
+        elif predicate == "overlaps":
+            ai = B.boolean_area(ra, rb, "intersection", ha, hb)
+            out[j] = eps < ai < min(aa, ab) - eps
+        elif predicate in ("covers", "contains"):
+            if B.boolean_area(rb, ra, "difference", hb, ha) <= eps:
+                out[j] = (predicate == "covers"
+                          or B.boolean_area(ra, rb, "intersection",
+                                            ha, hb) > eps)
+        else:  # within / covered_by
+            if B.boolean_area(ra, rb, "difference", ha, hb) <= eps:
+                out[j] = (predicate == "covered_by"
+                          or B.boolean_area(ra, rb, "intersection",
+                                            ha, hb) > eps)
+    return out
 
 
 def points_in_one_polygon(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:

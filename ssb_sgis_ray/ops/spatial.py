@@ -48,23 +48,27 @@ class _BroadcastIndex:
         self.bounds = kernels.polygon_bounds(self.pg)
         self.tree = STRtree(self.bounds)
 
-    def match_points(self, px: np.ndarray, py: np.ndarray):
+    def match_points(self, px: np.ndarray, py: np.ndarray,
+                     predicate: str = "intersects"):
         """(pt_idx, poly_idx) exact-match pairs for points."""
         qboxes = np.stack([px, py, px, py], axis=1).astype(np.float64)
         qi, pi = self.tree.query_bbox(qboxes)
         if len(qi) == 0:
             return qi, pi
-        keep = kernels.points_in_polygon_pairs(
-            px.astype(np.float64), py.astype(np.float64), self.pg, qi, pi
+        keep = kernels.points_in_polygon_pairs_predicate(
+            px.astype(np.float64), py.astype(np.float64), self.pg, qi, pi,
+            predicate,
         )
         return qi[keep], pi[keep]
 
-    def match_polygons(self, left_pg: wkb.PolygonArray):
+    def match_polygons(self, left_pg: wkb.PolygonArray,
+                       predicate: str = "intersects"):
         lb = kernels.polygon_bounds(left_pg)
         qi, pi = self.tree.query_bbox(lb)
         if len(qi) == 0:
             return qi, pi
-        keep = kernels.polygons_intersect_pairs(left_pg, self.pg, qi, pi)
+        keep = kernels.polygon_predicate_pairs(
+            left_pg, self.pg, qi, pi, predicate)
         return qi[keep], pi[keep]
 
 
@@ -75,16 +79,18 @@ class PIPFilter:
     ``__init__``; ``__call__`` handles one Arrow batch, fully vectorized.
     """
 
-    def __init__(self, right_ref, mode: Mode = "semi", x_col="px", y_col="py"):
+    def __init__(self, right_ref, mode: Mode = "semi", x_col="px", y_col="py",
+                 predicate: str = "intersects"):
         self.idx = _BroadcastIndex(right_ref)
         self.mode = mode
         self.x_col = x_col
         self.y_col = y_col
+        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch[self.x_col].to_numpy(zero_copy_only=False)
         py = batch[self.y_col].to_numpy(zero_copy_only=False)
-        qi, _ = self.idx.match_points(px, py)
+        qi, _ = self.idx.match_points(px, py, self.predicate)
         matched = np.zeros(len(batch), dtype=bool)
         matched[qi] = True  # np.unique-style dedup: any match keeps the row
         if self.mode == "semi":
@@ -120,14 +126,16 @@ class PIPJoin:
 class PolyPolyFilter:
     """Polygon-left semi/anti/split filter against broadcast polygons."""
 
-    def __init__(self, right_ref, mode: Mode = "semi", wkb_col="geometry_wkb"):
+    def __init__(self, right_ref, mode: Mode = "semi", wkb_col="geometry_wkb",
+                 predicate: str = "intersects"):
         self.idx = _BroadcastIndex(right_ref)
         self.mode = mode
         self.wkb_col = wkb_col
+        self.predicate = predicate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_pg = wkb.decode_polygons(batch[self.wkb_col])
-        qi, _ = self.idx.match_polygons(left_pg)
+        qi, _ = self.idx.match_polygons(left_pg, self.predicate)
         matched = np.zeros(len(batch), dtype=bool)
         matched[qi] = True
         if self.mode == "semi":
@@ -169,17 +177,23 @@ def sfilter(
     concurrency=None,
     batch_size: int = 32768,
     nrows=None,
+    predicate: str = "intersects",
 ):
     """Spatial semi/anti/split filter of a Dataset against a small polygon
     table (broadcast plan). ``left`` must carry px/py (points) or
     geometry_wkb (polygons). ``nrows``: optional left row-count hint to
-    size the actor pool (see pool.default_pool)."""
+    size the actor pool (see pool.default_pool). ``predicate``: the full
+    reference vocabulary (sfilter.py:67-134) — intersects / within /
+    touches / overlaps / covers / contains / covered_by / crosses; see
+    geo.kernels.points_in_polygon_pairs_predicate and
+    polygon_predicate_pairs for the per-kind semantics."""
     ref = broadcast_table(right_table)
     cls = PIPFilter if left_kind == "point" else PolyPolyFilter
     return broadcast_map_batches(
         left,
         cls,
-        fn_constructor_kwargs={"right_ref": ref, "mode": mode},
+        fn_constructor_kwargs={"right_ref": ref, "mode": mode,
+                               "predicate": predicate},
         batch_size=batch_size,
         concurrency=concurrency,
         nrows=nrows,

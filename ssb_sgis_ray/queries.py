@@ -183,6 +183,83 @@ def q_pip_pairs_cell(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_pip_predicates(sf_dir: str):
+    """Full point-left sfilter predicate vocabulary (reference
+    sfilter.py:67-134) on one fixture: per predicate, the number of
+    customer points kept by a semi-filter against the supplier diamonds.
+    'intersects' is boundary-inclusive, 'within' strict interior,
+    'touches' exactly on a diamond boundary — integer coords make the
+    boundary class populated and exactly SQL-expressible."""
+    n = _nrows(f"{sf_dir}/customer.parquet")
+    preds = ("intersects", "within", "touches")
+    counts = [
+        spatial.sfilter(customers(sf_dir), suppliers_tbl(sf_dir),
+                        mode="semi", nrows=n, predicate=p).count()
+        for p in preds
+    ]
+    return pa.table({
+        "predicate": pa.array(list(preds), pa.string()),
+        "n_kept": pa.array(counts, pa.int64()),
+    })
+
+
+SQL_PIP_PREDICATES = f"""
+WITH c AS ({CUST_SQL}), s AS ({SUP_SQL})
+SELECT 'intersects' AS predicate, count(*) AS n_kept FROM c
+WHERE EXISTS (SELECT 1 FROM s WHERE abs(c.px - s.sx) + abs(c.py - s.sy) <= s.r)
+UNION ALL
+SELECT 'within', count(*) FROM c
+WHERE EXISTS (SELECT 1 FROM s WHERE abs(c.px - s.sx) + abs(c.py - s.sy) < s.r)
+UNION ALL
+SELECT 'touches', count(*) FROM c
+WHERE EXISTS (SELECT 1 FROM s WHERE abs(c.px - s.sx) + abs(c.py - s.sy) = s.r)
+"""
+
+
+def q_sfilter_poly_predicates(sf_dir: str):
+    """Areal×areal sfilter predicate vocabulary (touches / overlaps /
+    within / covers — reference sfilter.py:67-134) counted per predicate
+    over part boxes vs orders boxes. The engine path runs the scanline
+    boolean engine's pair areas (geo/kernels.polygon_predicate_pairs);
+    the mod-4 integer box corners make exact edge/corner contact a
+    populated class; the oracle is closed-form interval arithmetic."""
+    n = _nrows(f"{sf_dir}/part.parquet")
+    preds = ("touches", "overlaps", "within", "covers")
+    counts = [
+        spatial.sfilter(parts(sf_dir), orders_tbl(sf_dir),
+                        mode="semi", left_kind="polygon",
+                        nrows=n, predicate=p).count()
+        for p in preds
+    ]
+    return pa.table({
+        "predicate": pa.array(list(preds), pa.string()),
+        "n_kept": pa.array(counts, pa.int64()),
+    })
+
+
+SQL_SFILTER_POLY_PREDICATES = f"""
+WITH l AS ({PART_SQL}), o AS ({ORD_SQL}),
+cand AS (
+  SELECT l.p_partkey,
+         least(l.maxx, o.maxx) - greatest(l.minx, o.minx) AS ix,
+         least(l.maxy, o.maxy) - greatest(l.miny, o.miny) AS iy,
+         (l.minx >= o.minx AND l.maxx <= o.maxx
+          AND l.miny >= o.miny AND l.maxy <= o.maxy) AS l_in_o,
+         (o.minx >= l.minx AND o.maxx <= l.maxx
+          AND o.miny >= l.miny AND o.maxy <= l.maxy) AS o_in_l
+  FROM l JOIN o
+    ON least(l.maxx, o.maxx) >= greatest(l.minx, o.minx)
+   AND least(l.maxy, o.maxy) >= greatest(l.miny, o.miny)
+)
+SELECT 'touches' AS predicate, count(DISTINCT p_partkey) AS n_kept
+FROM cand WHERE ix = 0 OR iy = 0
+UNION ALL SELECT 'overlaps', count(DISTINCT p_partkey)
+FROM cand WHERE ix > 0 AND iy > 0 AND NOT l_in_o AND NOT o_in_l
+UNION ALL SELECT 'within', count(DISTINCT p_partkey) FROM cand WHERE l_in_o
+UNION ALL SELECT 'covers', count(DISTINCT p_partkey) FROM cand WHERE o_in_l
+"""
+
+
 def lineitems(sf_dir: str):
     """Skewed point cloud (50% of rows in a <0.3%-area hotspot) with a
     composite left id = l_orderkey*10 + l_linenumber."""
@@ -8006,6 +8083,9 @@ REGISTRY: dict[str, tuple] = {
     "make_valid_bowtie": (q_make_valid_bowtie, SQL_MAKE_VALID_BOWTIE),
     "eliminate_by_longest_assign": (q_eliminate_by_longest, SQL_ELIMINATE_LONGEST),
     "pip_semi": (q_pip_semi, SQL_PIP_SEMI),
+    "pip_predicates": (q_pip_predicates, SQL_PIP_PREDICATES),
+    "sfilter_poly_predicates": (
+        q_sfilter_poly_predicates, SQL_SFILTER_POLY_PREDICATES),
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
@@ -8071,7 +8151,7 @@ _ROUND5_UNSWEPT = [
     "event_pattern", "fk_violations", "grouped_quantiles", "image_entropy",
     "interval_join", "mad_outliers", "pagerank", "running_totals",
     "salted_hub_join", "triangles", "user_type_pivot",
-    "minhash_pairs_bigid",
+    "minhash_pairs_bigid", "pip_predicates", "sfilter_poly_predicates",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _ROUND5_UNSWEPT},

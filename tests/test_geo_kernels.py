@@ -640,3 +640,73 @@ def test_buff_polygons_batch_mixed_sign_distances():
     assert geo["geometry_wkb"][2].as_py() is None
     pg = wkb.decode_polygons(geo["geometry_wkb"].slice(1, 1))
     assert kernels.polygon_areas(pg)[0] == pytest.approx(60 * 20, abs=1e-9)
+
+
+def test_polygon_predicate_pairs_vocabulary():
+    """Full areal predicate vocabulary through the general scanline leg
+    (diamonds dodge the axis-rect fast path): touches / overlaps /
+    within / covers / contains / covered_by / crosses on constructed
+    cases with known DE-9IM truth."""
+    from ssb_sgis_ray.geo import kernels as K
+    from ssb_sgis_ray.geo import wkb as W
+
+    def diamond(cx, cy, r):
+        return [np.array([[cx + r, cy], [cx, cy + r], [cx - r, cy],
+                          [cx, cy - r], [cx + r, cy]], float)]
+
+    # left rows: A (unit fixture), repeated so each pair is (A, right_k)
+    rights = [
+        diamond(8, 0, 4),    # 0: touches A at (4,0)
+        diamond(2, 0, 4),    # 1: overlaps A
+        diamond(0, 0, 2),    # 2: inside A (A covers it)
+        diamond(0, 0, 4),    # 3: equal to A
+        diamond(20, 0, 4),   # 4: disjoint
+        diamond(0, 0, 9),    # 5: A inside it (A within)
+    ]
+    left_pg = W.decode_polygons(
+        np.array([W.encode_polygon(diamond(0, 0, 4)) for _ in rights],
+                 dtype=object))
+    right_pg = W.decode_polygons(
+        np.array([W.encode_polygon(r) for r in rights], dtype=object))
+    qi = np.arange(len(rights))
+    pi = np.arange(len(rights))
+
+    want = {
+        #               tch    ovl    win    cov    cnt    cby    crs
+        "touches":    [True, False, False, False, False, False],
+        "overlaps":   [False, True, False, False, False, False],
+        "within":     [False, False, False, True, False, True],
+        "covered_by": [False, False, False, True, False, True],
+        "covers":     [False, False, True, True, False, False],
+        "contains":   [False, False, True, True, False, False],
+        "crosses":    [False, False, False, False, False, False],
+        "intersects": [True, True, True, True, False, True],
+    }
+    for pred, exp in want.items():
+        got = K.polygon_predicate_pairs(left_pg, right_pg, qi, pi, pred)
+        np.testing.assert_array_equal(got, np.array(exp), err_msg=pred)
+
+
+def test_point_predicate_pairs_vocabulary():
+    """Point-left predicates vs a diamond: interior / boundary / outside
+    classification for intersects, within, touches, covered_by."""
+    from ssb_sgis_ray.geo import kernels as K
+    from ssb_sgis_ray.geo import wkb as W
+
+    ring = [np.array([[4.0, 0], [0, 4], [-4, 0], [0, -4], [4, 0]])]
+    pg = W.decode_polygons(np.array([W.encode_polygon(ring)], dtype=object))
+    px = np.array([0.0, 2.0, 4.0, 1.0, 5.0])   # inside, boundary(2,2)? no:
+    py = np.array([0.0, 2.0, 0.0, 0.0, 5.0])   # (2,2) on edge, (4,0) vertex
+    qi = np.arange(5)
+    pi = np.zeros(5, dtype=np.int64)
+    cases = {
+        "intersects": [True, True, True, True, False],
+        "covered_by": [True, True, True, True, False],
+        "within":     [True, False, False, True, False],
+        "touches":    [False, True, True, False, False],
+        "contains":   [False] * 5,
+        "crosses":    [False] * 5,
+    }
+    for pred, exp in cases.items():
+        got = K.points_in_polygon_pairs_predicate(px, py, pg, qi, pi, pred)
+        np.testing.assert_array_equal(got, np.array(exp), err_msg=pred)
