@@ -241,3 +241,66 @@ def world_to_pixel_window(
     py0 = max(0, int(np.floor((oy - maxy) / sy + 0.5)))
     py1 = min(h, int(np.floor((oy - miny) / sy + 0.5)))
     return px0, py0, max(px0, px1), max(py0, py1)
+
+
+def warp_raster(
+    img: np.ndarray,
+    src_transform: tuple[float, float, float, float],
+    dst_transform: tuple[float, float, float, float],
+    dst_shape: tuple[int, int],
+    dst_to_src=None,
+    method: str = "nearest",
+    fill: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Resample a decoded north-up raster onto a new grid, optionally
+    across a CRS change — the engine's analogue of the reference's
+    WarpedVRT re-warp (raster/raster.py:1028-1105).
+
+    Transforms are (ox, oy, sx, sy) with row r of the grid at world
+    y = oy - sy*r (north-up, origin = top-left corner). ``dst_to_src``
+    maps dst-CRS world coordinate arrays -> src-CRS world coordinates
+    (identity when None — pure grid resample). method:
+
+      nearest  : cell containment — integer-exact, the oracle path
+      bilinear : pixel-center interpolation, edge-clamped (exact on
+                 per-pixel-linear fields, which the pytest exploits)
+
+    Returns (out_img float64, inside_mask) where inside_mask marks dst
+    pixels whose mapped center falls inside the source extent; outside
+    pixels hold ``fill``."""
+    oxs, oys, sxs, sys_ = src_transform
+    oxd, oyd, sxd, syd = dst_transform
+    hd, wd = dst_shape
+    h, w = img.shape
+    jj = np.arange(wd, dtype=np.float64)[None, :] + 0.5
+    ii = np.arange(hd, dtype=np.float64)[:, None] + 0.5
+    xd = np.broadcast_to(oxd + sxd * jj, (hd, wd))
+    yd = np.broadcast_to(oyd - syd * ii, (hd, wd))
+    if dst_to_src is not None:
+        xs, ys = dst_to_src(xd, yd)
+    else:
+        xs, ys = xd, yd
+    u = (np.asarray(xs, dtype=np.float64) - oxs) / sxs   # fractional col
+    v = (oys - np.asarray(ys, dtype=np.float64)) / sys_  # fractional row
+    inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    out = np.full(dst_shape, float(fill), dtype=np.float64)
+    if method == "nearest":
+        col = np.floor(u).astype(np.int64)
+        row = np.floor(v).astype(np.int64)
+        out[inside] = img[row[inside], col[inside]].astype(np.float64)
+        return out, inside
+    if method == "bilinear":
+        uc = np.clip(u - 0.5, 0.0, max(w - 1, 0))
+        vc = np.clip(v - 0.5, 0.0, max(h - 1, 0))
+        u0 = np.minimum(np.floor(uc).astype(np.int64), max(w - 2, 0))
+        v0 = np.minimum(np.floor(vc).astype(np.int64), max(h - 2, 0))
+        u1 = np.minimum(u0 + 1, w - 1)
+        v1 = np.minimum(v0 + 1, h - 1)
+        fu = uc - u0
+        fv = vc - v0
+        f = img.astype(np.float64)
+        val = ((1 - fv) * ((1 - fu) * f[v0, u0] + fu * f[v0, u1])
+               + fv * ((1 - fu) * f[v1, u0] + fu * f[v1, u1]))
+        out[inside] = val[inside]
+        return out, inside
+    raise ValueError(f"unknown warp method {method!r}")

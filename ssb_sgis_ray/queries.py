@@ -5674,6 +5674,56 @@ FROM sets
 """
 
 
+def q_geotiff_warp(sf_dir: str):
+    """Raster CRS warp (reference raster.py:1028-1105 WarpedVRT): encode
+    each doc's GeoTIFF, then re-warp it onto a coarser grid in a
+    doubled-unit CRS (nearest resampling, per-doc origin jitter) and sum
+    the warped pixels. The mapped coordinates are x.5/4 — exact in
+    float64 — so the SQL oracle recomputes every destination pixel's
+    source cell with pure integer arithmetic."""
+    from .sources import rasters
+
+    return rasters.geotiff_dataset(sf_dir).map_batches(
+        rasters.GeoTiffWarpStage, batch_format="pyarrow", batch_size=256,
+        concurrency=rasters.default_pool(None),
+    )
+
+
+SQL_GEOTIFF_WARP = """
+WITH p AS (
+  SELECT doc_id,
+         32 + doc_id % 17 AS w, 24 + doc_id % 13 AS h,
+         doc_id % 100 AS base,
+         20 + doc_id % 7 AS wd, 15 + doc_id % 5 AS hd,
+         doc_id % 5 AS dx, doc_id % 3 AS dy
+  FROM documents
+),
+rows_ AS (
+  SELECT doc_id, w, h, base, wd, dx, dy,
+         unnest(generate_series(0, hd - 1)) AS i
+  FROM p
+),
+cells AS (
+  SELECT doc_id, w, h, base, dx, dy, i,
+         unnest(generate_series(0, wd - 1)) AS j
+  FROM rows_
+),
+mapped AS (
+  SELECT doc_id, w, h, base,
+         (2 * dy + 6 * i + 3) // 8 AS row_,
+         (2 * dx + 6 * j + 3) // 8 AS col_
+  FROM cells
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN col_ < w AND row_ < h
+                     THEN col_ + 2 * row_ + base ELSE 0 END) AS BIGINT)
+         AS warp_sum,
+       CAST(SUM(CASE WHEN col_ < w AND row_ < h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inside
+FROM mapped GROUP BY doc_id
+"""
+
+
 def q_geotiff_clip_zonal(sf_dir: str):
     """Raster.from_path/load/clip on real GeoTIFF bytes: encode every doc's
     raster as a spec-conformant striped GeoTIFF (uint8/uint16, none/deflate
@@ -8002,6 +8052,7 @@ REGISTRY: dict[str, tuple] = {
     "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "video_frames": (q_video_frames, SQL_VIDEO_FRAMES),
     "geotiff_clip_zonal": (q_geotiff_clip_zonal, SQL_GEOTIFF_CLIP_ZONAL),
+    "geotiff_warp": (q_geotiff_warp, SQL_GEOTIFF_WARP),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "destination_count": (q_destination_count, SQL_DESTINATION_COUNT),
     "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
@@ -8152,6 +8203,7 @@ _ROUND5_UNSWEPT = [
     "interval_join", "mad_outliers", "pagerank", "running_totals",
     "salted_hub_join", "triangles", "user_type_pivot",
     "minhash_pairs_bigid", "pip_predicates", "sfilter_poly_predicates",
+    "geotiff_warp",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _ROUND5_UNSWEPT},

@@ -353,3 +353,53 @@ def sentinel_path_dataset(sf_dir: str, batch_size: int = 4096):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(add_paths, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Raster warp (reference raster/raster.py:1028-1105 WarpedVRT re-warp)
+# ---------------------------------------------------------------------------
+
+
+def warp_params(doc_id: np.ndarray):
+    """(wd, hd, dx, dy) per doc: destination grid dims and origin jitter
+    for the doubled-unit warp fixture."""
+    k = np.asarray(doc_id).astype(np.int64)
+    return 20 + k % 7, 15 + k % 5, k % 5, k % 3
+
+
+class GeoTiffWarpStage:
+    """Actor stage: decode GeoTIFF bytes and re-warp to a destination
+    grid in a DOUBLED-unit CRS (dst world = 2 x src world) with pixel
+    scale 3 and a per-doc origin jitter — the engine's Raster.warp
+    (raster/raster.py:1028-1105 semantics: new CRS + new grid, nearest
+    resampling). Emits the exact warped pixel sum + inside count, both
+    closed-form recomputable by the SQL oracle (the mapped fractional
+    coordinates are x.5/4 — exact in float64, so 'nearest' is integer
+    arithmetic end to end)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["tif"].to_pylist()
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd, hd, dx, dy = warp_params(doc_id)
+        n = len(blobs)
+        wsum = np.empty(n, dtype=np.int64)
+        nin = np.empty(n, dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            img, tr = geotiff.decode_geotiff(blob)
+            ox, oy, _, _ = tr
+            dst_tr = (2.0 * ox + float(dx[i]), 2.0 * oy - float(dy[i]),
+                      3.0, 3.0)
+            out, inside = geotiff.warp_raster(
+                img, tr, dst_tr, (int(hd[i]), int(wd[i])),
+                dst_to_src=lambda x, y: (x / 2.0, y / 2.0),
+                method="nearest",
+            )
+            wsum[i] = int(out[inside].sum())
+            nin[i] = int(inside.sum())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "warp_sum": pa.array(wsum, pa.int64()),
+                "n_inside": pa.array(nin, pa.int64()),
+            }
+        )

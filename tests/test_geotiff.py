@@ -161,3 +161,47 @@ def test_sentinel_metadata_regex_edges():
     )
     assert odd["band"][0].as_py() is None
     assert odd["color"][0].as_py() is None
+
+
+def test_warp_raster_nearest_and_bilinear():
+    """warp_raster: nearest is integer-exact on the synthetic linear
+    field; bilinear reproduces the SAME linear field exactly at interior
+    points (value(y,x) = x + 2y + c is linear, so pixel-center
+    interpolation is closed-form); outside pixels take fill."""
+    from ssb_sgis_ray.codecs.geotiff import warp_raster
+
+    h, w, base = 24, 32, 7
+    img = (np.arange(w)[None, :] + 2 * np.arange(h)[:, None] + base)
+    src_tr = (1000.0, 2000.0, 2.0, 2.0)  # north-up, top-left origin
+
+    # identity-CRS coarse resample, nearest: dst pixel center maps to a
+    # known source cell
+    dst_tr = (1001.0, 1999.0, 3.0, 3.0)
+    out, inside = warp_raster(img, src_tr, dst_tr, (10, 12),
+                              method="nearest")
+    ii, jj = np.meshgrid(np.arange(10), np.arange(12), indexing="ij")
+    xs = 1001.0 + 3.0 * (jj + 0.5)
+    ys = 1999.0 - 3.0 * (ii + 0.5)
+    col = np.floor((xs - 1000.0) / 2.0).astype(int)
+    row = np.floor((2000.0 - ys) / 2.0).astype(int)
+    ins = (col >= 0) & (col < w) & (row >= 0) & (row < h)
+    np.testing.assert_array_equal(inside, ins)
+    np.testing.assert_array_equal(out[ins],
+                                  (col + 2 * row + base)[ins].astype(float))
+
+    # doubled-unit CRS, bilinear: interior centers reproduce the linear
+    # field value at the fractional source position exactly
+    dst_tr2 = (2.0 * 1000.0 + 1.0, 2.0 * 2000.0 - 2.0, 3.0, 3.0)
+    out2, inside2 = warp_raster(
+        img, src_tr, dst_tr2, (8, 9),
+        dst_to_src=lambda x, y: (x / 2.0, y / 2.0), method="bilinear")
+    ii2, jj2 = np.meshgrid(np.arange(8), np.arange(9), indexing="ij")
+    xs2 = (2001.0 + 3.0 * (jj2 + 0.5)) / 2.0
+    ys2 = (3998.0 - 3.0 * (ii2 + 0.5)) / 2.0
+    u = (xs2 - 1000.0) / 2.0
+    v = (2000.0 - ys2) / 2.0
+    interior = (u >= 0.5) & (u <= w - 0.5) & (v >= 0.5) & (v <= h - 0.5)
+    expect = (u - 0.5) + 2.0 * (v - 0.5) + base
+    np.testing.assert_allclose(out2[interior & inside2],
+                               expect[interior & inside2], rtol=0, atol=1e-9)
+    assert (out2[~inside2] == 0.0).all()
