@@ -909,6 +909,7 @@ def overlay_pairs_cell(
     right_id: str,
     res: int = 7,
     emit: str = "area",
+    skew_report_dir: str | None = None,
 ):
     """Co-partitioned large×large intersection: (left_id, right_id, piece).
 
@@ -924,8 +925,18 @@ def overlay_pairs_cell(
     rt = right_ds.map_batches(
         lambda b: _tag_overlay_side(b, res, right_id, 1), batch_format="pyarrow"
     )
+    both = lt.union(rt)
+    if skew_report_dir is not None:
+        # straggler telemetry (state.skew): per-cell histogram summary so
+        # the cell res / salting threshold is tuned from evidence
+        from ..state import skew as skew_mod
+
+        skew_mod.record_cell_skew(
+            skew_report_dir,
+            skew_mod.cell_skew_summary(
+                both, stage=f"overlay_pairs_cell(res={res}, emit={emit})"))
     return (
-        lt.union(rt)
+        both
         .groupby("cell")
         .map_groups(_cell_overlay_kernel("intersection", emit, res),
                     batch_format="pandas")

@@ -302,6 +302,7 @@ def sjoin_cell_partitioned(
     y_col: str = "py",
     salt_threshold: int | None = None,
     n_salts: int = 8,
+    skew_report_dir: str | None = None,
 ):
     """Large×large PIP join: co-partition by covering cell, join per cell.
 
@@ -317,6 +318,10 @@ def sjoin_cell_partitioned(
     and the right rows covering a hot cell are replicated to every salt, so
     no single shuffle partition exceeds ~threshold rows. Results are
     identical with or without salting.
+
+    ``skew_report_dir``: when set, the post-salting per-cell row
+    histogram is summarized into <dir>/skew_metrics.jsonl (straggler
+    telemetry — state.skew) at the cost of one extra tagging pass.
     """
     lt = left.map_batches(
         lambda b: _tag_points_with_cells(b, res, left_id, x_col, y_col),
@@ -349,6 +354,14 @@ def sjoin_cell_partitioned(
         )
 
     both = lt.union(rt)
+    if skew_report_dir is not None:
+        from ..state import skew as skew_mod
+
+        skew_mod.record_cell_skew(
+            skew_report_dir,
+            skew_mod.cell_skew_summary(
+                both, stage=f"pip_pairs_cell(res={res}, "
+                f"salt_threshold={salt_threshold})"))
     return both.groupby("cell").map_groups(_per_cell_pip, batch_format="pandas")
 
 
