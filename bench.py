@@ -134,6 +134,10 @@ def run_bench() -> dict:
         # range join, skew-salted join, data quality, robust stats
         "interval_join", "salted_hub_join", "fk_violations",
         "mad_outliers", "image_entropy",
+        # round-5 additions: full-int64 pair keys, predicate vocabulary,
+        # raster CRS warp
+        "minhash_pairs_bigid", "pip_predicates", "sfilter_poly_predicates",
+        "geotiff_warp",
     ]
     # Two INTERLEAVED trials per query (all queries once, then all again),
     # min reported, BOTH recorded (query_trials in the JSON). Trial 1 pays
