@@ -43,6 +43,12 @@ def ahash64(img: np.ndarray) -> np.int64:
     )
     areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     cells = sums / areas
-    bits = (cells > cells.mean()).ravel()
+    # strict '>' with a tie margin: cell == mean EXACTLY (rational tie)
+    # occurs for some content classes (first seen at sf1), and float
+    # summation order would break the tie differently here vs the SQL
+    # oracle. No nonzero |cell-mean| can be below 1/(64*lcm(areas))
+    # ~ 2.5e-9, so a 1e-9 margin maps exact ties to bit 0 on BOTH sides
+    # while never flipping a real bit.
+    bits = (cells > cells.mean() + 1e-9).ravel()
     v = np.uint64((bits[:63].astype(np.uint64) * _BIT_WEIGHTS).sum())
     return np.int64(v)

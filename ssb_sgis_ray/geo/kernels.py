@@ -1272,3 +1272,165 @@ def boundary_shortest_lines(
     cpa[todo] = c1p[pick]
     cpb[todo] = c2p[pick]
     return dist2, cpa, cpb
+
+
+# ---------------------------------------------------------------------------
+# Line-left predicates vs areal rights (reference sfilter.py accepts any
+# geometry type; lines are where 'crosses' is a REAL predicate)
+# ---------------------------------------------------------------------------
+
+
+def _classify_points_rings(px: np.ndarray, py: np.ndarray,
+                           rings: list[np.ndarray]):
+    """(strict_inside, on_boundary) of points vs a ring set — even-odd
+    over ALL rings, so holes and multi-parts classify correctly."""
+    n = len(px)
+    parity = np.zeros(n, dtype=np.int64)
+    onbd = np.zeros(n, dtype=bool)
+    X = px[:, None]
+    Y = py[:, None]
+    for ring in rings:
+        x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+        x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+        cond = (y1 > Y) != (y2 > Y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (Y - y1) * (x2 - x1) / (y2 - y1)
+        parity += (cond & (X < xint)).sum(axis=1)
+        cross = (x2 - x1) * (Y - y1) - (y2 - y1) * (X - x1)
+        one = (
+            (cross == 0)
+            & (X >= np.minimum(x1, x2)) & (X <= np.maximum(x1, x2))
+            & (Y >= np.minimum(y1, y2)) & (Y <= np.maximum(y1, y2))
+        )
+        onbd |= one.any(axis=1)
+    inside = (parity % 2 == 1) & ~onbd
+    return inside, onbd
+
+
+def _seg_boundary_ts(p1: np.ndarray, p2: np.ndarray,
+                     E1: np.ndarray, E2: np.ndarray) -> np.ndarray:
+    """Parameters t in [0,1] where segment p1->p2 meets any boundary edge
+    (E1[i], E2[i]) — proper crossings, endpoint touches, and the clipped
+    endpoints of collinear overlaps."""
+    d = p2 - p1
+    e = E2 - E1
+    qp = E1 - p1[None, :]
+    denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+    t_num = qp[:, 0] * e[:, 1] - qp[:, 1] * e[:, 0]
+    s_num = qp[:, 0] * d[1] - qp[:, 1] * d[0]
+    ts = []
+    nz = denom != 0
+    if nz.any():
+        t = t_num[nz] / denom[nz]
+        s = s_num[nz] / denom[nz]
+        ok = (t >= 0) & (t <= 1) & (s >= 0) & (s <= 1)
+        ts.append(t[ok])
+    # collinear overlap: parallel (denom==0) and on the same line
+    col = (~nz) & (s_num == 0)
+    if col.any():
+        dd = float(d @ d)
+        if dd > 0:
+            tA = ((E1[col] - p1) @ d) / dd
+            tB = ((E2[col] - p1) @ d) / dd
+            lo = np.clip(np.minimum(tA, tB), 0.0, 1.0)
+            hi = np.clip(np.maximum(tA, tB), 0.0, 1.0)
+            keep = hi >= lo
+            ts.append(lo[keep])
+            ts.append(hi[keep])
+    if not ts:
+        return np.empty(0, dtype=np.float64)
+    return np.concatenate(ts)
+
+
+def lines_in_polygon_pairs_predicate(
+    la,
+    pg: PolygonArray,
+    qi: np.ndarray,
+    pi: np.ndarray,
+    predicate: str = "intersects",
+) -> np.ndarray:
+    """Line-left predicate vocabulary vs areal rights for candidate
+    (line-row, polygon-row) pairs, full DE-9IM semantics:
+
+      intersects : any closure contact
+      crosses    : line interior meets BOTH the polygon interior and its
+                   exterior (the dimension pair where crosses is real)
+      within     : no point in the exterior AND some point in the interior
+      covered_by : no point in the exterior (a line lying entirely on the
+                   boundary is covered_by but NOT within — GEOS split)
+      touches    : boundary contact only, interior never entered
+      contains / covers / overlaps : always False (dimension rule)
+
+    Kernel: each line segment is split at its boundary-hit parameters;
+    sub-segment midpoints classify strict-inside / on-boundary / outside
+    (even-odd over all rings, holes correct)."""
+    if predicate in ("contains", "covers", "overlaps"):
+        return np.zeros(len(qi), dtype=bool)
+    if predicate not in ("intersects", "crosses", "within", "covered_by",
+                         "touches"):
+        raise ValueError(f"unknown predicate {predicate!r}")
+    from . import booleans as B
+
+    out = np.zeros(len(qi), dtype=bool)
+    ring_cache: dict[int, tuple] = {}
+    for j in range(len(qi)):
+        lrow = int(qi[j])
+        prow = int(pi[j])
+        if prow not in ring_cache:
+            rings, _holes = B.ringset_of_row(pg, prow)
+            E1 = np.concatenate([r[:-1] for r in rings])
+            E2 = np.concatenate([r[1:] for r in rings])
+            ring_cache[prow] = (rings, E1, E2)
+        rings, E1, E2 = ring_cache[prow]
+        has_int = has_ext = has_bd = False
+        for li in range(la.geom_offsets[lrow], la.geom_offsets[lrow + 1]):
+            pts = la.coords[la.line_offsets[li]:la.line_offsets[li + 1]]
+            for s in range(len(pts) - 1):
+                p1, p2 = pts[s], pts[s + 1]
+                hits = _seg_boundary_ts(p1, p2, E1, E2)
+                if len(hits):
+                    has_bd = True
+                ts = np.unique(np.concatenate(
+                    [np.array([0.0, 1.0]), hits]))
+                mid = (ts[:-1] + ts[1:]) / 2.0
+                mx = p1[0] + mid * (p2[0] - p1[0])
+                my = p1[1] + mid * (p2[1] - p1[1])
+                inside, onbd = _classify_points_rings(mx, my, rings)
+                if inside.any():
+                    has_int = True
+                if onbd.any():
+                    has_bd = True
+                if (~inside & ~onbd).any():
+                    has_ext = True
+                if has_int and has_ext and has_bd:
+                    break
+            else:
+                continue
+            break
+        if predicate == "intersects":
+            out[j] = has_int or has_bd
+        elif predicate == "crosses":
+            out[j] = has_int and has_ext
+        elif predicate == "within":
+            out[j] = has_int and not has_ext
+        elif predicate == "covered_by":
+            out[j] = (has_int or has_bd) and not has_ext
+        else:  # touches
+            out[j] = has_bd and not has_int
+    return out
+
+
+def line_bounds(la) -> np.ndarray:
+    """(n, 4) per-row bounding boxes of a LineArray (rows' coords are
+    contiguous, so one reduceat pass per extreme)."""
+    n = len(la)
+    out = np.empty((n, 4), dtype=np.float64)
+    starts = la.line_offsets[la.geom_offsets[:-1]]
+    if len(la.coords) == 0 or n == 0:
+        out[:] = 0
+        return out
+    out[:, 0] = np.minimum.reduceat(la.coords[:, 0], starts)
+    out[:, 1] = np.minimum.reduceat(la.coords[:, 1], starts)
+    out[:, 2] = np.maximum.reduceat(la.coords[:, 0], starts)
+    out[:, 3] = np.maximum.reduceat(la.coords[:, 1], starts)
+    return out

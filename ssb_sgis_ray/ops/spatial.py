@@ -164,6 +164,35 @@ class PolyPolyPairs:
         return left
 
 
+class LineFilter:
+    """Actor-pool stage: LINE-left semi/anti/split filter against the
+    broadcast areal right — the geometry kind where ``crosses`` is a real
+    predicate (kernels.lines_in_polygon_pairs_predicate)."""
+
+    def __init__(self, right_ref, mode: Mode = "semi", wkb_col="geometry_wkb",
+                 predicate: str = "intersects"):
+        self.idx = _BroadcastIndex(right_ref)
+        self.mode = mode
+        self.wkb_col = wkb_col
+        self.predicate = predicate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        la = wkb.decode_lines(batch[self.wkb_col].to_numpy(zero_copy_only=False))
+        lb = kernels.line_bounds(la)
+        qi, pi = self.idx.tree.query_bbox(lb)
+        if len(qi):
+            keep = kernels.lines_in_polygon_pairs_predicate(
+                la, self.idx.pg, qi, pi, self.predicate)
+            qi = qi[keep]
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[qi] = True
+        if self.mode == "semi":
+            return batch.filter(pa.array(matched))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~matched))
+        return batch.append_column("matched", pa.array(matched))
+
+
 def broadcast_table(table: pa.Table):
     """ray.put the small side once; pass the ref into actor pools."""
     return ray.put(table)
@@ -173,7 +202,7 @@ def sfilter(
     left,
     right_table: pa.Table,
     mode: Mode = "semi",
-    left_kind: Literal["point", "polygon"] = "point",
+    left_kind: Literal["point", "polygon", "line"] = "point",
     concurrency=None,
     batch_size: int = 32768,
     nrows=None,
@@ -188,7 +217,8 @@ def sfilter(
     geo.kernels.points_in_polygon_pairs_predicate and
     polygon_predicate_pairs for the per-kind semantics."""
     ref = broadcast_table(right_table)
-    cls = PIPFilter if left_kind == "point" else PolyPolyFilter
+    cls = {"point": PIPFilter, "polygon": PolyPolyFilter,
+           "line": LineFilter}[left_kind]
     return broadcast_map_batches(
         left,
         cls,

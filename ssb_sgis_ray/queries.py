@@ -5373,9 +5373,12 @@ def q_phash_dedup(sf_dir: str):
 # Lossy ("jpeg", odd ck) pixels are the quantization round-trip
 # (p//8)*8 + 4 (the +4 clamp at 255 never binds since p <= 255).
 # Float-safety: cell means are rationals with denominator <= 81, so the
-# minimum nonzero |cell - mean| is >= 1/(64*lcm(areas)) ~ 2.5e-9, five
-# orders above the ~1e-11 float64 summation error — no bit can flip
-# between DuckDB's avg() and numpy's pairwise mean.
+# minimum NONZERO |cell - mean| is >= 1/(64*lcm(areas)) ~ 2.5e-9, five
+# orders above the ~1e-11 float64 summation error. EXACT ties
+# (cell == mean, first seen in sf1 content classes) would be broken
+# differently by DuckDB's avg() vs numpy's pairwise mean — both sides
+# therefore compare against mean + 1e-9 (ties -> bit 0, real bits
+# untouched; codecs/phash.py carries the same margin).
 _SQL_PHASH_CTES = f"""
 k AS (SELECT doc_id, {CONTENT_KEY_SQL} AS ck FROM documents),
 p AS (SELECT doc_id, ck, 32 + (ck*7)%33 AS w, 32 + (ck*11)%33 AS h FROM k),
@@ -5396,7 +5399,7 @@ cells AS (SELECT doc_id, bi, bj, CAST(sum(gval) AS DOUBLE)/count(*) AS cell
           FROM gr GROUP BY doc_id, bi, bj),
 m AS (SELECT doc_id AS mdoc, avg(cell) AS mean FROM cells GROUP BY doc_id),
 ph AS (SELECT doc_id,
-       CAST(sum(CASE WHEN bi*8+bj < 63 AND cell > mean
+       CAST(sum(CASE WHEN bi*8+bj < 63 AND cell > mean + 1e-9
                 THEN (CAST(1 AS BIGINT) << (bi*8+bj)) ELSE 0 END) AS BIGINT)
            AS phash
        FROM cells JOIN m ON doc_id = mdoc GROUP BY doc_id)
