@@ -1332,11 +1332,14 @@ def _seg_boundary_ts(p1: np.ndarray, p2: np.ndarray,
         if dd > 0:
             tA = ((E1[col] - p1) @ d) / dd
             tB = ((E2[col] - p1) @ d) / dd
-            lo = np.clip(np.minimum(tA, tB), 0.0, 1.0)
-            hi = np.clip(np.maximum(tA, tB), 0.0, 1.0)
-            keep = hi >= lo
-            ts.append(lo[keep])
-            ts.append(hi[keep])
+            lo_r = np.minimum(tA, tB)
+            hi_r = np.maximum(tA, tB)
+            # the UNCLIPPED edge interval must overlap [0,1] — clipping
+            # first would fabricate a touch from a collinear-but-disjoint
+            # edge beyond the segment's end
+            keep = (hi_r >= 0.0) & (lo_r <= 1.0)
+            ts.append(np.clip(lo_r[keep], 0.0, 1.0))
+            ts.append(np.clip(hi_r[keep], 0.0, 1.0))
     if not ts:
         return np.empty(0, dtype=np.float64)
     return np.concatenate(ts)

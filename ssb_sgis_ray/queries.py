@@ -216,6 +216,72 @@ WHERE EXISTS (SELECT 1 FROM s WHERE abs(c.px - s.sx) + abs(c.py - s.sy) = s.r)
 """
 
 
+def q_sfilter_line_predicates(sf_dir: str):
+    """LINE-left sfilter predicate vocabulary — the geometry pair where
+    ``crosses`` is a REAL predicate (line interior meets both polygon
+    interior and exterior). Horizontal integer segments derived from
+    customer points are filtered against the supplier diamonds; per
+    predicate, the count of kept segments. Oracle: closed-form interval
+    arithmetic on the diamond's width at the segment's y."""
+    from .geo import wkb as W
+
+    def stage(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = b["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        py = b["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = px - 5 - (k % 7)
+        x1 = px + 5 + (k % 9)
+        out = np.empty(len(k), dtype=object)
+        for i in range(len(k)):
+            out[i] = W.encode_linestring(np.array(
+                [[float(x0[i]), float(py[i])], [float(x1[i]), float(py[i])]]))
+        return pa.table({
+            "c_custkey": pa.array(k, pa.int64()),
+            "geometry_wkb": pa.array(list(out), pa.binary()),
+        })
+
+    n = _nrows(f"{sf_dir}/customer.parquet")
+    preds = ("intersects", "crosses", "within", "touches", "covered_by")
+    counts = []
+    for p in preds:
+        segs = customers(sf_dir).map_batches(stage, batch_format="pyarrow")
+        counts.append(spatial.sfilter(
+            segs, suppliers_tbl(sf_dir), mode="semi", left_kind="line",
+            nrows=n, predicate=p).count())
+    return pa.table({
+        "predicate": pa.array(list(preds), pa.string()),
+        "n_kept": pa.array(counts, pa.int64()),
+    })
+
+
+# Closed forms for a horizontal segment [x0,x1]xy0 vs diamond (sx,sy,r):
+# h = r - |y0-sy| is the diamond's half-width at y0 (h<0: disjoint row).
+SQL_SFILTER_LINE_PREDICATES = f"""
+WITH c AS ({CUST_SQL}), s AS ({SUP_SQL}),
+segs AS (
+  SELECT c_custkey, px - 5 - (c_custkey % 7) AS x0,
+         px + 5 + (c_custkey % 9) AS x1, py AS y0 FROM c
+),
+pr AS (
+  SELECT g.c_custkey,
+         (h >= 0 AND g.x1 >= s.sx - h AND g.x0 <= s.sx + h) AS inter_ok,
+         (h > 0 AND g.x1 > s.sx - h AND g.x0 < s.sx + h
+          AND (g.x0 < s.sx - h OR g.x1 > s.sx + h)) AS crosses_ok,
+         (h > 0 AND g.x0 >= s.sx - h AND g.x1 <= s.sx + h) AS within_ok,
+         ((h = 0 AND g.x0 <= s.sx AND g.x1 >= s.sx)
+          OR (h > 0 AND (g.x1 = s.sx - h OR g.x0 = s.sx + h))) AS touches_ok
+  FROM segs g JOIN s ON TRUE,
+  LATERAL (SELECT s.r - abs(g.y0 - s.sy) AS h) t
+)
+SELECT 'intersects' AS predicate, count(DISTINCT c_custkey) AS n_kept
+FROM pr WHERE inter_ok
+UNION ALL SELECT 'crosses', count(DISTINCT c_custkey) FROM pr WHERE crosses_ok
+UNION ALL SELECT 'within', count(DISTINCT c_custkey) FROM pr WHERE within_ok
+UNION ALL SELECT 'touches', count(DISTINCT c_custkey) FROM pr WHERE touches_ok
+UNION ALL SELECT 'covered_by', count(DISTINCT c_custkey) FROM pr WHERE within_ok
+"""
+
+
 def q_sfilter_poly_predicates(sf_dir: str):
     """Areal×areal sfilter predicate vocabulary (touches / overlaps /
     within / covers — reference sfilter.py:67-134) counted per predicate
@@ -8140,6 +8206,8 @@ REGISTRY: dict[str, tuple] = {
     "pip_predicates": (q_pip_predicates, SQL_PIP_PREDICATES),
     "sfilter_poly_predicates": (
         q_sfilter_poly_predicates, SQL_SFILTER_POLY_PREDICATES),
+    "sfilter_line_predicates": (
+        q_sfilter_line_predicates, SQL_SFILTER_LINE_PREDICATES),
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
@@ -8206,7 +8274,7 @@ _ROUND5_UNSWEPT = [
     "interval_join", "mad_outliers", "pagerank", "running_totals",
     "salted_hub_join", "triangles", "user_type_pivot",
     "minhash_pairs_bigid", "pip_predicates", "sfilter_poly_predicates",
-    "geotiff_warp",
+    "geotiff_warp", "sfilter_line_predicates",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _ROUND5_UNSWEPT},

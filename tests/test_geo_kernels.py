@@ -710,3 +710,44 @@ def test_point_predicate_pairs_vocabulary():
     for pred, exp in cases.items():
         got = K.points_in_polygon_pairs_predicate(px, py, pg, qi, pi, pred)
         np.testing.assert_array_equal(got, np.array(exp), err_msg=pred)
+
+
+def test_line_predicate_pairs_vocabulary():
+    """Line-left predicates vs a square with a hole: within / crosses /
+    touches / covered_by on constructed cases incl. a collinear
+    boundary-overlap segment (covered_by but NOT within) and a segment
+    through the hole (crosses: interior -> hole-exterior -> interior)."""
+    from ssb_sgis_ray.geo import kernels as K
+    from ssb_sgis_ray.geo import wkb as W
+
+    shell = np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    hole = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6], [4, 4]])
+    pg = W.decode_polygons(np.array(
+        [W.encode_polygon([shell, hole])], dtype=object))
+
+    lines = [
+        np.array([[1.0, 1], [3, 1]]),       # 0 fully interior -> within
+        np.array([[-2.0, 5], [12, 5]]),     # 1 enters+exits (and hole) -> crosses
+        np.array([[2.0, 0], [8, 0]]),       # 2 collinear on bottom edge -> covered_by, touches, NOT within
+        np.array([[-3.0, 0], [-1, 0]]),     # 3 disjoint
+        np.array([[-2.0, 0], [0, 0]]),      # 4 endpoint touches corner from outside -> touches
+        np.array([[5.0, 4.5], [5, 5.5]]),   # 5 inside the hole -> disjoint from polygon
+        np.array([[1.0, 5], [5, 5]]),       # 6 interior into hole -> crosses (hole is exterior)
+    ]
+    la = W.decode_lines(np.array(
+        [W.encode_linestring(ln) for ln in lines], dtype=object))
+    qi = np.arange(len(lines))
+    pi = np.zeros(len(lines), dtype=np.int64)
+
+    want = {
+        "intersects": [True, True, True, False, True, False, True],
+        "crosses":    [False, True, False, False, False, False, True],
+        "within":     [True, False, False, False, False, False, False],
+        "covered_by": [True, False, True, False, False, False, False],
+        "touches":    [False, False, True, False, True, False, False],
+        "contains":   [False] * 7,
+        "overlaps":   [False] * 7,
+    }
+    for pred, exp in want.items():
+        got = K.lines_in_polygon_pairs_predicate(la, pg, qi, pi, pred)
+        np.testing.assert_array_equal(got, np.array(exp), err_msg=pred)
