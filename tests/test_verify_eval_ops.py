@@ -297,3 +297,39 @@ def test_triangle_count_join_plan_matches_broadcast(ray_session):
             ds, broadcast_limit=0).to_pandas()["n_triangles"][0]
         assert got_b == want, off
         assert got_j == want, off
+
+
+def test_triangle_join_plan_degree_oriented_skewed(ray_session):
+    """Skewed graph (hub star + dense pocket): the degree-oriented join
+    plan must equal brute force — the hub's wedge volume is bounded by
+    orientation, not by its degree."""
+    import itertools
+
+    import ray.data as rd
+
+    from ssb_sgis_ray.ops.network import triangle_count
+
+    edges = set()
+    # hub 0 connected to 1..30; ring among spokes adds hub triangles
+    for i in range(1, 31):
+        edges.add((0, i))
+    for i in range(1, 30):
+        edges.add((i, i + 1))
+    # dense pocket K5 on 100..104
+    for a, b in itertools.combinations(range(100, 105), 2):
+        edges.add((a, b))
+    rows = [e for ab in edges for e in (ab, ab[::-1])]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+    })).repartition(4)
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+               if y in adj[x] and z in adj[x] and z in adj[y])
+    got_b = triangle_count(ds).to_pandas()["n_triangles"][0]
+    got_j = triangle_count(ds, broadcast_limit=0).to_pandas()["n_triangles"][0]
+    assert got_b == want
+    assert got_j == want
