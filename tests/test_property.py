@@ -389,3 +389,91 @@ def test_interval_join_matches_bruteforce(ray_session, pts, ivs, bucket):
             for p, t in zip(pdf["event_id"], pdf["ts_us"])
             for i, (s, d) in enumerate(ivs) if s <= t < s + d}
     assert set(zip(got["event_id"], got["iid"])) == want
+
+
+@given(st.lists(st.tuples(
+    st.integers(-20, 20), st.integers(-20, 20),
+    st.integers(1, 15), st.integers(1, 15)), min_size=1, max_size=8),
+    st.integers(-20, 20), st.integers(-20, 20),
+    st.integers(1, 15), st.integers(1, 15))
+@settings(max_examples=200, deadline=None)
+def test_rect_predicates_match_interval_bruteforce(rects, lx, ly, lw, lh):
+    """polygon_predicate_pairs on random axis rects == a from-first-
+    principles interval-arithmetic brute force for every predicate."""
+    import numpy as np
+
+    from ssb_sgis_ray.geo import kernels as K
+    from ssb_sgis_ray.geo import wkb as W
+
+    def box_ring(x0, y0, x1, y1):
+        return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                          [x0, y0]], float)]
+
+    L = (lx, ly, lx + lw, ly + lh)
+    left_pg = W.decode_polygons(np.array(
+        [W.encode_polygon(box_ring(*L)) for _ in rects], dtype=object))
+    Rs = [(x, y, x + w, y + h) for x, y, w, h in rects]
+    right_pg = W.decode_polygons(np.array(
+        [W.encode_polygon(box_ring(*r)) for r in Rs], dtype=object))
+    qi = np.arange(len(rects))
+    pi = np.arange(len(rects))
+
+    def brute(pred, R):
+        ix = min(L[2], R[2]) - max(L[0], R[0])
+        iy = min(L[3], R[3]) - max(L[1], R[1])
+        l_in_r = (L[0] >= R[0] and L[2] <= R[2]
+                  and L[1] >= R[1] and L[3] <= R[3])
+        r_in_l = (R[0] >= L[0] and R[2] <= L[2]
+                  and R[1] >= L[1] and R[3] <= L[3])
+        if pred == "intersects":
+            return ix >= 0 and iy >= 0
+        if pred == "touches":
+            return ix >= 0 and iy >= 0 and (ix == 0 or iy == 0)
+        if pred == "overlaps":
+            return ix > 0 and iy > 0 and not l_in_r and not r_in_l
+        if pred in ("covers", "contains"):
+            return r_in_l
+        return l_in_r  # within / covered_by
+
+    for pred in ("intersects", "touches", "overlaps", "covers",
+                 "contains", "within", "covered_by"):
+        got = K.polygon_predicate_pairs(left_pg, right_pg, qi, pi, pred)
+        want = np.array([brute(pred, r) for r in Rs])
+        np.testing.assert_array_equal(got, want, err_msg=pred)
+
+
+@given(st.integers(-12, 12), st.integers(-12, 12),
+       st.integers(-12, 12), st.integers(-12, 12),
+       st.integers(1, 6))
+@settings(max_examples=300, deadline=None)
+def test_segment_diamond_predicates_match_closed_form(x0, y0, x1, y1, r):
+    """lines_in_polygon_pairs_predicate for a horizontal segment vs a
+    diamond == the closed-form half-width interval rule (the
+    sfilter_line_predicates oracle logic, here against the general
+    scanline kernel on arbitrary positions incl. exact contacts)."""
+    import numpy as np
+
+    from ssb_sgis_ray.geo import kernels as K
+    from ssb_sgis_ray.geo import wkb as W
+
+    if x1 <= x0:
+        x0, x1 = x1, x0 + 1  # positive-length horizontal segment
+    seg = np.array([[float(x0), float(y0)], [float(x1), float(y0)]])
+    la = W.decode_lines(np.array([W.encode_linestring(seg)], dtype=object))
+    ring = [np.array([[r, 0.0], [0, r], [-r, 0], [0, -r], [r, 0]], float)]
+    pg = W.decode_polygons(np.array([W.encode_polygon(ring)], dtype=object))
+    qi = np.zeros(1, dtype=np.int64)
+    pi = np.zeros(1, dtype=np.int64)
+
+    h = r - abs(y0)  # diamond half-width at the segment's y (cx=cy=0)
+    want = {
+        "intersects": h >= 0 and x1 >= -h and x0 <= h,
+        "within": h > 0 and x0 >= -h and x1 <= h,
+        "covered_by": h > 0 and x0 >= -h and x1 <= h,
+        "crosses": h > 0 and x1 > -h and x0 < h and (x0 < -h or x1 > h),
+        "touches": ((h == 0 and x0 <= 0 and x1 >= 0)
+                    or (h > 0 and (x1 == -h or x0 == h))),
+    }
+    for pred, exp in want.items():
+        got = K.lines_in_polygon_pairs_predicate(la, pg, qi, pi, pred)
+        assert bool(got[0]) == exp, (pred, (x0, x1, y0, r, h))
