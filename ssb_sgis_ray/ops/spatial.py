@@ -777,3 +777,121 @@ def focal_hotspots(points_ds, cell_size: int, x_col: str = "px",
             b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cell co-partitioned predicate sfilter (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def _tag_polys_generic(batch: pa.Table, res: int, id_col: str,
+                       side: int) -> pa.Table:
+    """(cell, side, gid, geometry_wkb) rows — each polygon replicated to
+    every covering cell, full geometry riding along (predicates need the
+    whole shape in every shared cell)."""
+    pg = wkb.decode_polygons(batch["geometry_wkb"])
+    b = kernels.polygon_bounds(pg)
+    rows, cell = cells.cover_bbox(
+        b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+    return pa.table({
+        "cell": pa.array(cell, pa.int64()),
+        "side": pa.array(np.full(len(rows), side, np.int8), pa.int8()),
+        "gid": pa.array(ids, pa.int64()),
+        "geometry_wkb": batch["geometry_wkb"].take(pa.array(rows, pa.int64())),
+    })
+
+
+def sfilter_cell(left_ds, right_ds, *, left_id: str = "left_id",
+                 right_id: str = "right_id",
+                 predicate: str = "intersects", mode: Mode = "semi",
+                 res: int = 7):
+    """Large×large predicate sfilter — the scale path when the right
+    side exceeds the broadcast envelope (PolyPolyFilter decodes the
+    whole right table and builds its STRtree in every actor; at 10^6+
+    geometries that init dominates). Both sides stream as Datasets,
+    co-partition by covering cell (ONE shuffle), and each cell kernel
+    evaluates the full predicate vocabulary via
+    kernels.polygon_predicate_pairs.
+
+    Pair completeness: any pair satisfying any predicate has overlapping
+    bboxes and therefore shares at least one covering cell; multi-cell
+    duplicates collapse in the distinct. Output is the ID-CENTRIC
+    surface (distinct int64 left ids kept by the filter — semi: matched,
+    anti: unmatched); callers re-join attributes by id, keeping the
+    exchange narrow (same contract as clean_overlay_cell). An empty
+    result (e.g. anti over an all-matching fixture) comes back as a
+    schema-less empty Dataset — the known empty-map_groups quirk
+    (DEVNOTES)."""
+    lt = left_ds.map_batches(
+        lambda b: _tag_polys_generic(b, res, left_id, 0),
+        batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        lambda b: _tag_polys_generic(b, res, right_id, 1),
+        batch_format="pyarrow")
+
+    empty = pd.DataFrame({"gid": pd.Series([], dtype="int64")})
+
+    def cell_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g["side"].to_numpy()
+        lmask = sides == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            return empty
+        lg = wkb.decode_polygons(g["geometry_wkb"].to_numpy()[lmask])
+        rg = wkb.decode_polygons(g["geometry_wkb"].to_numpy()[rmask])
+        tree = STRtree(kernels.polygon_bounds(rg))
+        qi, pi = tree.query_bbox(kernels.polygon_bounds(lg))
+        if not len(qi):
+            return empty
+        keep = kernels.polygon_predicate_pairs(lg, rg, qi, pi, predicate)
+        matched = np.unique(
+            g["gid"].to_numpy()[lmask].astype(np.int64)[qi[keep]])
+        return pd.DataFrame({"gid": matched})
+
+    matched = (lt.union(rt).groupby("cell")
+               .map_groups(cell_kernel, batch_format="pandas"))
+
+    def add_sg(flag: int):
+        def fn(b: pa.Table) -> pa.Table:
+            gid = b["gid" if flag else left_id].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "gid": pa.array(gid, pa.int64()),
+                "flag": pa.array(np.full(len(gid), flag, np.int8), pa.int8()),
+                "sg": pa.array((gid % 512 + 512) % 512, pa.int64()),
+            })
+        return fn
+
+    if mode == "semi":
+        # distinct matched ids (multi-cell duplicates collapse here)
+        def distinct_ids(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {left_id: np.unique(g["gid"].to_numpy().astype(np.int64))})
+
+        return (matched.map_batches(add_sg(1), batch_format="pyarrow")
+                .groupby("sg")
+                .map_groups(distinct_ids, batch_format="pandas"))
+    if mode != "anti":
+        raise ValueError("sfilter_cell supports modes 'semi' and 'anti'")
+
+    # anti: distinct left ids never matched — tag-union of the left id
+    # universe (flag 0) with matched ids (flag 1), per-group max-flag test
+    universe = left_ds.select_columns([left_id]).map_batches(
+        add_sg(0), batch_format="pyarrow")
+    tagged = matched.map_batches(add_sg(1), batch_format="pyarrow")
+
+    def unmatched_ids(g: pd.DataFrame) -> pd.DataFrame:
+        gid = g["gid"].to_numpy().astype(np.int64)
+        flag = g["flag"].to_numpy().astype(np.int64)
+        order = np.argsort(gid, kind="stable")
+        gid, flag = gid[order], flag[order]
+        starts = np.nonzero(np.concatenate([[True], gid[1:] != gid[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(gid)]])
+        mx = np.maximum.reduceat(flag, starts)
+        keep = mx == 0
+        _ = ends
+        return pd.DataFrame({left_id: gid[starts][keep]})
+
+    return (universe.union(tagged).groupby("sg")
+            .map_groups(unmatched_ids, batch_format="pandas"))

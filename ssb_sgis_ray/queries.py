@@ -282,6 +282,25 @@ UNION ALL SELECT 'covered_by', count(DISTINCT c_custkey) FROM pr WHERE within_ok
 """
 
 
+def q_sfilter_cell_within(sf_dir: str):
+    """Predicate sfilter through the LARGE×LARGE cell co-partitioned
+    plan (ops/spatial.sfilter_cell — neither side broadcast, one
+    cell-keyed shuffle): distinct part keys whose box lies within some
+    orders box. Same result rows as the broadcast PolyPolyFilter path
+    (pinned in pytest); the oracle is interval containment."""
+    return spatial.sfilter_cell(
+        parts(sf_dir), orders_ds(sf_dir), left_id="p_partkey",
+        right_id="o_orderkey", predicate="within", mode="semi", res=10)
+
+
+SQL_SFILTER_CELL_WITHIN = f"""
+SELECT DISTINCT l.p_partkey FROM ({PART_SQL}) l
+JOIN ({ORD_SQL}) o
+  ON l.minx >= o.minx AND l.maxx <= o.maxx
+ AND l.miny >= o.miny AND l.maxy <= o.maxy
+"""
+
+
 def q_sfilter_poly_predicates(sf_dir: str):
     """Areal×areal sfilter predicate vocabulary (touches / overlaps /
     within / covers — reference sfilter.py:67-134) counted per predicate
@@ -8208,6 +8227,7 @@ REGISTRY: dict[str, tuple] = {
         q_sfilter_poly_predicates, SQL_SFILTER_POLY_PREDICATES),
     "sfilter_line_predicates": (
         q_sfilter_line_predicates, SQL_SFILTER_LINE_PREDICATES),
+    "sfilter_cell_within": (q_sfilter_cell_within, SQL_SFILTER_CELL_WITHIN),
     "pip_anti": (q_pip_anti, SQL_PIP_ANTI),
     "self_intersections": (q_self_intersections, SQL_SELF_INTERSECTIONS),
     "within_distance": (q_within_distance, SQL_WITHIN_DISTANCE),
@@ -8274,7 +8294,7 @@ _ROUND5_UNSWEPT = [
     "interval_join", "mad_outliers", "pagerank", "running_totals",
     "salted_hub_join", "triangles", "user_type_pivot",
     "minhash_pairs_bigid", "pip_predicates", "sfilter_poly_predicates",
-    "geotiff_warp", "sfilter_line_predicates",
+    "geotiff_warp", "sfilter_line_predicates", "sfilter_cell_within",
 ]
 REGISTRY = {
     **{k: REGISTRY[k] for k in _ROUND5_UNSWEPT},
