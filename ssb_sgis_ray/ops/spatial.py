@@ -802,10 +802,28 @@ def _tag_polys_generic(batch: pa.Table, res: int, id_col: str,
     })
 
 
+def _tag_lines_generic(batch: pa.Table, res: int, id_col: str,
+                       side: int) -> pa.Table:
+    """(cell, side, gid, geometry_wkb) rows for LINE lefts — bbox-cover
+    replication, the line sibling of _tag_polys_generic."""
+    la = wkb.decode_lines(batch["geometry_wkb"].to_numpy(zero_copy_only=False))
+    b = kernels.line_bounds(la)
+    rows, cell = cells.cover_bbox(
+        b[:, 0], b[:, 1], b[:, 2] + 1e-9, b[:, 3] + 1e-9, res)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+    return pa.table({
+        "cell": pa.array(cell, pa.int64()),
+        "side": pa.array(np.full(len(rows), side, np.int8), pa.int8()),
+        "gid": pa.array(ids, pa.int64()),
+        "geometry_wkb": batch["geometry_wkb"].take(pa.array(rows, pa.int64())),
+    })
+
+
 def sfilter_cell(left_ds, right_ds, *, left_id: str = "left_id",
                  right_id: str = "right_id",
                  predicate: str = "intersects", mode: Mode = "semi",
-                 res: int = 7):
+                 res: int = 7,
+                 left_kind: Literal["polygon", "line"] = "polygon"):
     """Large×large predicate sfilter — the scale path when the right
     side exceeds the broadcast envelope (PolyPolyFilter decodes the
     whole right table and builds its STRtree in every actor; at 10^6+
@@ -822,9 +840,12 @@ def sfilter_cell(left_ds, right_ds, *, left_id: str = "left_id",
     exchange narrow (same contract as clean_overlay_cell). An empty
     result (e.g. anti over an all-matching fixture) comes back as a
     schema-less empty Dataset — the known empty-map_groups quirk
-    (DEVNOTES)."""
+    (DEVNOTES). ``left_kind='line'`` runs the line predicate kernel
+    (lines_in_polygon_pairs_predicate) over linestring lefts instead."""
+    tag_left = (_tag_polys_generic if left_kind == "polygon"
+                else _tag_lines_generic)
     lt = left_ds.map_batches(
-        lambda b: _tag_polys_generic(b, res, left_id, 0),
+        lambda b: tag_left(b, res, left_id, 0),
         batch_format="pyarrow")
     rt = right_ds.map_batches(
         lambda b: _tag_polys_generic(b, res, right_id, 1),
@@ -838,13 +859,21 @@ def sfilter_cell(left_ds, right_ds, *, left_id: str = "left_id",
         rmask = ~lmask
         if not lmask.any() or not rmask.any():
             return empty
-        lg = wkb.decode_polygons(g["geometry_wkb"].to_numpy()[lmask])
         rg = wkb.decode_polygons(g["geometry_wkb"].to_numpy()[rmask])
         tree = STRtree(kernels.polygon_bounds(rg))
-        qi, pi = tree.query_bbox(kernels.polygon_bounds(lg))
-        if not len(qi):
-            return empty
-        keep = kernels.polygon_predicate_pairs(lg, rg, qi, pi, predicate)
+        if left_kind == "polygon":
+            lg = wkb.decode_polygons(g["geometry_wkb"].to_numpy()[lmask])
+            qi, pi = tree.query_bbox(kernels.polygon_bounds(lg))
+            if not len(qi):
+                return empty
+            keep = kernels.polygon_predicate_pairs(lg, rg, qi, pi, predicate)
+        else:
+            lg = wkb.decode_lines(g["geometry_wkb"].to_numpy()[lmask])
+            qi, pi = tree.query_bbox(kernels.line_bounds(lg))
+            if not len(qi):
+                return empty
+            keep = kernels.lines_in_polygon_pairs_predicate(
+                lg, rg, qi, pi, predicate)
         matched = np.unique(
             g["gid"].to_numpy()[lmask].astype(np.int64)[qi[keep]])
         return pd.DataFrame({"gid": matched})

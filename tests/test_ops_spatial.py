@@ -965,3 +965,45 @@ def test_sfilter_cell_matches_broadcast_predicates(ray_session):
                 universe = set(
                     parts_ds.to_pandas()["p_partkey"])
                 assert got == universe - want_semi, pred
+
+
+def test_sfilter_cell_line_left_matches_broadcast(ray_session):
+    """sfilter_cell(left_kind='line') must return the broadcast
+    LineFilter's kept ids for every line predicate."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ssb_sgis_ray import synth
+    from ssb_sgis_ray.geo import wkb as W
+    from ssb_sgis_ray.ops import spatial
+
+    sf = "/root/testdata/sf0.001"
+    sup_tbl = synth.add_supplier_diamonds(
+        pq.read_table(f"{sf}/supplier.parquet", columns=["s_suppkey"]))
+    sup_ds = (rd.read_parquet(f"{sf}/supplier.parquet",
+                              columns=["s_suppkey"])
+              .map_batches(synth.add_supplier_diamonds,
+                           batch_format="pyarrow"))
+    rng = np.random.default_rng(3)
+    ids, wkbs = [], []
+    for k in range(400):
+        x = float(rng.integers(0, 36000)); y = float(rng.integers(0, 36000))
+        ids.append(k)
+        wkbs.append(W.encode_linestring(
+            np.array([[x - 150.0, y], [x + 150.0, y]])))
+    segs = rd.from_arrow(pa.table({
+        "seg_id": pa.array(ids, pa.int64()),
+        "geometry_wkb": pa.array(wkbs, pa.binary()),
+    })).repartition(3)
+
+    for pred in ("intersects", "crosses", "within", "touches"):
+        wdf = spatial.sfilter(segs, sup_tbl, mode="semi", left_kind="line",
+                              predicate=pred).to_pandas()
+        want = set(wdf["seg_id"]) if "seg_id" in wdf.columns else set()
+        df = spatial.sfilter_cell(
+            segs, sup_ds, left_id="seg_id", right_id="s_suppkey",
+            predicate=pred, mode="semi", res=9,
+            left_kind="line").to_pandas()
+        got = set(df["seg_id"]) if "seg_id" in df.columns else set()
+        assert got == want, pred
